@@ -1,0 +1,92 @@
+"""Image codec round-trip + per-row invariants (BASELINE.json:input_hint:
+decoded-pixel allclose, PSNR ≥ 40 dB for lossy, phash stability)."""
+
+import numpy as np
+import pytest
+
+from searchengine_ray.functions.imagecodec import (
+    decode,
+    decode_png,
+    encode,
+    encode_png,
+    psnr,
+)
+from searchengine_ray.functions.phash import (
+    hamming64,
+    hamming64_vec,
+    phash64,
+    phash_bands,
+)
+
+
+def _img(seed, w=32, h=24):
+    rng = np.random.RandomState(seed)
+    # smooth-ish image: random low-res grid upsampled (more realistic than
+    # white noise for phash)
+    base = rng.randint(0, 255, size=(4, 4, 3), dtype=np.uint8)
+    return np.repeat(np.repeat(base, h // 4 + 1, 0), w // 4 + 1, 1)[:h, :w]
+
+
+def test_png_roundtrip_exact():
+    img = _img(1)
+    data = encode_png(img)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    out = decode_png(data)
+    np.testing.assert_array_equal(img, out)
+
+
+def test_png_noise_roundtrip():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(17, 13, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(img, decode_png(encode_png(img)))
+
+
+def test_fake_jpeg_lossy_psnr_ge_40():
+    img = _img(2)
+    data = encode(img, "jpeg")
+    out = decode(data, "jpeg")
+    assert out.shape == img.shape
+    p = psnr(img, out)
+    assert p >= 40.0, p
+
+
+def test_psnr_identical_inf():
+    img = _img(4)
+    assert psnr(img, img) == float("inf")
+
+
+def test_phash_stability_across_encode_decode():
+    img = _img(5)
+    h1 = phash64(img)
+    # lossless round-trip: identical hash
+    assert phash64(decode(encode(img, "png"), "png")) == h1
+    # lossy round-trip: small hamming distance
+    h2 = phash64(decode(encode(img, "jpeg"), "jpeg"))
+    assert hamming64(h1, h2) <= 4
+
+
+def test_phash_discriminates():
+    d = hamming64(phash64(_img(6)), phash64(_img(7)))
+    assert d > 8
+
+
+def test_hamming_vec_matches_scalar():
+    hs = np.array([phash64(_img(s)) for s in range(8)], dtype=np.int64)
+    v = int(hs[0])
+    vec = hamming64_vec(hs, v)
+    for i in range(8):
+        assert vec[i] == hamming64(int(hs[i]), v)
+
+
+def test_phash_bands_pigeonhole():
+    # hamming ≤ 4 with 5 bands ⇒ at least one identical band
+    a = phash64(_img(8))
+    b = a ^ 0b1011  # 3 bits flipped
+    assert hamming64(a, b) <= 4
+    ba, bb = dict(phash_bands(a)), dict(phash_bands(b))
+    assert any(ba[i] == bb[i] for i in range(5))
+
+
+def test_unknown_fmt_raises():
+    with pytest.raises(NotImplementedError):
+        encode(_img(9), "webp")

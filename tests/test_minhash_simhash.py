@@ -1,0 +1,94 @@
+"""MinHash / SimHash / textstats kernel tests."""
+
+import numpy as np
+
+from searchengine_ray.functions.minhash import band_keys, make_coeffs, minhash_signature
+from searchengine_ray.functions.ngrams import jaccard
+from searchengine_ray.functions.simhash import simhash64
+from searchengine_ray.functions.textstats import (
+    cosine_topk,
+    count_tokens_bpeish,
+    count_tokens_ws,
+    detect_language,
+    quality_features,
+    rolling_fingerprint,
+)
+
+
+def test_minhash_estimates_jaccard():
+    rng = np.random.RandomState(0)
+    a, b = make_coeffs(256)
+    s1 = set(rng.randint(0, 1 << 60, 200).tolist())
+    # 50% overlap
+    s2 = set(list(s1)[:100]) | set(rng.randint(0, 1 << 60, 100).tolist())
+    sig1 = minhash_signature(np.array(sorted(s1), dtype=np.int64), a, b)
+    sig2 = minhash_signature(np.array(sorted(s2), dtype=np.int64), a, b)
+    est = np.mean(sig1 == sig2)
+    true = jaccard(s1, s2)
+    assert abs(est - true) < 0.12, (est, true)
+
+
+def test_minhash_identical_and_empty():
+    a, b = make_coeffs(64)
+    s = np.array([1, 2, 3], dtype=np.int64)
+    assert (minhash_signature(s, a, b) == minhash_signature(s, a, b)).all()
+    e = minhash_signature(np.array([], dtype=np.int64), a, b)
+    assert (e == e[0]).all()
+
+
+def test_band_keys_deterministic():
+    a, b = make_coeffs(128)
+    sig = minhash_signature(np.array([5, 6, 7], dtype=np.int64), a, b)
+    k1, k2 = band_keys(sig, 16), band_keys(sig, 16)
+    assert k1 == k2
+    assert len(k1) == 16
+
+
+def test_simhash_near_and_far():
+    base = ("the quick brown fox jumps over the lazy dog " * 20).split()
+    near = list(base)
+    near[3] = "red"
+    far = ("completely different words entirely unrelated text here now " * 15).split()
+    h0, h1, h2 = simhash64(base), simhash64(near), simhash64(far)
+    from searchengine_ray.functions.phash import hamming64
+
+    assert hamming64(h0, h1) < hamming64(h0, h2)
+    assert simhash64([]) == 0
+
+
+def test_langid():
+    assert detect_language("the cat and the dog is in the house for a while") == "en"
+    assert detect_language("der Hund und die Katze ist nicht ein Tier zu den") == "de"
+    assert detect_language("你好世界这是中文文本测试内容") == "zh"
+    assert detect_language("") == "unknown"
+
+
+def test_quality_features():
+    q = quality_features("Hello world, this is the test.")
+    assert q["n_words"] == 6.0
+    assert q["n_chars"] == 30.0
+    assert 0 < q["punct_ratio"] < 0.2
+    assert q["stopword_ratio"] > 0
+
+
+def test_token_counts():
+    assert count_tokens_ws("a b  c") == 3
+    assert count_tokens_bpeish("hello, world 123") >= 4
+
+
+def test_rolling_fingerprint_deterministic_and_shift_tolerant():
+    t = "x" * 10 + "the quick brown fox jumps over the lazy dog " * 30
+    f1 = rolling_fingerprint(t)
+    f2 = rolling_fingerprint("PREFIX " + t)
+    assert f1 == rolling_fingerprint(t)
+    # content-defined sampling → shifted copies share most fingerprints
+    inter = len(set(f1) & set(f2))
+    assert inter / max(1, len(set(f1))) > 0.8
+
+
+def test_cosine_topk():
+    emb = np.array([[1, 0], [0, 1], [0.9, 0.1], [-1, 0]], dtype=np.float64)
+    idx, scores = cosine_topk(emb, np.array([1.0, 0.0]), 2)
+    assert idx[0] == 0
+    assert idx[1] == 2
+    assert scores[0] >= scores[1]
