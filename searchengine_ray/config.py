@@ -1,0 +1,51 @@
+"""Crawl configuration (the Ray-native analog of reference config.ini /
+utils/config.py:4-19).
+
+Reference knobs → fields:
+- SEEDURL         → ``seed_urls``
+- POLITENESS      → ``politeness_delay`` (seconds between fetches to one host)
+- SAVE            → ``checkpoint_dir`` (Lance/parquet checkpoints, §S8)
+- THREADCOUNT     → subsumed by ``fetch_concurrency`` (actor-pool size)
+plus the gate thresholds (link_similarity.py:12, ngrams.py:11,14) and the
+graft's phash near-dup threshold.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    seed_urls: list[str] = field(default_factory=list)
+    allowed_domains: tuple[str, ...] | None = None
+
+    # politeness / scheduling
+    politeness_delay: float = 0.0  # seconds per host between fetches
+    per_host_wave_budget: int | None = None  # None = full BFS wave
+    max_waves: int | None = None
+    max_pages: int | None = None
+
+    # gates (reference thresholds)
+    url_similarity_threshold: float = 0.85  # link_similarity.py:12
+    content_max_similarity: float = 0.65  # ngrams.py:11
+    ngram_size: int = 3  # ngrams.py:14
+    phash_max_hamming: int = 4  # graft near-dup threshold (FIXTURES.md F1)
+    use_robots: bool = True
+
+    # execution
+    num_gate_shards: int = 8
+    fetch_concurrency: int = 8
+    fetch_batch_size: int = 256
+    checkpoint_dir: str | None = None
+
+    def config_hash(self) -> str:
+        """Identity of the semantic knobs — a checkpoint is only resumable
+        under the same semantics."""
+        d = asdict(self)
+        for k in ("num_gate_shards", "fetch_concurrency", "fetch_batch_size",
+                  "checkpoint_dir"):
+            d.pop(k)
+        return hashlib.sha256(json.dumps(d, sort_keys=True, default=str).encode()).hexdigest()[:16]

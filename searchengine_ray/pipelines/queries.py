@@ -1,0 +1,414 @@
+"""Driver-contract query pipelines over the /root/testdata parquet tables.
+
+Each ``q_*`` function takes ``sf_dir`` and returns a Dataset / DataFrame.
+The matching DuckDB oracle SQL lives in ``ORACLE_SQL`` — column names and
+value rounding are kept identical on both sides (the driver hashes values
+after sorting columns by name).
+
+Scale notes per query are in the docstrings; shared idioms:
+- reads prune columns (``read_parquet(columns=...)``);
+- grouped aggregates pre-combine per batch (``pre_aggregate``);
+- dimension joins broadcast the small side;
+- top-k = per-batch local top-k, global merge of k·num_batches rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from searchengine_ray.stages import dedup as dedup_stage
+from searchengine_ray.stages import knn as knn_stage
+from searchengine_ray.stages import text as text_stage
+from searchengine_ray.stages.canonicalize import canonicalize_batch
+from searchengine_ray.stages.relational import broadcast_join, pre_aggregate
+from searchengine_ray.stages.sessions import sessionize_counts, tumbling_window_agg
+
+
+def _pq(sf_dir: str, table: str, **kw):
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", **kw)
+
+
+# --- 1. pricing summary (A1-style grouped agg with map-side combine) -------
+
+def q_pricing_summary(sf_dir: str):
+    ds = _pq(sf_dir, "lineitem",
+             columns=["l_returnflag", "l_linestatus", "l_quantity",
+                      "l_extendedprice", "l_discount"])
+
+    def add_disc(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        disc = pc.multiply(batch["l_extendedprice"],
+                           pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("disc_price", disc)
+
+    ds = ds.map_batches(add_disc, batch_format="pyarrow")
+    agg = pre_aggregate(
+        ds, ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("l_quantity", "sum"),
+         "sum_base_price": ("l_extendedprice", "sum"),
+         "sum_disc_price": ("disc_price", "sum"),
+         "count_order": (None, "count")},
+    )
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        # round(2): money sums over ~1e5 rows accumulate ~1e-6 float noise in
+        # a different order than the oracle's sequential sum — 2-decimal
+        # rounding keeps the comparison deterministic
+        df["avg_qty"] = (df["sum_qty"] / df["count_order"]).round(6)
+        for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+            df[c] = df[c].round(2)
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       count(*)                                          AS count_order,
+       round(sum(l_quantity) / count(*), 6)              AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- 2. top-k orders (O2/O3 sort+limit) ------------------------------------
+
+def q_top_orders(sf_dir: str):
+    """Global top-k: per-batch nsmallest-style local top-k, then a tiny
+    driver-side merge — no global sort of the full table."""
+    ds = _pq(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True]).head(10)
+
+    parts = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
+    return (parts.sort_values(["o_totalprice", "o_orderkey"],
+                              ascending=[False, True]).head(10)
+            .reset_index(drop=True))
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+# --- 3. customers per region (J2 broadcast join chain) ---------------------
+
+def q_customers_per_region(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                           columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey", right_on="r_regionkey")[
+        ["n_nationkey", "r_name"]].rename(columns={"n_nationkey": "c_nationkey"})
+    cust = _pq(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    joined = broadcast_join(cust, dim, on="c_nationkey")
+    out = pre_aggregate(joined, ["r_name"],
+                        {"n_customers": (None, "count"),
+                         "sum_acctbal": ("c_acctbal", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_acctbal"] = df["sum_acctbal"].round(4)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_CUSTOMERS_PER_REGION = """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 4) AS sum_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+              JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --- 4. events by type ------------------------------------------------------
+
+def q_events_by_type(sf_dir: str):
+    ds = _pq(sf_dir, "events", columns=["event_type", "value"])
+    out = pre_aggregate(ds, ["event_type"],
+                        {"n": (None, "count"), "sum_value": ("value", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(4)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_EVENTS_BY_TYPE = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+
+# --- 5. per-user daily tumbling window -------------------------------------
+
+def q_events_user_daily(sf_dir: str):
+    ds = _pq(sf_dir, "events", columns=["user_id", "ts", "value"])
+    out = tumbling_window_agg(ds)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(4)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_EVENTS_USER_DAILY = """
+SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*) AS n_events, round(sum(value), 4) AS sum_value
+FROM events GROUP BY user_id, day
+"""
+
+
+# --- 6. sessionization (30-min gap) ----------------------------------------
+
+def q_sessionize(sf_dir: str):
+    ds = _pq(sf_dir, "events", columns=["user_id", "ts"])
+    return sessionize_counts(ds, gap_minutes=30)
+
+
+SQL_SESSIONIZE = """
+WITH flagged AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, CAST(sum(new_s) AS BIGINT) AS n_sessions
+FROM flagged GROUP BY user_id
+"""
+
+
+# --- 7. exact dedup of documents (D3) --------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    out = dedup_stage.dedup_exact(ds)
+    return out.select_columns(["doc_id"])
+
+
+SQL_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+"""
+
+
+# --- 8. token document frequency (A1) --------------------------------------
+
+def q_token_df(sf_dir: str):
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    tc = text_stage.doc_term_counts(ds, mode="simple")
+    return text_stage.token_document_frequency(tc)
+
+
+SQL_TOKEN_DF = """
+SELECT token, count(DISTINCT doc_id) AS df
+FROM (SELECT doc_id,
+             unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+      FROM documents)
+WHERE token <> '' GROUP BY token
+"""
+
+
+# --- 9. tf-idf top-100 postings (A3/O2/O3) ---------------------------------
+
+def q_tfidf_top(sf_dir: str):
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    postings = text_stage.tfidf_postings(ds, mode="simple", round_to=6)
+
+    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(["tf_idf", "doc_id", "token"],
+                              ascending=[False, True, True]).head(100)
+
+    parts = postings.select_columns(["doc_id", "token", "tf_idf"]).map_batches(
+        local_topk, batch_format="pandas").to_pandas()
+    return (parts.sort_values(["tf_idf", "doc_id", "token"],
+                              ascending=[False, True, True]).head(100)
+            .reset_index(drop=True))
+
+
+SQL_TFIDF_TOP = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents),
+toks2 AS (SELECT * FROM toks WHERE token <> ''),
+doc_len AS (SELECT doc_id, count(*) AS n FROM toks2 GROUP BY doc_id),
+tc AS (SELECT doc_id, token, count(*) AS cnt FROM toks2 GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks2 GROUP BY token),
+n_docs AS (SELECT count(*) AS n FROM documents)
+SELECT tc.doc_id, tc.token,
+       round((CAST(tc.cnt AS DOUBLE) / doc_len.n)
+             * ln(CAST(n_docs.n AS DOUBLE) / dfreq.df), 6) AS tf_idf
+FROM tc JOIN doc_len USING (doc_id) JOIN dfreq USING (token), n_docs
+ORDER BY tf_idf DESC, tc.doc_id, tc.token LIMIT 100
+"""
+
+
+# --- 10. language counts ----------------------------------------------------
+
+def q_lang_count(sf_dir: str):
+    ds = _pq(sf_dir, "documents", columns=["lang"])
+    return pre_aggregate(ds, ["lang"], {"n": (None, "count")})
+
+
+SQL_LANG_COUNT = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+
+# --- 11. whitespace token counts per doc ------------------------------------
+
+def q_token_counts(sf_dir: str):
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"],
+            "n_ws_tokens": [np.int64(len((t or "").split(" "))) for t in df["text"]],
+        })
+
+    return ds.map_batches(fn, batch_format="pandas")
+
+
+SQL_TOKEN_COUNTS = """
+SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+FROM documents
+"""
+
+
+# --- 12. brute-force cosine top-k (similarity search baseline) --------------
+
+def q_knn_bruteforce(sf_dir: str):
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    q = ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    # over-fetch (k=50), round, re-rank on (rounded cosine, vec_id): the final
+    # top-10 SET then matches the oracle even on rounded-value boundary ties
+    out = knn_stage.knn_bruteforce(ds, np.asarray(q), k=50, exclude_ids={0})
+    out["cosine"] = out["cosine"].round(6)
+    return (out.sort_values(["cosine", "vec_id"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
+SQL_KNN = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                    CAST(qe AS DOUBLE[])), 6) AS cosine
+FROM embeddings, q WHERE vec_id <> 0
+ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+# --- 13. URL canonicalize/hash over synthesized doc URLs (M6-M8) ------------
+
+def q_url_canon(sf_dir: str):
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def make_url(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        src = batch["source"].to_pylist()
+        urls = [f"https://{s}.example.com/docs/{i}/" for s, i in zip(src, ids)]
+        return batch.append_column("url", pa.array(urls, pa.string()))
+
+    ds = ds.map_batches(make_url, batch_format="pyarrow")
+    ds = ds.map_batches(canonicalize_batch, batch_format="pyarrow")
+    return ds.select_columns(["doc_id", "url_norm", "url_hash", "host"])
+
+
+SQL_URL_CANON = """
+SELECT doc_id,
+       'https://' || source || '.example.com/docs/' || CAST(doc_id AS VARCHAR)
+           AS url_norm,
+       sha256(source || '.example.com' || '//docs/' ||
+              CAST(doc_id AS VARCHAR) || '///') AS url_hash,
+       source || '.example.com' AS host
+FROM documents
+"""
+
+
+# --- 14. quality / langid features (rows-only check) ------------------------
+
+def q_text_features(sf_dir: str):
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(text_stage.TextFeatures, batch_format="pandas",
+                         batch_size=1024, concurrency=(1, 4))
+    return out.select_columns(
+        ["doc_id", "lang_pred", "n_words", "mean_word_len",
+         "punct_ratio", "stopword_ratio", "n_tokens_bpeish"])
+
+
+# --- 15. minhash LSH near-dup candidates (rows-only check) -------------------
+
+def q_minhash_pairs(sf_dir: str):
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    cand = dedup_stage.minhash_lsh_candidates(ds)
+    return dedup_stage.verify_jaccard_pairs(ds, cand, threshold=0.65)
+
+
+# --- 16. simhash near-dup pairs (rows-only check) ----------------------------
+
+def q_simhash_pairs(sf_dir: str):
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_stage.simhash_neardup_pairs(ds, max_hamming=3)
+
+
+# --- 17. embedding near-dup pairs (rows-only check) --------------------------
+
+def q_embedding_neardup(sf_dir: str):
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = dedup_stage.embedding_neardup_pairs(ds, threshold=0.95)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["cosine"] = df["cosine"].round(6)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "top_orders": q_top_orders,
+    "customers_per_region": q_customers_per_region,
+    "events_by_type": q_events_by_type,
+    "events_user_daily": q_events_user_daily,
+    "sessionize": q_sessionize,
+    "dedup_exact": q_dedup_exact,
+    "token_df": q_token_df,
+    "tfidf_top": q_tfidf_top,
+    "lang_count": q_lang_count,
+    "token_counts": q_token_counts,
+    "knn_bruteforce": q_knn_bruteforce,
+    "url_canon": q_url_canon,
+    "text_features": q_text_features,
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": SQL_PRICING,
+    "top_orders": SQL_TOP_ORDERS,
+    "customers_per_region": SQL_CUSTOMERS_PER_REGION,
+    "events_by_type": SQL_EVENTS_BY_TYPE,
+    "events_user_daily": SQL_EVENTS_USER_DAILY,
+    "sessionize": SQL_SESSIONIZE,
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "token_df": SQL_TOKEN_DF,
+    "tfidf_top": SQL_TFIDF_TOP,
+    "lang_count": SQL_LANG_COUNT,
+    "token_counts": SQL_TOKEN_COUNTS,
+    "knn_bruteforce": SQL_KNN,
+    "url_canon": SQL_URL_CANON,
+    # text_features / minhash_pairs / simhash_pairs / embedding_neardup are
+    # non-SQL-expressible → rows-only checks (driver records the weaker gate)
+}

@@ -1,0 +1,144 @@
+"""Text batch stages: tokenize/explode, document frequency, tf-idf postings,
+language ID, quality features, token counts, fingerprints.
+
+The tf-idf pipeline re-expresses the reference indexer
+(index_construction.py:146-250) as Ray Data shuffles:
+tokens → postings ``groupby('token')`` replaces the driver-side global dict +
+lock (idxer.py:58,117-119); df/idf (A1-A2: index_construction.py:183-194) is
+a pre-aggregated groupby; tf_idf = tf·idf (A3: index_construction.py:200-211)
+joins the small idf table broadcast-side.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import ray
+from ray.data import Dataset
+
+from searchengine_ray.functions import textstats
+from searchengine_ray.functions.ngrams import stable_hash64
+from searchengine_ray.functions.tokenizer import tokenize_fast
+from searchengine_ray.stages.relational import pre_aggregate
+
+# SQL-parity tokenizer: lowercase, split on non-[a-z0-9] — expressible in
+# DuckDB as regexp_split_to_array(lower(text),'[^a-z0-9]+').  The full
+# reference tokenizer (apostrophes, 10k cap, lemmatize) is `tokenize_fast`;
+# use mode="reference" for it.
+_SQL_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def simple_tokens(text: str) -> list[str]:
+    return _SQL_TOKEN_RE.findall(text.lower())
+
+
+def _tokens_for_mode(text: str, mode: str) -> list[str]:
+    if mode == "simple":
+        return simple_tokens(text)
+    return tokenize_fast(text)
+
+
+class DocTermCounts:
+    """Per-batch (doc_id, token, cnt, doc_len) explode — the map side of the
+    postings build.  Actor-pool stage: the regex machinery is compiled once
+    per actor (reference T1 pattern — lemmatizer loaded once)."""
+
+    def __init__(self, mode: str = "simple", text_col: str = "text", id_col: str = "doc_id"):
+        self.mode = mode
+        self.text_col = text_col
+        self.id_col = id_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks, cnts, lens = [], [], [], []
+        for doc_id, text in zip(df[self.id_col].to_numpy(), df[self.text_col]):
+            tokens = _tokens_for_mode(text or "", self.mode)
+            n = len(tokens)
+            counts: dict[str, int] = {}
+            for t in tokens:
+                counts[t] = counts.get(t, 0) + 1
+            for t, c in counts.items():
+                ids.append(doc_id)
+                toks.append(t)
+                cnts.append(c)
+                lens.append(n)
+        return pd.DataFrame(
+            {"doc_id": np.array(ids, dtype=np.int64), "token": toks,
+             "cnt": np.array(cnts, dtype=np.int64), "doc_len": np.array(lens, dtype=np.int64)}
+        )
+
+
+def doc_term_counts(
+    ds: Dataset, mode: str = "simple", text_col: str = "text", id_col: str = "doc_id",
+    batch_size: int = 2048, concurrency=(1, 8),
+) -> Dataset:
+    return ds.map_batches(
+        DocTermCounts, fn_constructor_kwargs={"mode": mode, "text_col": text_col, "id_col": id_col},
+        batch_format="pandas", batch_size=batch_size, concurrency=concurrency,
+    )
+
+
+def token_document_frequency(term_counts: Dataset) -> Dataset:
+    """A1: df(token) = number of docs containing it.  ``term_counts`` already
+    has one row per (doc, token), so df = pre-aggregated row count."""
+    return pre_aggregate(term_counts, ["token"], {"df": (None, "count")})
+
+
+def tfidf_postings(docs: Dataset, mode: str = "simple", round_to: int | None = 6) -> Dataset:
+    """Full postings table (doc_id, token, tf, tf_idf).
+
+    tf = cnt/doc_len (reference helpers.py:21-27); idf = ln(N/df)
+    (index_construction.py:191-194); tf_idf = tf*idf (:204).  The idf table
+    is small (vocabulary-sized) → broadcast, not shuffled against postings.
+    """
+    n_docs = docs.count()
+    tc = doc_term_counts(docs, mode=mode).materialize()
+    df_tbl = token_document_frequency(tc).to_pandas()
+    idf = {t: float(np.log(n_docs / d)) for t, d in zip(df_tbl["token"], df_tbl["df"])}
+    idf_ref = ray.put(idf)
+
+    class TfIdf:
+        def __init__(self):
+            self.idf = ray.get(idf_ref)
+
+        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+            tf = df["cnt"].to_numpy() / df["doc_len"].to_numpy()
+            idf_v = np.array([self.idf[t] for t in df["token"]])
+            out = pd.DataFrame(
+                {"doc_id": df["doc_id"], "token": df["token"], "tf": tf,
+                 "tf_idf": tf * idf_v}
+            )
+            if round_to is not None:
+                out["tf"] = out["tf"].round(round_to)
+                out["tf_idf"] = out["tf_idf"].round(round_to)
+            return out
+
+    return tc.map_batches(TfIdf, batch_format="pandas", concurrency=(1, 8))
+
+
+class TextFeatures:
+    """Language-ID + quality + token-count features per doc (actor pool —
+    regexes/stopword sets built once per actor)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        feats = [textstats.quality_features(t or "") for t in df[self.text_col]]
+        out = df.copy()
+        out["lang_pred"] = [textstats.detect_language(t or "") for t in df[self.text_col]]
+        for k in ("n_words", "mean_word_len", "punct_ratio", "stopword_ratio"):
+            out[k] = [f[k] for f in feats]
+        out["n_tokens_bpeish"] = [
+            textstats.count_tokens_bpeish(t or "") for t in df[self.text_col]
+        ]
+        return out
+
+
+def fingerprint_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Winnowing rolling-hash fingerprints + a whole-doc stable hash."""
+    out = df.copy()
+    out["fingerprints"] = [textstats.rolling_fingerprint(t or "") for t in df[text_col]]
+    out["content_hash"] = [stable_hash64(t or "") for t in df[text_col]]
+    return out

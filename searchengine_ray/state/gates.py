@@ -1,0 +1,211 @@
+"""Long-lived gate actors — the crawl's cross-wave mutable state.
+
+Three actor families replace the reference's lock-guarded module globals
+(SURVEY.md §2.3):
+
+- ``HostGateShard`` (T5/D3/D4): URL-seen set + per-host trap detector,
+  sharded by ``hash(host) % num_shards``.  URL similarity is 0 across hosts
+  (link_similarity.py:106-112), so host-sharding is EXACTLY the reference's
+  global seen-set semantics.  Exact dedup uses a cuckoo filter fast path
+  ("definitely new" has no false negatives) backed by an exact hash set.
+- ``ContentGate`` (T4/D5): accepted-page shingle store + phash store.  A new
+  page is rejected when (a) caption-shingle Jaccard vs ANY accepted page
+  exceeds ``max_similarity`` (ngrams.py:88-101) or (b) image phash within
+  ``max_hamming`` of ANY accepted image.  Candidates are found via an
+  inverted shingle index (any pair with Jaccard > 0 shares ≥1 shingle —
+  exact, no O(N²) scan) and pigeonhole phash bands (hamming ≤ t ⇒ ≥1 equal
+  band of t+1) — provably the same accept/reject set as the reference's
+  sequential loop, in the same order (SURVEY.md §7 hard part 2).
+- ``RobotsCache``: per-host robots rules cache (north-star component); rules
+  are supplied by the fetch layer (synthetic store in tests) and cached.
+
+All actors expose ``dump()``/``restore()`` for wave checkpoints — resume is
+bit-identical because every decision is content-derived and ordered by the
+deterministic FIFO ``seq`` (SURVEY.md §7 hard part 6).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import ray
+
+from searchengine_ray.functions.linksim import link_similarity
+from searchengine_ray.functions.phash import hamming64, phash_bands
+from searchengine_ray.state.cuckoo import CuckooFilter
+
+
+@ray.remote(num_cpus=0.5)
+class HostGateShard:
+    """Seen-set + trap gate for the hosts hashing to this shard."""
+
+    def __init__(self, shard_id: int, url_similarity_threshold: float = 0.85):
+        self.shard_id = shard_id
+        self.threshold = url_similarity_threshold
+        self.seen_hashes: set[str] = set()
+        self.cuckoo = CuckooFilter(capacity=1 << 20)
+        self.host_urls: dict[str, list[str]] = defaultdict(list)
+
+    def _cuckoo_key(self, url_hash: str) -> int:
+        return int(url_hash[:16], 16)
+
+    def seed(self, rows: list[tuple[str, str, str]]) -> list[bool]:
+        """Seed URLs enter dedup but bypass the trap gate (they never pass
+        through the scraper in the reference flow)."""
+        out = []
+        for _host, url_norm, url_hash in rows:
+            if url_hash in self.seen_hashes:
+                out.append(False)
+                continue
+            self._admit(_host, url_norm, url_hash)
+            out.append(True)
+        return out
+
+    def process(self, rows: list[tuple[str, str, str]]) -> list[str]:
+        """Gate candidate links IN ORDER.  rows: (host, url_norm, url_hash),
+        pre-sorted by discovery order.  Returns one decision per row:
+        'accept' | 'dup' | 'trap'."""
+        out = []
+        for host, url_norm, url_hash in rows:
+            if not self.cuckoo.contains(self._cuckoo_key(url_hash)):
+                pass  # definitely new — skip the exact-set lookup
+            elif url_hash in self.seen_hashes:
+                out.append("dup")
+                continue
+            if any(
+                link_similarity(seen, url_norm) >= self.threshold
+                for seen in self.host_urls.get(host, ())
+            ):
+                out.append("trap")
+                continue
+            self._admit(host, url_norm, url_hash)
+            out.append("accept")
+        return out
+
+    def _admit(self, host: str, url_norm: str, url_hash: str) -> None:
+        self.seen_hashes.add(url_hash)
+        self.cuckoo.add(self._cuckoo_key(url_hash))
+        self.host_urls[host].append(url_norm)
+
+    def seen_count(self) -> int:
+        return len(self.seen_hashes)
+
+    def dump(self) -> dict:
+        return {
+            "shard_id": self.shard_id,
+            "seen_hashes": sorted(self.seen_hashes),
+            "host_urls": {h: list(v) for h, v in self.host_urls.items()},
+        }
+
+    def restore(self, state: dict) -> None:
+        self.seen_hashes = set(state["seen_hashes"])
+        self.host_urls = defaultdict(list, {h: list(v) for h, v in state["host_urls"].items()})
+        self.cuckoo = CuckooFilter(capacity=max(1 << 20, 2 * len(self.seen_hashes)))
+        for h in self.seen_hashes:
+            self.cuckoo.add(self._cuckoo_key(h))
+
+
+@ray.remote(num_cpus=0.5)
+class ContentGate:
+    """Sequential content near-dup gate (caption shingles + image phash).
+
+    One logical gate preserves the reference's global sequential semantics;
+    the inverted shingle index and phash bands keep each decision
+    O(candidates) instead of O(history).  At larger scale this actor shards
+    by LSH band with a two-phase accept (see pipelines/crawl.py docstring).
+    """
+
+    def __init__(self, max_similarity: float = 0.65, max_hamming: int = 4):
+        self.max_similarity = max_similarity
+        self.max_hamming = max_hamming
+        self.num_bands = max_hamming + 1
+        self.page_shingles: dict[int, frozenset[int]] = {}
+        self.shingle_index: dict[int, list[int]] = defaultdict(list)
+        self.page_phash: dict[int, int] = {}
+        self.phash_bands: dict[tuple[int, int], list[int]] = defaultdict(list)
+
+    def process(self, rows: list[tuple[int, list[int], int]]) -> list[str]:
+        """rows: (seq, shingle_hashes, phash) sorted by seq.  Returns
+        'accept' | 'text_dup' | 'image_dup' per row."""
+        out = []
+        for seq, shingles, ph in rows:
+            sset = frozenset(shingles)
+            if self._text_dup(sset):
+                out.append("text_dup")
+                continue
+            if self._image_dup(ph):
+                out.append("image_dup")
+                continue
+            self._admit(seq, sset, ph)
+            out.append("accept")
+        return out
+
+    def _text_dup(self, sset: frozenset[int]) -> bool:
+        if not sset:
+            return False
+        cand: set[int] = set()
+        for sh in sset:
+            cand.update(self.shingle_index.get(sh, ()))
+        for page in cand:
+            prev = self.page_shingles[page]
+            inter = len(sset & prev)
+            union = len(sset | prev)
+            if union and inter / union > self.max_similarity:
+                return True
+        return False
+
+    def _image_dup(self, ph: int) -> bool:
+        cand: set[int] = set()
+        for band in phash_bands(ph, self.num_bands):
+            cand.update(self.phash_bands.get(band, ()))
+        return any(
+            hamming64(ph, self.page_phash[p]) <= self.max_hamming for p in cand
+        )
+
+    def _admit(self, seq: int, sset: frozenset[int], ph: int) -> None:
+        self.page_shingles[seq] = sset
+        for sh in sset:
+            self.shingle_index[sh].append(seq)
+        self.page_phash[seq] = ph
+        for band in phash_bands(ph, self.num_bands):
+            self.phash_bands[band].append(seq)
+
+    def accepted_count(self) -> int:
+        return len(self.page_shingles)
+
+    def dump(self) -> dict:
+        return {
+            "pages": [
+                (seq, sorted(sh), self.page_phash[seq])
+                for seq, sh in sorted(self.page_shingles.items())
+            ]
+        }
+
+    def restore(self, state: dict) -> None:
+        self.__init__(self.max_similarity, self.max_hamming)
+        for seq, shingles, ph in state["pages"]:
+            self._admit(seq, frozenset(shingles), ph)
+
+
+@ray.remote(num_cpus=0.25)
+class RobotsCache:
+    """Per-host robots rules cache.  ``rules_source`` is a dict
+    host → list of disallowed path prefixes (the synthetic stand-in for
+    fetching /robots.txt; a real deployment plugs an HTTP fetcher here)."""
+
+    def __init__(self, rules_source: dict[str, list[str]] | None = None):
+        self.rules_source = rules_source or {}
+        self.cache: dict[str, tuple[str, ...]] = {}
+        self.misses = 0
+
+    def disallowed_prefixes(self, hosts: list[str]) -> dict[str, tuple[str, ...]]:
+        out = {}
+        for h in hosts:
+            if h not in self.cache:
+                self.misses += 1
+                self.cache[h] = tuple(self.rules_source.get(h, ()))
+            out[h] = self.cache[h]
+        return out
+
+    def stats(self) -> dict:
+        return {"cached_hosts": len(self.cache), "misses": self.misses}
