@@ -45,7 +45,10 @@ class CrawlConfig:
         """Identity of the semantic knobs — a checkpoint is only resumable
         under the same semantics."""
         d = asdict(self)
+        # excluded: execution knobs and stop conditions — ``max_waves`` is
+        # "when this invocation stops" (≈ a kill), not per-wave semantics;
+        # ``max_pages`` stays in: it truncates wave slices deterministically.
         for k in ("num_gate_shards", "fetch_concurrency", "fetch_batch_size",
-                  "checkpoint_dir"):
+                  "checkpoint_dir", "max_waves", "politeness_delay"):
             d.pop(k)
         return hashlib.sha256(json.dumps(d, sort_keys=True, default=str).encode()).hexdigest()[:16]

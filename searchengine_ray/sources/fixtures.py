@@ -44,14 +44,11 @@ def _caption(rng: np.random.RandomState, vocab: list[str], n: int = 12) -> str:
 
 
 def _perturb_caption(rng: np.random.RandomState, caption: str) -> str:
-    """Change one word → 3-gram Jaccard stays above the 0.65 reject line
-    for 12-word captions (3 of 4 shingles unchanged → J = 3/5 … varies;
-    changing the LAST word keeps 3/4 shingles → J = 3/5 = .6; instead
-    duplicate the caption and change nothing but one char in the last word,
-    which keeps all but one shingle)."""
-    words = caption.split()
-    words[-1] = words[-1] + "x"
-    return " ".join(words)
+    """Append one word: a 12-word caption has 4 non-overlapping 3-gram
+    shingles (stride 3, ngrams.py:35); appending a 13th word keeps all 4 and
+    adds 1 partial → Jaccard 4/5 = 0.8 > the 0.65 reject line, so the gate
+    MUST fire on these planted near-dups."""
+    return caption + " " + VOCAB[int(rng.randint(0, len(VOCAB)))]
 
 
 def _image(rng: np.random.RandomState, w: int, h: int) -> np.ndarray:
