@@ -1,0 +1,191 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(address='local',
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N}
+
+``--scaling``: run the headline crawl pipeline twice in fresh processes
+(num_cpus=8 then 32) on the same input and report both throughputs plus the
+scaling efficiency (eff = (t_lo/t_hi)/(32/8); 1.0 = linear).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_ONLY = os.environ.get("GRAFT_BENCH_ONLY", "")
+
+# benchmark crawl size: ~2k-page synthetic graph with wide fanout
+CRAWL_PAGES = int(os.environ.get("GRAFT_CRAWL_PAGES", "2000"))
+
+
+def _timed(fn, *args, **kw):
+    t0 = time.perf_counter()
+    out = fn(*args, **kw)
+    # force Dataset execution
+    if hasattr(out, "count") and not hasattr(out, "columns"):
+        out.count()
+    return time.perf_counter() - t0, out
+
+
+def bench_crawl() -> tuple[float, float]:
+    """Returns (seconds, pages_per_sec) for a full BFS crawl of the
+    benchmark store."""
+    from searchengine_ray.config import CrawlConfig
+    from searchengine_ray.pipelines.crawl import CrawlEngine
+    from searchengine_ray.sources.fixtures import make_store
+
+    # wide fanout → few, wide waves (the 10^10-frontier shape); large images
+    # make decode/phash the dominant cost, as in a real payload pipeline
+    store = make_store(n_pages=CRAWL_PAGES, n_hosts=16, seed=123, fanout=40,
+                       img_min=96, img_max=160)
+    config = CrawlConfig(
+        seed_urls=list(store.seeds), allowed_domains=("test",),
+        num_gate_shards=8,
+        fetch_concurrency=max(4, NUM_CPUS // 2),
+        fetch_batch_size=64,
+    )
+    eng = CrawlEngine(store, config)
+    t0 = time.perf_counter()
+    res = eng.run()
+    sec = time.perf_counter() - t0
+    eng.shutdown()
+    n = len(res.crawl_order)
+    return sec, (n / sec if sec > 0 else 0.0)
+
+
+def main() -> None:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from searchengine_ray.pipelines import queries as Q
+
+    timings: dict[str, float] = {}
+
+    # warm-up (untimed): spin up the full worker pool + page cache so the
+    # timed sections measure compute/shuffle, not process cold start
+    import ray.data as rd
+
+    rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 2).map_batches(
+        lambda b: b).count()
+    import pyarrow.parquet as pq
+
+    for t in ("lineitem", "documents", "events", "embeddings", "orders"):
+        pq.read_table(f"{SF_DIR}/{t}.parquet")
+
+    bench_queries = {
+        "pricing_summary": Q.q_pricing_summary,
+        "top_orders": Q.q_top_orders,
+        "events_user_daily": Q.q_events_user_daily,
+        "sessionize": Q.q_sessionize,
+        "dedup_exact": Q.q_dedup_exact,
+        "token_df": Q.q_token_df,
+        "tfidf_top": Q.q_tfidf_top,
+        "knn_bruteforce": Q.q_knn_bruteforce,
+        "minhash_pairs": Q.q_minhash_pairs,
+        "boolean_search": Q.q_boolean_search,
+    }
+    if BENCH_ONLY:
+        keep = set(BENCH_ONLY.split(","))
+        bench_queries = {k: v for k, v in bench_queries.items() if k in keep}
+
+    for name, fn in bench_queries.items():
+        sec, _ = _timed(fn, SF_DIR)
+        timings[name] = round(sec, 3)
+
+    if not BENCH_ONLY or "crawl" in BENCH_ONLY.split(","):
+        crawl_sec, pages_per_sec = bench_crawl()
+        timings["crawl"] = round(crawl_sec, 3)
+        timings["crawl_pages_per_sec"] = round(pages_per_sec, 1)
+    if "crawl_scale" in BENCH_ONLY.split(","):
+        sec, pps = bench_crawl_scale()
+        timings["crawl_scale"] = round(sec, 3)
+        timings["crawl_scale_pages_per_sec"] = round(pps, 1)
+
+    total = round(sum(v for k, v in timings.items()
+                      if not k.endswith("_pages_per_sec")), 3)
+    print(json.dumps({
+        "metric": "graft_bench_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
+def bench_crawl_scale() -> tuple[float, float]:
+    """Scaling workload: one giant frontier wave over a procedural page
+    universe (pages synthesized from the URL — the 10^10-frontier shape:
+    no stored corpus, decode/validate compute dominates)."""
+    from searchengine_ray.config import CrawlConfig
+    from searchengine_ray.pipelines.crawl import CrawlEngine
+    from searchengine_ray.sources.fixtures import ProceduralSpec, ProceduralStore
+
+    n = int(os.environ.get("GRAFT_SCALE_PAGES", "60000"))
+    store = ProceduralStore(ProceduralSpec(n_pages=n, n_hosts=16, chunk=256,
+                                          img_edge=96, seed=777))
+    config = CrawlConfig(
+        seed_urls=list(store.seeds), allowed_domains=("test",),
+        num_gate_shards=8,
+        fetch_concurrency=max(4, NUM_CPUS // 2),
+        fetch_batch_size=128,
+    )
+    eng = CrawlEngine(store, config)
+    t0 = time.perf_counter()
+    res = eng.run()
+    sec = time.perf_counter() - t0
+    eng.shutdown()
+    npages = len(res.crawl_order)
+    assert npages == n, (npages, n)
+    return sec, n / sec
+
+
+def scaling() -> None:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_ONLY="crawl_scale")
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True,
+                             check=True, cwd=os.path.dirname(os.path.abspath(__file__)))
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    # best-of-2 per level: single-node wall time has ±20% run-to-run noise
+    r_lo = min((run(lo) for _ in range(2)), key=lambda r: r["queries"]["crawl_scale"])
+    r_hi = min((run(hi) for _ in range(2)), key=lambda r: r["queries"]["crawl_scale"])
+    t_lo = r_lo["queries"]["crawl_scale"]
+    t_hi = r_hi["queries"]["crawl_scale"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(json.dumps({
+        "metric": "crawl_scaling",
+        "num_cpus_lo": lo, "num_cpus_hi": hi,
+        "sec_lo": t_lo, "sec_hi": t_hi,
+        "pages_per_sec_lo": r_lo["queries"]["crawl_scale_pages_per_sec"],
+        "pages_per_sec_hi": r_hi["queries"]["crawl_scale_pages_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

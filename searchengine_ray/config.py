@@ -36,6 +36,7 @@ class CrawlConfig:
     use_robots: bool = True
 
     # execution
+    inline_wave_threshold: int = 64  # waves ≤ this run driver-inline (same kernels)
     num_gate_shards: int = 8
     fetch_concurrency: int = 8
     fetch_batch_size: int = 256
@@ -49,6 +50,7 @@ class CrawlConfig:
         # "when this invocation stops" (≈ a kill), not per-wave semantics;
         # ``max_pages`` stays in: it truncates wave slices deterministically.
         for k in ("num_gate_shards", "fetch_concurrency", "fetch_batch_size",
-                  "checkpoint_dir", "max_waves", "politeness_delay"):
+                  "checkpoint_dir", "max_waves", "politeness_delay",
+                  "inline_wave_threshold"):
             d.pop(k)
         return hashlib.sha256(json.dumps(d, sort_keys=True, default=str).encode()).hexdigest()[:16]

@@ -86,3 +86,104 @@ def should_evaluate_against_seen(
     only same-host URLs — exactly equivalent, and it is what makes this gate
     partitionable at scale."""
     return all(should_evaluate_url(u, candidate, threshold) for u in seen_urls)
+
+
+class TrapIndex:
+    """Exact sub-quadratic index for the trap gate.
+
+    ``is_trap(url)`` answers "∃ seen URL with link_similarity ≥ threshold"
+    with EXACTLY the same accept/reject set as the brute-force scan
+    (property-tested in tests/test_linksim.py), but in O(path_len) per
+    probe instead of O(seen):
+
+    - similarity is nonzero only within one (scheme, netloc) group
+      (link_similarity.py:106-112) → top-level dict;
+    - case A (same path length, equal prefix up to last segment → char-set
+      Jaccard of last segments, :48-52,65-71): bucket by
+      (len, parts[:-1]); a probe compares only same-directory entries,
+      and only distinct last-segment charsets (a crawler-trap family has
+      very few — date digits);
+    - case B (otherwise → shared-prefix-len / max(len1,len2), :29-45,61-62):
+      a path-prefix trie; each node keeps a histogram of the path lengths
+      of seen URLs passing through, so divergers-at-depth-k and their
+      lengths are read off during one walk, and the actual ``k/max``
+      division is evaluated per distinct length (identical float semantics
+      to the brute force).
+
+    The reference's own crawl corpus shows why this matters: one host holds
+    58% of pages (BASELINE.md) — the per-host gate must not be quadratic.
+    """
+
+    def __init__(self, threshold: float = URL_SIMILARITY_THRESHOLD):
+        self.threshold = threshold
+        # (scheme, netloc) → {"dirs": {(len, parts[:-1]): [charsets]},
+        #                     "empty": int, "trie": node}
+        # trie node = [children: dict[str, node], lengths: dict[int, int]]
+        self.groups: dict[tuple[str, str], dict] = {}
+
+    @staticmethod
+    def _parse(url: str):
+        p = urlparse(url)
+        return (p.scheme, p.netloc), _path_parts(p.path)
+
+    def add(self, url: str) -> None:
+        key, parts = self._parse(url)
+        g = self.groups.get(key)
+        if g is None:
+            g = {"dirs": {}, "empty": 0, "trie": [{}, {}]}
+            self.groups[key] = g
+        lp = len(parts)
+        if lp == 0:
+            g["empty"] += 1
+        else:
+            g["dirs"].setdefault((lp, tuple(parts[:-1])), []).append(
+                frozenset(parts[-1])
+            )
+        node = g["trie"]
+        node[1][lp] = node[1].get(lp, 0) + 1
+        for seg in parts:
+            node = node[0].setdefault(seg, [{}, {}])
+            node[1][lp] = node[1].get(lp, 0) + 1
+
+    def is_trap(self, url: str) -> bool:
+        key, c = self._parse(url)
+        g = self.groups.get(key)
+        if g is None:
+            return False
+        t = self.threshold
+        lc = len(c)
+        # case A
+        if lc == 0:
+            if g["empty"] > 0:
+                return True  # both paths empty → defined similarity 1.0
+        else:
+            cset = frozenset(c[-1])
+            for s in g["dirs"].get((lc, tuple(c[:-1])), ()):
+                union = cset | s
+                if not union or len(cset & s) / len(union) >= t:
+                    return True
+        # case B: walk the trie
+        node = g["trie"]
+        for k in range(lc + 1):
+            child = node[0].get(c[k]) if k < lc else None
+            child_h = child[1] if child else {}
+            if lc > 0:  # lc == 0 pairs: sim is 0 unless both empty (case A)
+                for ls, cnt in node[1].items():
+                    if cnt - child_h.get(ls, 0) <= 0:
+                        continue  # nothing diverges/terminates exactly here
+                    if ls == lc and k in (lc - 1, lc):
+                        continue  # same-dir same-length pair → case A handles
+                    if ls == 0 or max(lc, ls) == 0:
+                        continue
+                    if k / max(lc, ls) >= t:
+                        return True
+            if child is None:
+                break
+            node = child
+        return False
+
+    def __len__(self) -> int:
+        return sum(
+            g["empty"] + sum(len(v) for v in g["dirs"].values())
+            for g in self.groups.values()
+        )

@@ -56,7 +56,7 @@ def phash64(pixels: np.ndarray) -> int:
 
 
 def hamming64(a: int, b: int) -> int:
-    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    return ((a ^ b) & 0xFFFFFFFFFFFFFFFF).bit_count()
 
 
 def hamming64_vec(arr: np.ndarray, v: int) -> np.ndarray:

@@ -60,7 +60,12 @@ from searchengine_ray.functions.ngrams import shingle_hashes
 from searchengine_ray.functions.phash import phash64
 from searchengine_ray.functions.tokenizer import tokenize_fast
 from searchengine_ray.sources import storage
-from searchengine_ray.sources.fixtures import SyntheticStore
+from searchengine_ray.sources.fixtures import (
+    ProceduralSpec,
+    ProceduralStore,
+    SyntheticStore,
+    procedural_page,
+)
 from searchengine_ray.state.gates import ContentGate, HostGateShard, RobotsCache
 from searchengine_ray.utils.urls import is_valid, join_url, normalize, urldefrag_str
 
@@ -71,40 +76,79 @@ def _host_shard(host: str, num_shards: int) -> int:
     return zlib.crc32(host.encode("utf-8")) % num_shards
 
 
+# Per-worker-process cache of broadcast objects: ray.get() re-deserializes a
+# Python dict on every call, so stateless fetch tasks memoize it once per
+# worker (the actor-pool path gets the same amortization via __init__).
+_BROADCAST_CACHE: dict[str, object] = {}
+
+
+def _get_broadcast(ref):
+    key = ref.hex()
+    if key not in _BROADCAST_CACHE:
+        _BROADCAST_CACHE[key] = ray.get(ref)
+    return _BROADCAST_CACHE[key]
+
+
+def store_to_arrow(pages: dict[str, dict]) -> tuple[pa.Table, dict[str, int]]:
+    """Page store → (Arrow table, url→row index).  The table lives in the
+    object store ONCE; workers map it zero-copy (binary payload buffers are
+    not re-deserialized per task, unlike a Python dict)."""
+    urls = list(pages)
+    recs = [pages[u] for u in urls]
+    table = pa.table({
+        "url": pa.array(urls, pa.string()),
+        "status": pa.array([int(r["status"]) for r in recs], pa.int32()),
+        "caption": pa.array([r["caption"] for r in recs], pa.string()),
+        "bytes": pa.array([r["bytes"] for r in recs], pa.binary()),
+        "w": pa.array([int(r["w"]) for r in recs], pa.int32()),
+        "h": pa.array([int(r["h"]) for r in recs], pa.int32()),
+        "fmt": pa.array([r["fmt"] for r in recs], pa.string()),
+        "phash": pa.array([int(r["phash"]) for r in recs], pa.int64()),
+        "links": pa.array([list(r["links"]) for r in recs], pa.list_(pa.string())),
+    })
+    return table, {u: i for i, u in enumerate(urls)}
+
+
 class Fetcher:
-    """Fetch stage actor: synthetic page-store lookup standing in for the
-    HTTP client (reference utils/download.py:7-21).  Holds the broadcast
-    store (read once per actor) and a per-host politeness clock — the
+    """Fetch stage: synthetic page-store lookup standing in for the HTTP
+    client (reference utils/download.py:7-21).  Reads the broadcast store
+    once (zero-copy Arrow) and keeps a per-host politeness clock — the
     token-bucket analog of the reference's per-thread sleep
     (README.md:202-203)."""
 
     def __init__(self, store_ref, delay: float):
-        self.pages: dict[str, dict] = ray.get(store_ref)
+        obj = ray.get(store_ref) if isinstance(store_ref, ray.ObjectRef) else store_ref
+        if isinstance(obj, ProceduralSpec):
+            self.spec, self.table, self.index = obj, None, None
+        else:
+            self.spec = None
+            self.table, self.index = obj
         self.delay = delay
         self.last_fetch: dict[str, float] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        seqs = batch["seq"].to_pylist()
         urls = batch["url_norm"].to_pylist()
         hosts = batch["host"].to_pylist()
-        waves = batch["wave"].to_pylist()
-        out = {"seq": [], "url_norm": [], "host": [], "wave": [], "status": [],
-               "caption": [], "bytes": [], "w": [], "h": [], "fmt": [],
-               "phash": [], "links": []}
-        for seq, url, host, wave in zip(seqs, urls, hosts, waves):
-            if self.delay > 0:
+        if self.delay > 0:
+            for host in hosts:
                 now = time.monotonic()
                 wait = self.last_fetch.get(host, -1e18) + self.delay - now
                 if wait > 0:
                     time.sleep(wait)
                 self.last_fetch[host] = time.monotonic()
-            page = self.pages.get(url)
-            out["seq"].append(seq)
-            out["url_norm"].append(url)
-            out["host"].append(host)
-            out["wave"].append(wave)
-            if page is None or page["status"] != 200:
-                out["status"].append(page["status"] if page else 404)
+        if self.spec is not None:
+            return self._call_procedural(batch, urls)
+        rows = [self.index.get(u, -1) for u in urls]
+        present = [i for i in rows if i >= 0]
+        sub = self.table.take(pa.array(present, pa.int64()))
+        # per-batch columns from the store slice; missing rows → 404 shells
+        cols = {c: sub[c].to_pylist() for c in
+                ("status", "caption", "bytes", "w", "h", "fmt", "phash", "links")}
+        j = 0
+        out = {k: [] for k in cols}
+        for i in rows:
+            if i < 0:
+                out["status"].append(404)
                 out["caption"].append("")
                 out["bytes"].append(_EMPTY)
                 out["w"].append(0)
@@ -113,19 +157,44 @@ class Fetcher:
                 out["phash"].append(0)
                 out["links"].append([])
             else:
-                out["status"].append(200)
-                out["caption"].append(page["caption"])
-                out["bytes"].append(page["bytes"])
-                out["w"].append(page["w"])
-                out["h"].append(page["h"])
-                out["fmt"].append(page["fmt"])
-                out["phash"].append(page["phash"])
-                out["links"].append(list(page["links"]))
+                ok = cols["status"][j] == 200
+                out["status"].append(cols["status"][j])
+                out["caption"].append(cols["caption"][j] if ok else "")
+                out["bytes"].append(cols["bytes"][j] if ok else _EMPTY)
+                out["w"].append(cols["w"][j] if ok else 0)
+                out["h"].append(cols["h"][j] if ok else 0)
+                out["fmt"].append(cols["fmt"][j] if ok else "")
+                out["phash"].append(cols["phash"][j] if ok else 0)
+                out["links"].append(cols["links"][j] if ok else [])
+                j += 1
+        return self._emit(batch, out)
+
+    def _call_procedural(self, batch: pa.Table, urls: list[str]) -> pa.Table:
+        out = {k: [] for k in ("status", "caption", "bytes", "w", "h", "fmt",
+                               "phash", "links")}
+        for u in urls:
+            page = procedural_page(self.spec, u)
+            if page is None:
+                out["status"].append(404)
+                out["caption"].append("")
+                out["bytes"].append(_EMPTY)
+                out["w"].append(0)
+                out["h"].append(0)
+                out["fmt"].append("")
+                out["phash"].append(0)
+                out["links"].append([])
+            else:
+                for k in out:
+                    out[k].append(page[k])
+        return self._emit(batch, out)
+
+    @staticmethod
+    def _emit(batch: pa.Table, out: dict) -> pa.Table:
         return pa.table({
-            "seq": pa.array(out["seq"], pa.int64()),
-            "url_norm": pa.array(out["url_norm"], pa.string()),
-            "host": pa.array(out["host"], pa.string()),
-            "wave": pa.array(out["wave"], pa.int32()),
+            "seq": batch["seq"],
+            "url_norm": batch["url_norm"],
+            "host": batch["host"],
+            "wave": batch["wave"],
             "status": pa.array(out["status"], pa.int32()),
             "caption": pa.array(out["caption"], pa.string()),
             "bytes": pa.array(out["bytes"], pa.binary()),
@@ -208,6 +277,57 @@ def _explode_links(batch: pa.Table, allowed_domains) -> pa.Table:
     })
 
 
+def _robots_filter_table(b: pa.Table, rules: dict) -> pa.Table:
+    mask = []
+    for u, h in zip(b["url_norm"].to_pylist(), b["host"].to_pylist()):
+        path = "/" + u.split("/", 3)[3] if u.count("/") >= 3 else "/"
+        mask.append(not any(path.startswith(p) for p in rules.get(h, ())))
+    return b.filter(pa.array(mask))
+
+
+def _empty_gate_frame() -> pd.DataFrame:
+    return pd.DataFrame(
+        columns=["parent_seq", "link_idx", "url_norm", "url_hash", "host",
+                 "occurrences", "decision"]
+    )
+
+
+def _dedup_candidates(df: pd.DataFrame) -> pd.DataFrame:
+    """Collapse repeated candidate URLs to their first occurrence (by
+    discovery order) + an occurrence count.
+
+    EXACT: for a repeated url_hash the reference's sequential gate gives the
+    later occurrence 'dup' when the first was admitted (accept) or already
+    seen (dup), and repeats the identical 'trap' verdict otherwise (gate
+    state is unchanged by a rejected candidate, and is_trap is monotone) —
+    so only the first occurrence needs the stateful gate."""
+    if df.empty:
+        return df.assign(occurrences=pd.Series([], dtype=np.int64))
+    df = df.sort_values(["parent_seq", "link_idx"], kind="stable")
+    occ = df.groupby("url_hash", sort=False).size()
+    firsts = df.drop_duplicates("url_hash", keep="first").copy()
+    firsts["occurrences"] = firsts["url_hash"].map(occ).astype(np.int64)
+    return firsts
+
+
+def _link_decision_counts(gate_res: pd.DataFrame) -> dict:
+    """Reconstruct per-occurrence decision counts from the deduped gate
+    output (see _dedup_candidates)."""
+    if gate_res.empty:
+        return {}
+    occ = gate_res["occurrences"].astype(np.int64)
+    dec = gate_res["decision"]
+    n_accept = int((dec == "accept").sum())
+    n_dup = int(occ[dec.isin(["accept", "dup"])].sum()) - n_accept
+    n_trap = int(occ[dec == "trap"].sum())
+    out = {"accept": n_accept}
+    if n_dup:
+        out["dup"] = n_dup
+    if n_trap:
+        out["trap"] = n_trap
+    return out
+
+
 @dataclass
 class CrawlResult:
     crawl_order: pd.DataFrame = None
@@ -224,7 +344,10 @@ class CrawlEngine:
                  _restore: dict | None = None):
         self.config = config
         self.store = store
-        self.store_ref = ray.put(store.pages)
+        if isinstance(store, ProceduralStore):
+            self.store_ref = ray.put(store.spec)
+        else:
+            self.store_ref = ray.put(store_to_arrow(store.pages))
         self.gates = [
             HostGateShard.remote(i, config.url_similarity_threshold)
             for i in range(config.num_gate_shards)
@@ -244,6 +367,7 @@ class CrawlEngine:
         )
         self.crawl_order_frames: list[pd.DataFrame] = []
         self.metrics: list[dict] = []
+        self._init_store_fp()
         if _restore is None:
             self._seed()
         else:
@@ -263,7 +387,71 @@ class CrawlEngine:
             if newly:
                 rows.append((self.next_seq, nu, host, 0))
                 self.next_seq += 1
-        self.pool = pd.DataFrame(rows, columns=["seq", "url_norm", "host", "wave"])
+        self.pool = pd.DataFrame(rows, columns=["seq", "url_norm", "host", "wave"]).astype(
+            {"seq": np.int64, "wave": np.int32})
+
+    # ------------------------------------------- content-store bookkeeping --
+    _STORE_FP_SCHEMA = pa.schema([
+        ("seq", pa.int64()), ("shingles", pa.list_(pa.int64())),
+        ("phash", pa.int64()),
+    ])
+
+    def _init_store_fp(self, tbl: pa.Table | None = None) -> None:
+        self._store_fp = tbl if tbl is not None else self._STORE_FP_SCHEMA.empty_table()
+        self._store_ref = ray.put(self._store_fp)
+        self._pending_admit = None
+
+    def _append_store_fp(self, live_tbl: pa.Table, gate_out: list[str],
+                         admit_actor: bool) -> None:
+        """Update the driver-held store snapshot (broadcast to next wave's
+        probe tasks); for the parallel path also sync the gate actor (its
+        copy backs checkpoints and the inline path)."""
+        if not gate_out:
+            return
+        mask = pa.array([d == "accept" for d in gate_out], pa.bool_())
+        accepted = live_tbl.filter(mask)
+        if accepted.num_rows == 0:
+            return
+        self._store_fp = pa.concat_tables([self._store_fp, accepted])
+        self._store_ref = ray.put(self._store_fp)
+        if admit_actor:
+            self._pending_admit = self.content_gate.bulk_admit.remote(accepted)
+
+    def _flush_admits(self) -> None:
+        if getattr(self, "_pending_admit", None) is not None:
+            ray.get(self._pending_admit)
+            self._pending_admit = None
+
+    # ------------------------------------------------- inline (small-wave) --
+    def _fetch_validate_inline(self, wave_df: pd.DataFrame) -> pa.Table:
+        """Driver-side fetch+validate for small waves — same kernels as the
+        distributed path (Fetcher.__call__ + _validate_batch)."""
+        if not hasattr(self, "_inline_fetcher"):
+            self._inline_fetcher = Fetcher(self.store_ref,
+                                           self.config.politeness_delay)
+        batch = pa.Table.from_pandas(wave_df, preserve_index=False)
+        fetched = self._inline_fetcher(batch)
+        return _validate_batch(fetched, self.config.ngram_size)
+
+    def _host_gate_inline(self, links: pd.DataFrame) -> pd.DataFrame:
+        """Driver-side host-gate dispatch: one RPC per host, issued in
+        parallel across shards, each host's UNIQUE candidates in discovery
+        order (see _dedup_candidates)."""
+        frames = []
+        futures = []
+        for _host, g in _dedup_candidates(links).groupby("host", sort=False):
+            g = g.sort_values(["parent_seq", "link_idx"], kind="stable")
+            shard = _host_shard(_host, self.config.num_gate_shards)
+            rows = list(zip(g["host"], g["url_norm"], g["url_hash"]))
+            futures.append(self.gates[shard].process.remote(rows))
+            frames.append(g)
+        out_frames = []
+        for g, out in zip(frames, ray.get(futures)):
+            g = g.copy()
+            g["decision"] = out
+            out_frames.append(g)
+        return (pd.concat(out_frames, ignore_index=True)
+                if out_frames else _empty_gate_frame())
 
     # ------------------------------------------------------------------ waves
     def _wave_slice(self) -> pd.DataFrame:
@@ -289,114 +477,230 @@ class CrawlEngine:
         t0 = time.monotonic()
         cfg = self.config
 
-        wave_ds = rd.from_pandas(wave_df)
-        fetched = wave_ds.map_batches(
-            Fetcher,
-            fn_constructor_kwargs={"store_ref": self.store_ref, "delay": cfg.politeness_delay},
-            batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
-            concurrency=(1, cfg.fetch_concurrency), num_cpus=0.25,
-        )
-        ngram_size = cfg.ngram_size
-        validated = fetched.map_batches(
-            lambda b: _validate_batch(b, ngram_size), batch_format="pyarrow",
-        ).materialize()
+        # Small waves (BFS head/tail) skip Ray Data task scheduling and run
+        # the SAME kernels inline on the driver — identical semantics (the
+        # conformance suite runs both paths), ~10× lower per-wave overhead.
+        # Wide waves take the distributed path, which is what scales.
+        inline = len(wave_df) <= cfg.inline_wave_threshold
+        if inline:
+            validated_tbl = self._fetch_validate_inline(wave_df)
+            validated = None
+        else:
+            from searchengine_ray.stages.content_probe import get_store_index, probe_batch
+
+            self._flush_admits()
+            export_ref = self._store_ref
+            max_sim, max_ham = cfg.content_max_similarity, cfg.phash_max_hamming
+
+            def probe_fn(b: pa.Table) -> pa.Table:
+                idx = get_store_index(export_ref, max_ham)
+                text, image = probe_batch(
+                    b["shingles"].to_pylist(), b["phash"].to_pylist(),
+                    b["status"].to_pylist(), idx, max_sim,
+                )
+                return (b.append_column("store_text_dup", pa.array(text))
+                        .append_column("store_image_dup", pa.array(image)))
+            # from_pandas yields ONE block and map parallelism is per-block —
+            # split the wave so every core gets tasks (blocks ≈ batch-sized,
+            # capped at 4×cluster CPUs)
+            ncpu = int(ray.cluster_resources().get("CPU", 8))
+            # ≥8 rows per block, capped at 4×CPUs: small waves still fan out
+            # (their links explode ~fanout× rows), big waves get full blocks
+            nblocks = max(1, min(len(wave_df) // 8 + 1, 4 * ncpu))
+            wave_ds = rd.from_pandas(wave_df).repartition(nblocks)
+            ngram_size = cfg.ngram_size
+            store_ref = self.store_ref
+            if cfg.politeness_delay > 0:
+                # pacing needs per-actor clocks → actor pool
+                fetched = wave_ds.map_batches(
+                    Fetcher,
+                    fn_constructor_kwargs={"store_ref": store_ref,
+                                           "delay": cfg.politeness_delay},
+                    batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+                    concurrency=(1, cfg.fetch_concurrency), num_cpus=0.25,
+                )
+                validated = fetched.map_batches(
+                    lambda b: probe_fn(_validate_batch(b, ngram_size)),
+                    batch_format="pyarrow",
+                ).materialize()
+            else:
+                # stateless fused fetch+validate+probe tasks — no per-wave
+                # actor pool spin-up; broadcasts memoized per worker
+                def fetch_validate(b: pa.Table) -> pa.Table:
+                    f = Fetcher(_get_broadcast(store_ref), 0.0)
+                    return probe_fn(_validate_batch(f(b), ngram_size))
+
+                validated = wave_ds.map_batches(
+                    fetch_validate, batch_format="pyarrow",
+                    batch_size=cfg.fetch_batch_size,
+                ).materialize()
+            validated_tbl = None
+
+        t_fetch = time.monotonic() - t0
 
         # ---- content gate: compact fingerprints only, in seq order --------
-        fp = validated.select_columns(
-            ["seq", "status", "integrity_ok", "shingles", "phash"]
-        ).to_pandas().sort_values("seq")
-        live = fp[(fp["status"] == 200) & fp["integrity_ok"]]
-        gate_rows = [
-            (int(s), [int(x) for x in sh], int(ph))
-            for s, sh, ph in zip(live["seq"], live["shingles"], live["phash"])
-        ]
-        gate_out = ray.get(self.content_gate.process.remote(gate_rows))
-        decision = {}
-        for (s, _sh, _ph), d in zip(gate_rows, gate_out):
-            decision[s] = d
-        for s, st, iok in zip(fp["seq"], fp["status"], fp["integrity_ok"]):
-            if int(s) not in decision:
-                decision[int(s)] = "error" if (st != 200 or not iok) else "accept"
+        # Arrow end to end: pandas conversion of the list<int64> shingle
+        # column costs ~10× the gate loop itself at 10^5-row waves.
+        import pyarrow.compute as pc
 
-        self.pages_fetched += len(fp)
+        fp_cols = ["seq", "status", "integrity_ok", "shingles", "phash"]
+        if inline:
+            # tiny wave → one sequential gate RPC (actor state must be
+            # current: flush any in-flight bulk admit first)
+            self._flush_admits()
+            fp_tbl = validated_tbl.select(fp_cols)
+            fp_tbl = fp_tbl.take(pc.sort_indices(fp_tbl["seq"]))
+            live_tbl = fp_tbl.filter(
+                pc.and_(pc.equal(fp_tbl["status"], 200), fp_tbl["integrity_ok"])
+            ).select(["seq", "shingles", "phash"])
+            gate_out = ray.get(self.content_gate.process_table.remote(live_tbl))
+            self._append_store_fp(live_tbl, gate_out, admit_actor=False)
+        else:
+            from searchengine_ray.stages.content_probe import resolve_wave
+
+            fp_tbl = pa.concat_tables(
+                ray.get(validated.select_columns(
+                    fp_cols + ["store_text_dup", "store_image_dup"]
+                ).to_arrow_refs())
+            )
+            fp_tbl = fp_tbl.take(pc.sort_indices(fp_tbl["seq"]))
+            live_full = fp_tbl.filter(
+                pc.and_(pc.equal(fp_tbl["status"], 200), fp_tbl["integrity_ok"])
+            )
+            live_tbl = live_full.select(["seq", "shingles", "phash"])
+            gate_out = resolve_wave(
+                live_tbl,
+                np.asarray(live_full["store_text_dup"].to_numpy(zero_copy_only=False)),
+                np.asarray(live_full["store_image_dup"].to_numpy(zero_copy_only=False)),
+                cfg.content_max_similarity, cfg.phash_max_hamming,
+            )
+            self._append_store_fp(live_tbl, gate_out, admit_actor=True)
+        decision = dict(zip(live_tbl["seq"].to_pylist(), gate_out))
+        fp_seqs = fp_tbl["seq"].to_pylist()
+        fp_status = fp_tbl["status"].to_pylist()
+        for s in fp_seqs:
+            if s not in decision:
+                decision[s] = "error"
+
+        self.pages_fetched += len(fp_seqs)
 
         # ---- crawl order record ------------------------------------------
         order_df = wave_df[["seq", "url_norm"]].copy()
         order_df["wave"] = np.int32(self.wave)  # fetch wave (≠ discovery wave in budget mode)
-        order_df["status"] = order_df["seq"].map(
-            dict(zip(fp["seq"].astype(int), fp["status"].astype(int)))
-        )
+        order_df["status"] = order_df["seq"].map(dict(zip(fp_seqs, fp_status)))
         order_df["decision"] = order_df["seq"].map(decision)
         self.crawl_order_frames.append(order_df)
 
+        t_gate = time.monotonic() - t0 - t_fetch
+
         # ---- pages sink (accepted payload rows) ---------------------------
         accepted_seqs = {s for s, d in decision.items() if d == "accept"}
-        seq_ref = ray.put(accepted_seqs)
-
-        def keep_accepted(b: pa.Table) -> pa.Table:
-            acc = ray.get(seq_ref)
-            mask = pa.array([int(s) in acc for s in b["seq"].to_pylist()])
-            return b.filter(mask)
-
-        accepted_ds = validated.map_batches(keep_accepted, batch_format="pyarrow")
+        page_cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+                     "url_norm", "wave", "seq"]
         pages_dir = None
-        if cfg.checkpoint_dir:
-            pages_dir = os.path.join(cfg.checkpoint_dir, "pages", f"wave={self.wave}")
-            tmp = pages_dir + ".tmp"
-            if os.path.exists(tmp):
-                shutil.rmtree(tmp)
-            accepted_pages_ds = accepted_ds.select_columns(
-                ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-                 "url_norm", "wave", "seq"]
-            )
-            accepted_pages_ds.write_parquet(tmp)
-            os.makedirs(tmp, exist_ok=True)  # write_parquet creates nothing for 0 rows
-            if os.path.exists(pages_dir):
-                shutil.rmtree(pages_dir)
-            os.replace(tmp, pages_dir)
+        if inline:
+            mask = pa.array([int(s) in accepted_seqs
+                             for s in validated_tbl["seq"].to_pylist()])
+            accepted_tbl = validated_tbl.filter(mask)
+            if cfg.checkpoint_dir:
+                pages_dir = os.path.join(cfg.checkpoint_dir, "pages",
+                                         f"wave={self.wave}")
+                tmp = pages_dir + ".tmp"
+                if os.path.exists(tmp):
+                    shutil.rmtree(tmp)
+                os.makedirs(tmp, exist_ok=True)
+                import pyarrow.parquet as pq
+
+                pq.write_table(accepted_tbl.select(page_cols),
+                               os.path.join(tmp, "part-0.parquet"))
+                if os.path.exists(pages_dir):
+                    shutil.rmtree(pages_dir)
+                os.replace(tmp, pages_dir)
+        else:
+            seq_ref = ray.put(accepted_seqs)
+
+            def keep_accepted(b: pa.Table) -> pa.Table:
+                acc = ray.get(seq_ref)
+                m = pa.array([int(s) in acc for s in b["seq"].to_pylist()])
+                return b.filter(m)
+
+            if cfg.checkpoint_dir:
+                pages_dir = os.path.join(cfg.checkpoint_dir, "pages",
+                                         f"wave={self.wave}")
+                tmp = pages_dir + ".tmp"
+                if os.path.exists(tmp):
+                    shutil.rmtree(tmp)
+                validated.map_batches(keep_accepted, batch_format="pyarrow"
+                                      ).select_columns(page_cols).write_parquet(tmp)
+                os.makedirs(tmp, exist_ok=True)  # 0-row write creates nothing
+                if os.path.exists(pages_dir):
+                    shutil.rmtree(pages_dir)
+                os.replace(tmp, pages_dir)
+            # links only need 3 small columns — prune BEFORE the filter so
+            # the image payload bytes never move through the link pipeline
+            accepted_ds = validated.select_columns(
+                ["seq", "url_norm", "links"]
+            ).map_batches(keep_accepted, batch_format="pyarrow")
 
         # ---- link pipeline ------------------------------------------------
         allowed = cfg.allowed_domains
-        links_ds = accepted_ds.select_columns(["seq", "url_norm", "links"]).map_batches(
-            lambda b: _explode_links(b, allowed), batch_format="pyarrow",
-        ).materialize()
+        if inline:
+            links_tbl = _explode_links(
+                accepted_tbl.select(["seq", "url_norm", "links"]), allowed)
+            if links_tbl.num_rows > 0:
+                hosts = list(set(links_tbl["host"].to_pylist()))
+                rules = (ray.get(self.robots.disallowed_prefixes.remote(hosts))
+                         if cfg.use_robots else {})
+                links_tbl = _robots_filter_table(links_tbl, rules)
+                gate_res = self._host_gate_inline(links_tbl.to_pandas())
+            else:
+                gate_res = _empty_gate_frame()
+            n_candidates = int(gate_res["occurrences"].sum()) if len(gate_res) else 0
+        else:
+            robots_actor = self.robots
+            use_robots = cfg.use_robots
 
-        link_counts = {"candidates": links_ds.count()}
-        if link_counts["candidates"] > 0:
-            hosts = list({h for h in links_ds.select_columns(["host"]).to_pandas()["host"]})
-            rules = ray.get(self.robots.disallowed_prefixes.remote(hosts)) if cfg.use_robots else {}
-            rules_ref = ray.put(rules)
-
-            def robots_filter(b: pa.Table) -> pa.Table:
-                rl = ray.get(rules_ref)
-                mask = []
-                for u, h in zip(b["url_norm"].to_pylist(), b["host"].to_pylist()):
-                    path = "/" + u.split("/", 3)[3] if u.count("/") >= 3 else "/"
-                    mask.append(not any(path.startswith(p) for p in rl.get(h, ())))
-                return b.filter(pa.array(mask))
-
-            gated_input = links_ds.map_batches(robots_filter, batch_format="pyarrow")
+            def explode_and_robots(b: pa.Table) -> pa.Table:
+                out = _explode_links(b, allowed)
+                if out.num_rows == 0 or not use_robots:
+                    return out
+                hosts = list(set(out["host"].to_pylist()))
+                rules = ray.get(robots_actor.disallowed_prefixes.remote(hosts))
+                return _robots_filter_table(out, rules)
 
             gates = self.gates
             nshards = cfg.num_gate_shards
 
             def host_gate(g: pd.DataFrame) -> pd.DataFrame:
-                g = g.sort_values(["parent_seq", "link_idx"])
+                # collapse duplicate URLs (occurrence-weighted) — the gate
+                # RPC carries only unique candidates, in discovery order
+                g = g.sort_values(["parent_seq", "link_idx"], kind="stable")
+                occ = g.groupby("url_hash", sort=False)["occurrences"].sum()
+                g = g.drop_duplicates("url_hash", keep="first").copy()
+                g["occurrences"] = g["url_hash"].map(occ).astype(np.int64)
                 host = g["host"].iloc[0]
                 shard = _host_shard(host, nshards)
                 rows = list(zip(g["host"], g["url_norm"], g["url_hash"]))
                 out = ray.get(gates[shard].process.remote(rows))
-                g = g.copy()
                 g["decision"] = out
                 return g
 
-            gate_res = gated_input.groupby("host").map_groups(
-                host_gate, batch_format="pandas"
-            ).to_pandas()
-        else:
-            gate_res = pd.DataFrame(
-                columns=["parent_seq", "link_idx", "url_norm", "url_hash", "host", "decision"]
+            # single chained execution:
+            # explode → robots → batch-local dedup → groupby → gate
+            gate_res = (
+                accepted_ds
+                .map_batches(explode_and_robots, batch_format="pyarrow")
+                .map_batches(_dedup_candidates, batch_format="pandas")
+                .groupby("host")
+                .map_groups(host_gate, batch_format="pandas")
+                .to_pandas()
             )
+            if gate_res.empty:
+                gate_res = _empty_gate_frame()
+            n_candidates = int(gate_res["occurrences"].sum()) if len(gate_res) else 0
+        link_counts = {"candidates": n_candidates}
+
+        t_links = time.monotonic() - t0 - t_fetch - t_gate
 
         # ---- frontier(w+1): FIFO seq assignment ---------------------------
         accepted_links = gate_res[gate_res["decision"] == "accept"].sort_values(
@@ -415,13 +719,17 @@ class CrawlEngine:
         from collections import Counter
 
         page_dec = Counter(order_df["decision"])
-        link_dec = Counter(gate_res["decision"]) if len(gate_res) else Counter()
+        link_dec = _link_decision_counts(gate_res)
         wall = time.monotonic() - t0
         metric = {
             "wave": self.wave,
-            "fetched": int(len(fp)),
-            "pages_per_sec": round(len(fp) / wall, 2) if wall > 0 else None,
+            "fetched": int(len(fp_seqs)),
+            "pages_per_sec": round(len(fp_seqs) / wall, 2) if wall > 0 else None,
             "wall_sec": round(wall, 3),
+            "stage_sec": {"fetch_validate": round(t_fetch, 3),
+                          "content_gate": round(t_gate, 3),
+                          "links_gate": round(t_links, 3)},
+            "inline": inline,
             "page_decisions": dict(page_dec),
             "link_candidates": int(link_counts["candidates"]),
             "link_decisions": dict(link_dec),
@@ -437,6 +745,7 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ checkpoint
     def _checkpoint(self, order_df: pd.DataFrame, metric: dict) -> None:
+        self._flush_admits()  # gate actor must be current before dump
         d = self.config.checkpoint_dir
         storage.write_table_atomic(
             pa.Table.from_pandas(order_df, preserve_index=False),
@@ -479,6 +788,7 @@ class CrawlEngine:
         ray.get(self.content_gate.restore.remote(
             storage.read_json(os.path.join(d, "state", f"wave={w}", "contentgate.json"))
         ))
+        self._init_store_fp(ray.get(self.content_gate.export_table.remote()))
         for wv in range(w + 1):
             t = storage.read_table(os.path.join(d, "crawl_order", f"wave={wv}"))
             self.crawl_order_frames.append(t.to_pandas())

@@ -336,6 +336,68 @@ FROM documents
 """
 
 
+# --- 13b. boolean OR-of-AND search (reference query path, D1/D2/J1/O2/O3) ---
+
+SEARCH_QUERY = "fast AND merge OR join"
+
+
+def q_boolean_search(sf_dir: str):
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    postings = text_stage.tfidf_postings(ds, mode="simple", round_to=6)
+    from searchengine_ray.pipelines.search import boolean_search
+
+    return boolean_search(postings, SEARCH_QUERY, k=5)
+
+
+SQL_BOOLEAN_SEARCH = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents),
+toks2 AS (SELECT * FROM toks WHERE token <> ''),
+doc_len AS (SELECT doc_id, count(*) AS n FROM toks2 GROUP BY doc_id),
+tc AS (SELECT doc_id, token, count(*) AS cnt FROM toks2 GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks2 GROUP BY token),
+n_docs AS (SELECT count(*) AS n FROM documents),
+p AS (SELECT tc.doc_id, tc.token,
+             round((CAST(tc.cnt AS DOUBLE) / doc_len.n)
+                   * ln(CAST(n_docs.n AS DOUBLE) / dfreq.df), 6) AS tf_idf
+      FROM tc JOIN doc_len USING (doc_id) JOIN dfreq USING (token), n_docs
+      WHERE tc.token IN ('fast', 'merge', 'join')),
+q AS (SELECT doc_id,
+             max(CASE WHEN token = 'fast'  THEN 1 ELSE 0 END) AS has_fast,
+             max(CASE WHEN token = 'merge' THEN 1 ELSE 0 END) AS has_merge,
+             max(CASE WHEN token = 'join'  THEN 1 ELSE 0 END) AS has_join,
+             round(sum(tf_idf), 6) AS score
+      FROM p GROUP BY doc_id)
+SELECT doc_id, score FROM q
+WHERE (has_fast = 1 AND has_merge = 1) OR has_join = 1
+ORDER BY score DESC, doc_id LIMIT 5
+"""
+
+
+# --- 13c. crawl flagship (rows-only: deterministic synthetic web graph) -----
+
+def q_crawl_bfs(sf_dir: str):
+    """Full BFS crawl of the deterministic fixture graph — the north-rule
+    pipeline (frontier waves, seen-set shards, trap/near-dup gates).  The
+    result is the crawl_order table; conformance vs the sequential oracle is
+    asserted by tests/test_crawl.py."""
+    from searchengine_ray.config import CrawlConfig
+    from searchengine_ray.pipelines.crawl import CrawlEngine
+    from searchengine_ray.sources.fixtures import make_store
+
+    store = make_store(n_pages=100, seed=42)
+    config = CrawlConfig(seed_urls=list(store.seeds), allowed_domains=("test",),
+                         num_gate_shards=4, fetch_concurrency=4)
+    eng = CrawlEngine(store, config)
+    try:
+        res = eng.run()
+    finally:
+        eng.shutdown()
+    return res.crawl_order
+
+
 # --- 14. quality / langid features (rows-only check) ------------------------
 
 def q_text_features(sf_dir: str):
@@ -389,6 +451,8 @@ QUERIES = {
     "token_counts": q_token_counts,
     "knn_bruteforce": q_knn_bruteforce,
     "url_canon": q_url_canon,
+    "boolean_search": q_boolean_search,
+    "crawl_bfs": q_crawl_bfs,
     "text_features": q_text_features,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
@@ -409,6 +473,7 @@ ORACLE_SQL = {
     "token_counts": SQL_TOKEN_COUNTS,
     "knn_bruteforce": SQL_KNN,
     "url_canon": SQL_URL_CANON,
+    "boolean_search": SQL_BOOLEAN_SEARCH,
     # text_features / minhash_pairs / simhash_pairs / embedding_neardup are
     # non-SQL-expressible → rows-only checks (driver records the weaker gate)
 }

@@ -68,6 +68,101 @@ VOCAB = (
 ).split()
 
 
+@dataclass(frozen=True)
+class ProceduralSpec:
+    """A page universe computed from the URL instead of stored — the way to
+    exercise 10^10-frontier-scale behavior without 10^10 rows of fixture.
+
+    Topology: page 0 (the seed) links to all hub pages; hub j links to leaf
+    pages [j·chunk, (j+1)·chunk); leaves link nowhere → a 3-wave crawl whose
+    last wave is one giant frontier slice (the scaling-bench shape).
+    Every payload is deterministic in (seed, page id)."""
+
+    n_pages: int = 100_000
+    n_hosts: int = 16
+    chunk: int = 256
+    img_edge: int = 96
+    seed: int = 777
+
+    def url(self, i: int) -> str:
+        # one directory per page: same-directory numeric ids would (correctly)
+        # trip the reference's trap detector — the scaling universe must not
+        return f"https://host{i % self.n_hosts}.test/d{i}/p"
+
+    def page_id(self, url: str) -> int | None:
+        try:
+            _, _, tail = url.partition(".test/d")
+            i = int(tail.split("/")[0])
+        except ValueError:
+            return None
+        if 0 <= i < self.n_pages and url == self.url(i):
+            return i
+        return None
+
+
+def procedural_page(spec: ProceduralSpec, url: str) -> dict | None:
+    """Generate the full page record for a URL (None for unknown URLs).
+    Encoding happens here ("server side"); the crawler's validate stage
+    re-decodes and re-hashes — the same work it would do on real fetches."""
+    from searchengine_ray.functions.imagecodec import decode as _dec
+
+    i = spec.page_id(url)
+    if i is None:
+        return None
+    rng = np.random.RandomState((spec.seed * 1_000_003 + i) % (2**31 - 1))
+    # full-res noise (not the 4×4 upsample of the conformance fixture):
+    # upsampled images cluster in phash space and create pathological LSH
+    # buckets at 10^5 pages; noise gives uniform bands
+    px = rng.randint(0, 256, size=(spec.img_edge, spec.img_edge, 3), dtype=np.uint8)
+    fmt = "png" if i % 2 == 0 else "jpeg"
+    data = encode(px, fmt)
+    caption = " ".join(
+        VOCAB[j] for j in rng.randint(0, len(VOCAB), 12)
+    ) + f" uid{i}"  # globally distinct → content gate stays O(1) per page
+    n_hubs = (spec.n_pages + spec.chunk - 1) // spec.chunk
+    if i == 0:
+        links = [spec.url(spec.n_pages - 1 - h) for h in range(n_hubs)]
+    else:
+        # hubs are the last n_hubs page ids
+        h = spec.n_pages - 1 - i
+        if 0 <= h < n_hubs:
+            lo = h * spec.chunk
+            hi = min(lo + spec.chunk, spec.n_pages)
+            links = [spec.url(j) for j in range(lo, hi) if j != 0]
+        else:
+            links = []
+    return {
+        "url": url,
+        "host": f"host{i % spec.n_hosts}.test",
+        "status": 200,
+        "links": links,
+        "caption": caption,
+        "bytes": data,
+        "w": spec.img_edge,
+        "h": spec.img_edge,
+        "fmt": fmt,
+        "phash": phash64(_dec(data, fmt)),
+    }
+
+
+@dataclass
+class ProceduralStore:
+    """Store-shaped wrapper over a ProceduralSpec (drop-in for
+    SyntheticStore in CrawlEngine: .seeds, .robots, and a fetch backend)."""
+
+    spec: ProceduralSpec
+
+    @property
+    def seeds(self) -> list[str]:
+        return [self.spec.url(0)]
+
+    robots: dict = None
+
+    def __post_init__(self):
+        if self.robots is None:
+            self.robots = {}
+
+
 def make_store(
     n_pages: int = 120,
     n_hosts: int = 6,
@@ -76,8 +171,13 @@ def make_store(
     frac_near_dup_caption: float = 0.08,
     frac_near_dup_image: float = 0.06,
     frac_dead: float = 0.08,
+    fanout: int = 4,
+    img_min: int = 16,
+    img_max: int = 48,
 ) -> SyntheticStore:
-    """Build the synthetic crawl universe.  Deterministic in ``seed``."""
+    """Build the synthetic crawl universe.  Deterministic in ``seed``.
+    ``fanout`` = same-host outlinks per page (graph breadth → wave width);
+    ``img_min/img_max`` = image edge range (decode/phash cost knob)."""
     rng = np.random.RandomState(seed)
     store = SyntheticStore()
     hosts = [f"host{i}.test" for i in range(n_hosts)]
@@ -107,7 +207,8 @@ def make_store(
     pixels: dict[str, np.ndarray] = {}
     for u in all_real:
         captions[u] = _caption(rng, VOCAB)
-        pixels[u] = _image(rng, int(rng.randint(16, 48)), int(rng.randint(16, 48)))
+        pixels[u] = _image(rng, int(rng.randint(img_min, img_max)),
+                           int(rng.randint(img_min, img_max)))
 
     # plant caption near-dups / image near-dups / exact image dups among the
     # regular pages (never the first page of a host, so seeds stay clean)
@@ -156,7 +257,7 @@ def make_store(
         links: list[str] = []
         same = by_host.get(host, [])
         if same:
-            for j in rng.choice(len(same), min(4, len(same)), replace=False):
+            for j in rng.choice(len(same), min(fanout, len(same)), replace=False):
                 links.extend(variants(same[j]))
         other_hosts = [h for h in hosts if h != host]
         oh = other_hosts[rng.randint(0, len(other_hosts))]

@@ -1,0 +1,237 @@
+"""Parallel content-gate pre-filter — exact, distributed near-dup decisions.
+
+The reference's content gate is inherently sequential: page i's verdict
+depends on which of pages 0..i-1 were accepted (ngrams.py:88-101).  Run
+naively, that is an Amdahl wall at giant-wave scale.  This module splits the
+decision EXACTLY into:
+
+1. **Store probe (parallel)**: "is page p a near-dup of some page accepted
+   BEFORE this wave?"  State is read-only during the wave → evaluated inside
+   the fetch/validate map tasks against a broadcast store snapshot.
+2. **Intra-wave interaction (driver, cheap)**: page pairs within the wave
+   can only be near-dups if they share ≥1 shingle hash (Jaccard > 0 ⇒
+   shared shingle) or ≥1 phash band (hamming ≤ t ⇒ shared band of t+1, by
+   pigeonhole).  Pages with no store hit and no wave partner are accepted
+   outright — their sequential verdict is provably 'accept'.
+3. **Sequential replay (driver, tiny)**: only the interacting subset is
+   replayed in seq order with exact Jaccard/hamming — identical verdicts to
+   the full sequential gate, because every pair that could influence a
+   verdict is in the partner graph.
+
+Worst case (every page near-dups every other) degrades to the sequential
+cost — same as the reference; typical waves are ~fully parallel.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow as pa
+
+from searchengine_ray.functions.phash import hamming64, hamming64_vec, phash_bands
+
+
+class StoreIndex:
+    """Probe-side index over a store snapshot (Arrow table of
+    (seq, shingles, phash))."""
+
+    def __init__(self, tbl: pa.Table, max_hamming: int):
+        self.num_bands = max_hamming + 1
+        self.max_hamming = max_hamming
+        self.sets = [frozenset(s) for s in tbl["shingles"].to_pylist()]
+        phashes = tbl["phash"].to_pylist()
+        self.shingle_index: dict[int, list[int]] = defaultdict(list)
+        for i, s in enumerate(self.sets):
+            for sh in s:
+                self.shingle_index[sh].append(i)
+        buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
+        for ph in phashes:
+            for band in phash_bands(ph, self.num_bands):
+                buckets[band].append(ph)
+        self.bands = {
+            k: np.fromiter(v, dtype=np.int64, count=len(v)) for k, v in buckets.items()
+        }
+
+    def text_dup(self, shingles: frozenset[int], max_sim: float) -> bool:
+        if not shingles:
+            return False
+        cand: set[int] = set()
+        for sh in shingles:
+            cand.update(self.shingle_index.get(sh, ()))
+        for i in cand:
+            prev = self.sets[i]
+            union = shingles | prev
+            if union and len(shingles & prev) / len(union) > max_sim:
+                return True
+        return False
+
+    def image_dup(self, ph: int) -> bool:
+        for band in phash_bands(ph, self.num_bands):
+            arr = self.bands.get(band)
+            if arr is not None and (hamming64_vec(arr, ph) <= self.max_hamming).any():
+                return True
+        return False
+
+
+_INDEX_CACHE: dict[str, StoreIndex] = {}
+
+
+def get_store_index(ref, max_hamming: int) -> StoreIndex:
+    """Per-worker memoized StoreIndex (one build per store version)."""
+    import ray
+
+    key = ref.hex()
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        _INDEX_CACHE.clear()  # only the latest wave's snapshot is live
+        idx = StoreIndex(ray.get(ref), max_hamming)
+        _INDEX_CACHE[key] = idx
+    return idx
+
+
+def probe_batch(
+    shingle_lists: list[list[int]],
+    phashes: list[int],
+    statuses: list[int],
+    index: StoreIndex,
+    max_sim: float,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Store-probe flags per row (False for non-200 rows)."""
+    n = len(phashes)
+    text = np.zeros(n, dtype=bool)
+    image = np.zeros(n, dtype=bool)
+    for i in range(n):
+        if statuses[i] != 200:
+            continue
+        text[i] = index.text_dup(frozenset(shingle_lists[i]), max_sim)
+        if not text[i]:
+            image[i] = index.image_dup(phashes[i])
+    return text, image
+
+
+def _band_values(ph_u: np.ndarray, num_bands: int) -> list[np.ndarray]:
+    """Vectorized per-band values of a uint64 phash array (matches
+    functions.phash.phash_bands bit layout)."""
+    width = 64 // num_bands
+    out = []
+    for b in range(num_bands):
+        lo = b * width
+        hi = 64 if b == num_bands - 1 else lo + width
+        out.append((ph_u >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1))
+    return out
+
+
+def _segment_any(mask_flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-row 'any' over a flattened list column given row offsets."""
+    if mask_flat.size == 0:
+        return np.zeros(offsets.size - 1, dtype=bool)
+    csum = np.concatenate([[0], np.cumsum(mask_flat.astype(np.int64))])
+    return (csum[offsets[1:]] - csum[offsets[:-1]]) > 0
+
+
+def resolve_wave(
+    live_tbl: pa.Table,
+    store_text: np.ndarray,
+    store_image: np.ndarray,
+    max_sim: float,
+    max_hamming: int,
+) -> list[str]:
+    """Exact sequential resolution given store-probe flags.
+
+    ``live_tbl`` = the wave's LIVE pages (seq, shingles, phash) sorted by
+    seq.  The store part of each verdict was computed in parallel; the
+    wave-LOCAL part is split vectorized:
+
+    - pages whose shingle sets are disjoint from every other wave page AND
+      whose phash is not within hamming ≤ t of any other wave page can
+      neither be rejected by the wave-local gate nor influence another
+      verdict — auto-accept (unless store-flagged);
+    - the interacting remainder (shared shingle, verified hamming-≤t pair,
+      or store flag) is closed under the partner relation, so replaying
+      ONLY those pages sequentially yields verdicts identical to the full
+      sequential gate.
+
+    Candidate pairs are found via vectorized band extraction + sort-groups
+    (pigeonhole: hamming ≤ t ⇒ an identical band of t+1) and verified with
+    vectorized XOR-popcount — no per-page python in the common path."""
+    import pyarrow.compute as pc
+
+    from searchengine_ray.state.gates import ContentGateCore
+
+    n = live_tbl.num_rows
+    if n == 0:
+        return []
+    num_bands = max_hamming + 1
+    ph = np.asarray(live_tbl["phash"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    ph_u = ph.astype(np.uint64)
+    sh_col = live_tbl["shingles"]
+    sh_combined = sh_col.combine_chunks() if isinstance(sh_col, pa.ChunkedArray) else sh_col
+    if isinstance(sh_combined, pa.ChunkedArray):
+        sh_combined = sh_combined.chunk(0) if sh_combined.num_chunks else pa.array([], pa.list_(pa.int64()))
+    offsets = np.asarray(sh_combined.offsets.to_numpy(zero_copy_only=False), dtype=np.int64)
+    offsets = offsets - offsets[0]  # sliced arrays carry shifted offsets
+    flat = np.asarray(pc.list_flatten(sh_combined).to_numpy(zero_copy_only=False), dtype=np.int64)
+
+    # text-interacting: rows carrying a shingle that appears in ≥2 rows
+    # (each row's shingles are already a set)
+    if flat.size:
+        vals, counts = np.unique(flat, return_counts=True)
+        dup_vals = vals[counts >= 2]
+        text_inter = _segment_any(np.isin(flat, dup_vals), offsets)
+    else:
+        text_inter = np.zeros(n, dtype=bool)
+
+    # image-interacting: verified hamming-≤t pairs via band sort-groups
+    image_inter = np.zeros(n, dtype=bool)
+    for bv in _band_values(ph_u, num_bands):
+        order = np.argsort(bv, kind="stable")
+        sv = bv[order]
+        boundaries = np.flatnonzero(np.concatenate([[True], sv[1:] != sv[:-1], [True]]))
+        ia_all, ib_all = [], []
+        for g in range(boundaries.size - 1):
+            lo, hi = boundaries[g], boundaries[g + 1]
+            if hi - lo < 2:
+                continue
+            idx = order[lo:hi]
+            k = idx.size
+            if k > 2048:
+                # adversarial dense bucket: route members to the exact walk
+                # instead of enumerating k² pairs (still exact, just slower)
+                image_inter[idx] = True
+                continue
+            ia_all.append(np.repeat(idx, k))
+            ib_all.append(np.tile(idx, k))
+        if not ia_all:
+            continue
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        keep = ia < ib
+        ia, ib = ia[keep], ib[keep]
+        if ia.size == 0:
+            continue
+        from searchengine_ray.functions.phash import _popcount64
+
+        close = _popcount64(ph_u[ia] ^ ph_u[ib]) <= max_hamming
+        image_inter[ia[close]] = True
+        image_inter[ib[close]] = True
+
+    walk = store_text | store_image | text_inter | image_inter
+    out = np.full(n, "", dtype=object)
+    out[~walk] = "accept"
+    if walk.any():
+        idxs = np.flatnonzero(walk)
+        shingle_lists = {int(i): sh_combined[int(i)].as_py() for i in idxs}
+        local = ContentGateCore(max_sim, max_hamming)
+        for i in idxs:
+            i = int(i)
+            sset = frozenset(shingle_lists[i])
+            if store_text[i] or local._text_dup(sset):
+                out[i] = "text_dup"
+                continue
+            if store_image[i] or local._image_dup(int(ph[i])):
+                out[i] = "image_dup"
+                continue
+            local._admit(i, sset, int(ph[i]))
+            out[i] = "accept"
+    return out.tolist()

@@ -30,14 +30,18 @@ from collections import defaultdict
 
 import ray
 
-from searchengine_ray.functions.linksim import link_similarity
+from searchengine_ray.functions.linksim import TrapIndex
 from searchengine_ray.functions.phash import hamming64, phash_bands
 from searchengine_ray.state.cuckoo import CuckooFilter
 
 
 @ray.remote(num_cpus=0.5)
 class HostGateShard:
-    """Seen-set + trap gate for the hosts hashing to this shard."""
+    """Seen-set + trap gate for the hosts hashing to this shard.
+
+    The trap check uses ``TrapIndex`` — exact sub-quadratic equivalent of
+    the reference's all-pairs scan (the reference corpus's 58%-skew host
+    would otherwise make this gate O(N²) on one shard)."""
 
     def __init__(self, shard_id: int, url_similarity_threshold: float = 0.85):
         self.shard_id = shard_id
@@ -45,6 +49,7 @@ class HostGateShard:
         self.seen_hashes: set[str] = set()
         self.cuckoo = CuckooFilter(capacity=1 << 20)
         self.host_urls: dict[str, list[str]] = defaultdict(list)
+        self.trap_index = TrapIndex(url_similarity_threshold)
 
     def _cuckoo_key(self, url_hash: str) -> int:
         return int(url_hash[:16], 16)
@@ -72,10 +77,7 @@ class HostGateShard:
             elif url_hash in self.seen_hashes:
                 out.append("dup")
                 continue
-            if any(
-                link_similarity(seen, url_norm) >= self.threshold
-                for seen in self.host_urls.get(host, ())
-            ):
+            if self.trap_index.is_trap(url_norm):
                 out.append("trap")
                 continue
             self._admit(host, url_norm, url_hash)
@@ -86,6 +88,7 @@ class HostGateShard:
         self.seen_hashes.add(url_hash)
         self.cuckoo.add(self._cuckoo_key(url_hash))
         self.host_urls[host].append(url_norm)
+        self.trap_index.add(url_norm)
 
     def seen_count(self) -> int:
         return len(self.seen_hashes)
@@ -103,17 +106,19 @@ class HostGateShard:
         self.cuckoo = CuckooFilter(capacity=max(1 << 20, 2 * len(self.seen_hashes)))
         for h in self.seen_hashes:
             self.cuckoo.add(self._cuckoo_key(h))
+        self.trap_index = TrapIndex(self.threshold)
+        for urls in self.host_urls.values():
+            for u in urls:
+                self.trap_index.add(u)
 
 
-@ray.remote(num_cpus=0.5)
-class ContentGate:
-    """Sequential content near-dup gate (caption shingles + image phash).
+class ContentGateCore:
+    """Sequential content near-dup gate (caption shingles + image phash) —
+    plain class so both the actor and the driver-side wave resolver
+    (stages/content_probe.resolve_wave) share one implementation.
 
-    One logical gate preserves the reference's global sequential semantics;
-    the inverted shingle index and phash bands keep each decision
-    O(candidates) instead of O(history).  At larger scale this actor shards
-    by LSH band with a two-phase accept (see pipelines/crawl.py docstring).
-    """
+    The inverted shingle index and numpy-scanned phash-band buckets keep
+    each decision O(candidates) instead of O(history)."""
 
     def __init__(self, max_similarity: float = 0.65, max_hamming: int = 4):
         self.max_similarity = max_similarity
@@ -122,6 +127,8 @@ class ContentGate:
         self.page_shingles: dict[int, frozenset[int]] = {}
         self.shingle_index: dict[int, list[int]] = defaultdict(list)
         self.page_phash: dict[int, int] = {}
+        # band bucket → list of phashes (as python ints); numpy-vectorized
+        # scan per probe — existence of a close hash is all the gate needs
         self.phash_bands: dict[tuple[int, int], list[int]] = defaultdict(list)
 
     def process(self, rows: list[tuple[int, list[int], int]]) -> list[str]:
@@ -140,6 +147,16 @@ class ContentGate:
             out.append("accept")
         return out
 
+    def process_table(self, fp_table) -> list[str]:
+        """Arrow-table variant of ``process`` (zero-copy through the object
+        store; column-wise to_pylist is ~10× cheaper than pandas list-column
+        conversion on the caller side).  Columns: seq, shingles, phash —
+        already sorted by seq."""
+        seqs = fp_table["seq"].to_pylist()
+        shingles = fp_table["shingles"].to_pylist()
+        phashes = fp_table["phash"].to_pylist()
+        return self.process(list(zip(seqs, shingles, phashes)))
+
     def _text_dup(self, sset: frozenset[int]) -> bool:
         if not sset:
             return False
@@ -155,12 +172,23 @@ class ContentGate:
         return False
 
     def _image_dup(self, ph: int) -> bool:
-        cand: set[int] = set()
+        import numpy as np
+
+        from searchengine_ray.functions.phash import hamming64_vec
+
+        t = self.max_hamming
         for band in phash_bands(ph, self.num_bands):
-            cand.update(self.phash_bands.get(band, ()))
-        return any(
-            hamming64(ph, self.page_phash[p]) <= self.max_hamming for p in cand
-        )
+            bucket = self.phash_bands.get(band)
+            if not bucket:
+                continue
+            if len(bucket) <= 16:
+                if any(hamming64(ph, q) <= t for q in bucket):
+                    return True
+            else:
+                arr = np.fromiter(bucket, dtype=np.int64, count=len(bucket))
+                if (hamming64_vec(arr, ph) <= t).any():
+                    return True
+        return False
 
     def _admit(self, seq: int, sset: frozenset[int], ph: int) -> None:
         self.page_shingles[seq] = sset
@@ -168,10 +196,40 @@ class ContentGate:
             self.shingle_index[sh].append(seq)
         self.page_phash[seq] = ph
         for band in phash_bands(ph, self.num_bands):
-            self.phash_bands[band].append(seq)
+            self.phash_bands[band].append(ph)
 
     def accepted_count(self) -> int:
         return len(self.page_shingles)
+
+    # ---- parallel pre-filter support (exact; see pipelines/crawl.py) -----
+    def export_table(self):
+        """Snapshot of the accepted-fingerprint store as an Arrow table —
+        broadcast to probe tasks.  At 10^10 scale this becomes a sharded
+        probe-actor tier instead of a broadcast; the wave protocol is
+        unchanged."""
+        import pyarrow as pa
+
+        seqs = sorted(self.page_shingles)
+        return pa.table({
+            "seq": pa.array(seqs, pa.int64()),
+            "shingles": pa.array(
+                [sorted(self.page_shingles[s]) for s in seqs], pa.list_(pa.int64())
+            ),
+            "phash": pa.array([self.page_phash[s] for s in seqs], pa.int64()),
+        })
+
+    def bulk_admit(self, fp_table) -> int:
+        """Insert pre-resolved accepted pages (order-independent once the
+        wave's decisions are fixed)."""
+        n = 0
+        for seq, sh, ph in zip(
+            fp_table["seq"].to_pylist(),
+            fp_table["shingles"].to_pylist(),
+            fp_table["phash"].to_pylist(),
+        ):
+            self._admit(seq, frozenset(sh), ph)
+            n += 1
+        return n
 
     def dump(self) -> dict:
         return {
@@ -185,6 +243,13 @@ class ContentGate:
         self.__init__(self.max_similarity, self.max_hamming)
         for seq, shingles, ph in state["pages"]:
             self._admit(seq, frozenset(shingles), ph)
+
+
+@ray.remote(num_cpus=0.5)
+class ContentGate(ContentGateCore):
+    """Actor form of ContentGateCore — the cross-wave store of record
+    (checkpoints, inline path); big waves resolve driver-side against the
+    broadcast snapshot and sync back via bulk_admit."""
 
 
 @ray.remote(num_cpus=0.25)

@@ -30,6 +30,14 @@ def _config(store, **kw):
     return CrawlConfig(**defaults)
 
 
+@pytest.fixture(params=[0, 256], ids=["distributed", "inline"])
+def inline_threshold(request):
+    """Run conformance on BOTH execution paths: threshold=0 forces the
+    distributed Ray Data path for every wave; 256 takes the inline
+    small-wave fast path for these fixture sizes."""
+    return request.param
+
+
 def _run_engine(store, config):
     from searchengine_ray.pipelines.crawl import CrawlEngine
 
@@ -77,14 +85,15 @@ def test_oracle_sanity(store):
     assert seqs == list(range(len(seqs)))
 
 
-def test_engine_matches_oracle_bfs(ray_session, store):
-    config = _config(store)
+def test_engine_matches_oracle_bfs(ray_session, store, inline_threshold):
+    config = _config(store, inline_wave_threshold=inline_threshold)
     res = _run_engine(store, config)
     _assert_match(res, crawl_oracle(store, config))
 
 
-def test_engine_matches_oracle_budgeted(ray_session, store):
-    config = _config(store, per_host_wave_budget=3)
+def test_engine_matches_oracle_budgeted(ray_session, store, inline_threshold):
+    config = _config(store, per_host_wave_budget=3,
+                     inline_wave_threshold=inline_threshold)
     res = _run_engine(store, config)
     _assert_match(res, crawl_oracle(store, config))
 
