@@ -139,7 +139,7 @@ def bench_crawl_scale() -> tuple[float, float]:
     from searchengine_ray.pipelines.crawl import CrawlEngine
     from searchengine_ray.sources.fixtures import ProceduralSpec, ProceduralStore
 
-    n = int(os.environ.get("GRAFT_SCALE_PAGES", "60000"))
+    n = int(os.environ.get("GRAFT_SCALE_PAGES", "150000"))
     store = ProceduralStore(ProceduralSpec(n_pages=n, n_hosts=16, chunk=256,
                                           img_edge=96, seed=777))
     config = CrawlConfig(

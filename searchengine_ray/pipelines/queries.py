@@ -398,6 +398,35 @@ def q_crawl_bfs(sf_dir: str):
     return res.crawl_order
 
 
+# --- 13d. index analytics (A4/A5 + S4/S5 writer path) ------------------------
+
+def q_index_stats(sf_dir: str):
+    """Build + persist the token-sorted index, then report its analytics
+    (reference index_construction.py:246-250) — exercises the full S4-S6
+    writer path; counts are SQL-checkable."""
+    import tempfile
+
+    from searchengine_ray.pipelines.index_pipeline import build_postings, write_index
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    postings = build_postings(ds, mode="simple")
+    with tempfile.TemporaryDirectory(prefix="sr_idx_") as out:
+        summary = write_index(postings, out)
+    return pd.DataFrame([{k: np.int64(summary[k])
+                          for k in ("n_postings", "n_unique_tokens")}])
+
+
+SQL_INDEX_STATS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents),
+toks2 AS (SELECT DISTINCT doc_id, token FROM toks WHERE token <> '')
+SELECT count(*) AS n_postings, count(DISTINCT token) AS n_unique_tokens
+FROM toks2
+"""
+
+
 # --- 14. quality / langid features (rows-only check) ------------------------
 
 def q_text_features(sf_dir: str):
@@ -452,6 +481,7 @@ QUERIES = {
     "knn_bruteforce": q_knn_bruteforce,
     "url_canon": q_url_canon,
     "boolean_search": q_boolean_search,
+    "index_stats": q_index_stats,
     "crawl_bfs": q_crawl_bfs,
     "text_features": q_text_features,
     "minhash_pairs": q_minhash_pairs,
@@ -474,6 +504,7 @@ ORACLE_SQL = {
     "knn_bruteforce": SQL_KNN,
     "url_canon": SQL_URL_CANON,
     "boolean_search": SQL_BOOLEAN_SEARCH,
+    "index_stats": SQL_INDEX_STATS,
     # text_features / minhash_pairs / simhash_pairs / embedding_neardup are
     # non-SQL-expressible → rows-only checks (driver records the weaker gate)
 }
