@@ -173,14 +173,45 @@ def resolve_wave(
     offsets = offsets - offsets[0]  # sliced arrays carry shifted offsets
     flat = np.asarray(pc.list_flatten(sh_combined).to_numpy(zero_copy_only=False), dtype=np.int64)
 
-    # text-interacting: rows carrying a shingle that appears in ≥2 rows
-    # (each row's shingles are already a set)
+    # text-interacting: pairs whose SHARED-shingle count can clear the
+    # Jaccard threshold.  jaccard = c/(la+lb-c) > s  ⟺  c > s·(la+lb)/(1+s)
+    # — exact, so pairs failing it can neither be rejected nor influence a
+    # verdict.  Shared counts come from sorting the flattened shingle
+    # column once and counting pair occurrences across value groups.
+    text_inter = np.zeros(n, dtype=bool)
     if flat.size:
-        vals, counts = np.unique(flat, return_counts=True)
-        dup_vals = vals[counts >= 2]
-        text_inter = _segment_any(np.isin(flat, dup_vals), offsets)
-    else:
-        text_inter = np.zeros(n, dtype=bool)
+        row_of_flat = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        order_f = np.argsort(flat, kind="stable")
+        fv = flat[order_f]
+        fr = row_of_flat[order_f]
+        bnds = np.flatnonzero(np.concatenate([[True], fv[1:] != fv[:-1], [True]]))
+        pa_ia, pa_ib = [], []
+        for g in range(bnds.size - 1):
+            lo, hi = bnds[g], bnds[g + 1]
+            if hi - lo < 2:
+                continue
+            rows = fr[lo:hi]
+            k = rows.size
+            if k > 2048:
+                text_inter[rows] = True  # adversarial dense value → exact walk
+                continue
+            pa_ia.append(np.repeat(rows, k))
+            pa_ib.append(np.tile(rows, k))
+        if pa_ia:
+            ia = np.concatenate(pa_ia)
+            ib = np.concatenate(pa_ib)
+            keep = ia < ib
+            ia, ib = ia[keep], ib[keep]
+            if ia.size:
+                keys = ia * n + ib
+                uk, shared = np.unique(keys, return_counts=True)
+                ua = uk // n
+                ub = uk % n
+                lens = np.diff(offsets)
+                s = max_sim
+                passing = shared > s * (lens[ua] + lens[ub]) / (1.0 + s)
+                text_inter[ua[passing]] = True
+                text_inter[ub[passing]] = True
 
     # image-interacting: verified hamming-≤t pairs via band sort-groups
     image_inter = np.zeros(n, dtype=bool)
