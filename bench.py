@@ -30,11 +30,12 @@ CRAWL_PAGES = int(os.environ.get("GRAFT_CRAWL_PAGES", "2000"))
 
 
 def _timed(fn, *args, **kw):
+    import ray.data
+
     t0 = time.perf_counter()
     out = fn(*args, **kw)
-    # force Dataset execution
-    if hasattr(out, "count") and not hasattr(out, "columns"):
-        out.count()
+    if isinstance(out, ray.data.Dataset):
+        out = out.to_pandas()  # force full execution
     return time.perf_counter() - t0, out
 
 

@@ -38,32 +38,26 @@ def minhash_signature(
 
 
 def _affine_min(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """min over shingles of (a*x+b) mod 2^61-1, vectorized with uint64 ops.
-
-    Uses the Mersenne-prime folding trick: for p = 2^61-1,
-    (hi*2^64 + lo) mod p folds via shifts — implemented per-permutation to
-    bound memory at (num_perm × num_shingles) uint64."""
-    x = (shingles.astype(np.uint64) & np.uint64((1 << 61) - 1)).astype(np.uint64)
-    out = np.empty(a.shape[0], dtype=np.int64)
+    """min over shingles of (a*x+b) mod 2^61-1 — fully vectorized over
+    (num_perm × num_shingles) with exact 122-bit split multiplies and the
+    Mersenne folding trick (2^64 ≡ 8 mod 2^61-1)."""
+    M32 = np.uint64(0xFFFFFFFF)
+    M61 = np.uint64((1 << 61) - 1)
+    x = shingles.astype(np.uint64) & M61
     au = a.astype(np.uint64)
     bu = b.astype(np.uint64)
-    for i in range(a.shape[0]):
-        # split multiply for exact 122-bit product: a = ah*2^32 + al
-        ah, al = au[i] >> np.uint64(32), au[i] & np.uint64(0xFFFFFFFF)
-        xh, xl = x >> np.uint64(32), x & np.uint64(0xFFFFFFFF)
-        # product = ah*xh*2^64 + (ah*xl + al*xh)*2^32 + al*xl
-        mid = ah * xl + al * xh
-        lo = al * xl + ((mid & np.uint64(0xFFFFFFFF)) << np.uint64(32))
-        carry = (al * xl > lo).astype(np.uint64)  # overflow of the add
-        hi = ah * xh + (mid >> np.uint64(32)) + carry
-        # fold 2^64 ≡ 8 (mod 2^61-1):  hi*2^64 + lo ≡ hi*8 + lo
-        v = (hi << np.uint64(3)) + (lo & np.uint64((1 << 61) - 1)) + (
-            lo >> np.uint64(61)
-        ) + bu[i]
-        v = (v & np.uint64((1 << 61) - 1)) + (v >> np.uint64(61))
-        v = np.where(v >= np.uint64(_P), v - np.uint64(_P), v)
-        out[i] = int(v.min())
-    return out
+    ah, al = (au >> np.uint64(32))[:, None], (au & M32)[:, None]
+    xh, xl = (x >> np.uint64(32))[None, :], (x & M32)[None, :]
+    # product = ah*xh*2^64 + (ah*xl + al*xh)*2^32 + al*xl
+    mid = ah * xl + al * xh
+    p = al * xl
+    lo = p + ((mid & M32) << np.uint64(32))
+    carry = (lo < p).astype(np.uint64)  # wraparound of the 64-bit add
+    hi = ah * xh + (mid >> np.uint64(32)) + carry
+    v = (hi << np.uint64(3)) + (lo & M61) + (lo >> np.uint64(61)) + bu[:, None]
+    v = (v & M61) + (v >> np.uint64(61))
+    v = np.where(v >= np.uint64(_P), v - np.uint64(_P), v)
+    return v.min(axis=1).astype(np.int64)
 
 
 def band_keys(sig: np.ndarray, num_bands: int = 16) -> list[tuple[int, int]]:
