@@ -453,6 +453,34 @@ def q_simhash_pairs(sf_dir: str):
     return dedup_stage.simhash_neardup_pairs(ds, max_hamming=3)
 
 
+# --- 16b. multimodal image stages (rows-only check) --------------------------
+
+def q_image_pipeline(sf_dir: str):
+    """Decode → resize → feature-extract actor-pool stages over the
+    deterministic image+caption payload table (fixture F1 shape)."""
+    import pyarrow as pa2
+
+    from searchengine_ray.sources.fixtures import make_store
+    from searchengine_ray.stages.images import ImageFeatures, ResizeImages
+
+    store = make_store(n_pages=120, seed=42)
+    recs = list(store.pages.values())
+    tbl = pa2.table({
+        "image_id": pa2.array([r["url"] for r in recs]),
+        "bytes": pa2.array([r["bytes"] for r in recs], pa2.binary()),
+        "w": pa2.array([r["w"] for r in recs], pa2.int32()),
+        "h": pa2.array([r["h"] for r in recs], pa2.int32()),
+        "fmt": pa2.array([r["fmt"] for r in recs]),
+        "phash": pa2.array([r["phash"] for r in recs], pa2.int64()),
+    })
+    ds = rd.from_arrow(tbl)
+    out = ds.map_batches(ResizeImages, fn_constructor_kwargs={"edge": 16},
+                         batch_format="pyarrow", batch_size=64, concurrency=2)
+    out = out.map_batches(ImageFeatures, batch_format="pyarrow",
+                          batch_size=64, concurrency=2)
+    return out.select_columns(["image_id", "w", "h", "fmt", "phash"])
+
+
 # --- 17. embedding near-dup pairs (rows-only check) --------------------------
 
 def q_embedding_neardup(sf_dir: str):
@@ -484,6 +512,7 @@ QUERIES = {
     "index_stats": q_index_stats,
     "crawl_bfs": q_crawl_bfs,
     "text_features": q_text_features,
+    "image_pipeline": q_image_pipeline,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
