@@ -131,6 +131,86 @@ GROUP BY r_name
 """
 
 
+# --- 3b. large-large hash join: revenue per order priority ------------------
+
+def q_revenue_per_priority(sf_dir: str):
+    """lineitem ⋈ orders via the explicit partitioned hash join (both sides
+    'large' — no broadcast), then pre-aggregated rollup."""
+    from searchengine_ray.stages.relational import hash_join
+
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def add_rev(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return batch.append_column("revenue", rev).select(["l_orderkey", "revenue"])
+
+    li = li.map_batches(add_rev, batch_format="pyarrow")
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["l_orderkey", "o_orderpriority"])
+
+    orders = orders.map_batches(rename, batch_format="pyarrow")
+    joined = hash_join(li, orders, on="l_orderkey", num_buckets=32)
+    out = pre_aggregate(joined, ["o_orderpriority"],
+                        {"revenue": ("revenue", "sum"), "n_items": (None, "count")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["revenue"] = df["revenue"].round(2)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_REVENUE_PER_PRIORITY = """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# --- 3c. per-group top-k (window function analog) ----------------------------
+
+def q_top_events_per_user(sf_dir: str):
+    """Top-2 events by value per user — groupby().map_groups window op."""
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def top2(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["value", "event_id"],
+                             ascending=[False, True]).head(2)
+
+    return ds.groupby("user_id").map_groups(top2, batch_format="pandas")
+
+
+SQL_TOP_EVENTS_PER_USER = """
+SELECT event_id, user_id, value FROM (
+  SELECT event_id, user_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rn
+  FROM events) WHERE rn <= 2
+"""
+
+
+# --- 3d. distinct users per event type ---------------------------------------
+
+def q_distinct_users_by_type(sf_dir: str):
+    """count(DISTINCT) via per-batch set partials → merged distinct count."""
+    ds = _pq(sf_dir, "events", columns=["event_type", "user_id"])
+    dedup = pre_aggregate(ds, ["event_type", "user_id"], {"_n": (None, "count")})
+    return pre_aggregate(dedup, ["event_type"], {"n_users": (None, "count")})
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 # --- 4. events by type ------------------------------------------------------
 
 def q_events_by_type(sf_dir: str):
@@ -446,6 +526,38 @@ def q_minhash_pairs(sf_dir: str):
     return dedup_stage.verify_jaccard_pairs(ds, cand, threshold=0.65)
 
 
+# --- 15b. exact n-gram Jaccard pairs (distributed form of reference D5) -----
+
+def q_ngram_jaccard(sf_dir: str):
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_stage.ngram_jaccard_pairs(ds, threshold=0.65)
+
+
+SQL_NGRAM_JACCARD = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, len(ts), 3),
+                               i -> array_to_string(ts[i+1:i+3], ''))) AS s
+  FROM toks WHERE len(ts) > 0),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) > 0.65
+"""
+
+
 # --- 16. simhash near-dup pairs (rows-only check) ----------------------------
 
 def q_simhash_pairs(sf_dir: str):
@@ -498,6 +610,10 @@ QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "customers_per_region": q_customers_per_region,
+    "revenue_per_priority": q_revenue_per_priority,
+    "top_events_per_user": q_top_events_per_user,
+    "distinct_users_by_type": q_distinct_users_by_type,
+    "ngram_jaccard": q_ngram_jaccard,
     "events_by_type": q_events_by_type,
     "events_user_daily": q_events_user_daily,
     "sessionize": q_sessionize,
@@ -522,6 +638,10 @@ ORACLE_SQL = {
     "pricing_summary": SQL_PRICING,
     "top_orders": SQL_TOP_ORDERS,
     "customers_per_region": SQL_CUSTOMERS_PER_REGION,
+    "revenue_per_priority": SQL_REVENUE_PER_PRIORITY,
+    "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
+    "distinct_users_by_type": SQL_DISTINCT_USERS,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
     "events_by_type": SQL_EVENTS_BY_TYPE,
     "events_user_daily": SQL_EVENTS_USER_DAILY,
     "sessionize": SQL_SESSIONIZE,

@@ -145,6 +145,65 @@ def verify_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs(
+    ds: Dataset, threshold: float = 0.65, shingle_n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id", round_to: int = 6,
+) -> Dataset:
+    """EXACT all-pairs n-gram Jaccard dedup, distributed.
+
+    Any pair with Jaccard > 0 shares ≥1 shingle, so: explode
+    (doc, shingle_hash) → ``groupby(shingle)`` emits co-occurring pairs →
+    ``groupby(pair)`` counts shared shingles → jaccard =
+    shared/(|A|+|B|-shared) with broadcast per-doc set sizes.  No pairwise
+    scan ever touches non-overlapping docs — the distributed form of the
+    reference's O(N²) loop (ngrams.py:88-101) with identical results."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, hs = [], []
+        for doc_id, text in zip(df[id_col].to_numpy(), df[text_col]):
+            for v in shingle_hashes(simple_tokens(text or ""), shingle_n):
+                ids.append(doc_id)
+                hs.append(v)
+        return pd.DataFrame({"doc_id": np.array(ids, np.int64),
+                             "sh": np.array(hs, np.int64)})
+
+    exploded = ds.map_batches(explode, batch_format="pandas", batch_size=1024)
+
+    # per-doc set sizes (small) → broadcast
+    sizes_df = exploded.map_batches(
+        lambda df: df.groupby("doc_id", as_index=False).agg(n=("sh", "size")),
+        batch_format="pandas",
+    ).to_pandas().groupby("doc_id", as_index=False)["n"].sum()
+    sizes = dict(zip(sizes_df["doc_id"], sizes_df["n"]))
+    sizes_ref = ray.put(sizes)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(g["doc_id"].to_numpy())
+        if ids.size < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64)})
+        ia, ib = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    pair_rows = exploded.groupby("sh").map_groups(pairs, batch_format="pandas")
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        shared = len(g)
+        a = int(g["doc_a"].iloc[0])
+        b = int(g["doc_b"].iloc[0])
+        sz = ray.get(sizes_ref)
+        union = sz[a] + sz[b] - shared
+        j = shared / union if union else 0.0
+        if j > threshold:
+            return pd.DataFrame({"doc_a": [a], "doc_b": [b],
+                                 "jaccard": [round(j, round_to)]})
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64),
+                             "jaccard": pd.Series([], dtype=np.float64)})
+
+    return pair_rows.groupby(["doc_a", "doc_b"]).map_groups(finish, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

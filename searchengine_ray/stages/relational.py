@@ -113,6 +113,76 @@ def broadcast_join(
     )
 
 
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    num_buckets: int = 32,
+    how: str = "inner",
+) -> Dataset:
+    """Explicit partitioned hash join for two LARGE sides.
+
+    Both sides get a ``bucket = hash(key) % B`` column; the union shuffles
+    once on ``bucket`` and each group task splits its bucket by side and
+    merges with pandas — the portable pattern when neither side fits in a
+    broadcast (ray_guide 'Joins and lookups').  Skewed keys: raise
+    ``num_buckets`` or salt the hot key upstream.  Column name collisions
+    (other than ``on``) follow pandas suffix rules."""
+    import numpy as np
+    import pyarrow as pa
+
+    def tag(side: int):
+        def fn(b: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(
+                b[on].to_pandas(), index=False
+            ).to_numpy(dtype=np.uint64)
+            b = b.append_column("_bucket", pa.array((h % num_buckets).astype(np.int64)))
+            return b.append_column("_side", pa.array(np.full(b.num_rows, side, dtype=np.int8)))
+
+        return fn
+
+    lcols = [c for c in left.schema().names]
+    rcols = [c for c in right.schema().names]
+
+    def widen(side_cols, all_cols):
+        def fn(b: pa.Table) -> pa.Table:
+            for name, typ in all_cols:
+                if name not in b.column_names:
+                    b = b.append_column(name, pa.nulls(b.num_rows, typ))
+            return b.select([n for n, _ in all_cols] + ["_bucket", "_side"])
+
+        return fn
+
+    lt = left.map_batches(tag(0), batch_format="pyarrow")
+    rt = right.map_batches(tag(1), batch_format="pyarrow")
+    l_schema = [(n, t) for n, t in zip(left.schema().names, left.schema().types)]
+    r_schema = [(n, t) for n, t in zip(right.schema().names, right.schema().types)
+                if n != on and n not in left.schema().names]
+    all_cols = l_schema + r_schema
+    lt = lt.map_batches(widen(lcols, all_cols), batch_format="pyarrow")
+    rt = rt.map_batches(widen(rcols, all_cols), batch_format="pyarrow")
+    both = lt.union(rt)
+
+    l_names = [n for n, _ in l_schema]
+    r_names = [on] + [n for n, _ in r_schema]
+
+    import pyarrow as pa
+
+    int_cols = [n for n, t in all_cols if pa.types.is_integer(t)]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0][l_names]
+        rg = g[g["_side"] == 1][r_names]
+        out = lg.merge(rg, on=on, how=how)
+        # the widened union nulls degrade int columns to float — restore
+        for c in int_cols:
+            if c in out.columns and out[c].notna().all():
+                out[c] = out[c].astype("int64")
+        return out
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
 def broadcast_semi_filter(
     ds: Dataset,
     keys: set,
