@@ -18,15 +18,29 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship: build the tf-idf postings index over sf0.001 documents
-    (the Ray-Data re-expression of the reference indexer,
-    index_construction.py:146-250)."""
-    import ray.data as rd
+    """Flagship: the north-rule crawl — frontier waves with politeness,
+    seen-set/trap/near-dup gates and payload validation — over a
+    deterministic image+caption web graph whose captions are the sf0.001
+    ``documents`` texts.  Returns the crawl_order table (seq, url_norm,
+    wave, status, decision)."""
+    import pyarrow.parquet as pq
 
-    from searchengine_ray.pipelines.queries import q_tfidf_top
+    from searchengine_ray.config import CrawlConfig
+    from searchengine_ray.pipelines.crawl import CrawlEngine
+    from searchengine_ray.sources.fixtures import make_store
 
-    _ = rd  # driver initialised Ray already
-    return q_tfidf_top("/root/testdata/sf0.001")
+    texts = pq.read_table(
+        "/root/testdata/sf0.001/documents.parquet", columns=["text"]
+    )["text"].to_pylist()
+    store = make_store(n_pages=100, seed=42, captions=texts)
+    config = CrawlConfig(seed_urls=list(store.seeds), allowed_domains=("test",),
+                         num_gate_shards=4, fetch_concurrency=4)
+    eng = CrawlEngine(store, config)
+    try:
+        res = eng.run()
+    finally:
+        eng.shutdown()
+    return res.crawl_order
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

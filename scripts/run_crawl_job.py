@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Crawl job entry point — submit with ``ray job submit`` (or run directly;
+Ray auto-initialises in local mode).
+
+    ray job submit --working-dir . -- \
+        python scripts/run_crawl_job.py --checkpoint-dir /tmp/crawl1 \
+            --pages 2000 --budget 50
+    # kill it mid-run, then resume bit-identically:
+    ray job submit --working-dir . -- \
+        python scripts/run_crawl_job.py --checkpoint-dir /tmp/crawl1 --resume
+
+The sandbox has no cluster, so the synthetic/procedural page universe
+stands in for HTTP; on a real deployment the Fetcher backend is an HTTP
+client actor pool with the same politeness clocks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--checkpoint-dir", required=True)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--pages", type=int, default=2000)
+    ap.add_argument("--procedural", action="store_true",
+                    help="URL-derived page universe instead of the fixture graph")
+    ap.add_argument("--budget", type=int, default=None,
+                    help="per-host per-wave politeness budget")
+    ap.add_argument("--politeness-delay", type=float, default=0.0)
+    ap.add_argument("--max-waves", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from searchengine_ray.config import CrawlConfig
+    from searchengine_ray.pipelines.crawl import CrawlEngine
+    from searchengine_ray.sources.fixtures import (
+        ProceduralSpec,
+        ProceduralStore,
+        make_store,
+    )
+
+    if args.procedural:
+        store = ProceduralStore(ProceduralSpec(n_pages=args.pages, seed=args.seed))
+    else:
+        store = make_store(n_pages=args.pages, seed=args.seed)
+    config = CrawlConfig(
+        seed_urls=list(store.seeds), allowed_domains=("test",),
+        per_host_wave_budget=args.budget,
+        politeness_delay=args.politeness_delay,
+        max_waves=args.max_waves,
+        checkpoint_dir=args.checkpoint_dir,
+    )
+    if args.resume:
+        eng = CrawlEngine.resume(store, config)
+        print(f"resumed at wave {eng.wave}, {eng.pages_fetched} pages fetched",
+              file=sys.stderr)
+    else:
+        eng = CrawlEngine(store, config)
+    res = eng.run()
+    print(json.dumps({
+        "pages_fetched": int(len(res.crawl_order)),
+        "accepted": int(len(res.accepted_pages)),
+        "url_seen": int(len(res.url_seen)),
+        "waves": int(res.crawl_order["wave"].max()) + 1 if len(res.crawl_order) else 0,
+        "per_wave": [{k: m[k] for k in ("wave", "fetched", "pages_per_sec")}
+                     for m in eng.metrics],
+    }))
+    eng.shutdown()
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -174,10 +174,13 @@ def make_store(
     fanout: int = 4,
     img_min: int = 16,
     img_max: int = 48,
+    captions: list[str] | None = None,
 ) -> SyntheticStore:
     """Build the synthetic crawl universe.  Deterministic in ``seed``.
     ``fanout`` = same-host outlinks per page (graph breadth → wave width);
-    ``img_min/img_max`` = image edge range (decode/phash cost knob)."""
+    ``img_min/img_max`` = image edge range (decode/phash cost knob);
+    ``captions`` = optional source texts (e.g. the testdata documents
+    table) assigned to pages in order before near-dup planting."""
     rng = np.random.RandomState(seed)
     store = SyntheticStore()
     hosts = [f"host{i}.test" for i in range(n_hosts)]
@@ -203,10 +206,14 @@ def make_store(
     all_real = urls + trap_urls + private_urls
 
     # --- captions + images -------------------------------------------------
-    captions: dict[str, str] = {}
+    caption_pool = captions
+    captions = {}
     pixels: dict[str, np.ndarray] = {}
-    for u in all_real:
-        captions[u] = _caption(rng, VOCAB)
+    for j, u in enumerate(all_real):
+        if caption_pool:
+            captions[u] = caption_pool[j % len(caption_pool)]
+        else:
+            captions[u] = _caption(rng, VOCAB)
         pixels[u] = _image(rng, int(rng.randint(img_min, img_max)),
                            int(rng.randint(img_min, img_max)))
 
