@@ -106,11 +106,12 @@ def minhash_lsh_candidates(
         ia, ib = np.triu_indices(ids.size, k=1)
         return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
-    cand = bands.groupby(["band_id", "band_digest"]).map_groups(pairs, batch_format="pandas")
+    from searchengine_ray.stages.relational import bucketed_map_groups
+
+    cand = bucketed_map_groups(bands, ["band_id", "band_digest"], pairs,
+                               skip_singletons=True)
     # dedup pairs discovered in multiple bands
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return bucketed_map_groups(cand, ["doc_a", "doc_b"], lambda g: g.head(1))
 
 
 def verify_jaccard_pairs(
@@ -185,23 +186,30 @@ def ngram_jaccard_pairs(
         ia, ib = np.triu_indices(ids.size, k=1)
         return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 
-    pair_rows = exploded.groupby("sh").map_groups(pairs, batch_format="pandas")
+    from searchengine_ray.stages.relational import bucketed_map_groups, pre_aggregate
 
-    def finish(g: pd.DataFrame) -> pd.DataFrame:
-        shared = len(g)
-        a = int(g["doc_a"].iloc[0])
-        b = int(g["doc_b"].iloc[0])
+    pair_rows = bucketed_map_groups(exploded, ["sh"], pairs, skip_singletons=True)
+    # shared-shingle count per pair (pre-aggregated), then one vectorized
+    # jaccard pass with broadcast set sizes — no per-pair python
+    counted = pre_aggregate(pair_rows, ["doc_a", "doc_b"],
+                            {"shared": (None, "count")})
+
+    def jaccard_batch(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "jaccard": pd.Series([], dtype=np.float64)})
         sz = ray.get(sizes_ref)
-        union = sz[a] + sz[b] - shared
-        j = shared / union if union else 0.0
-        if j > threshold:
-            return pd.DataFrame({"doc_a": [a], "doc_b": [b],
-                                 "jaccard": [round(j, round_to)]})
-        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                             "doc_b": pd.Series([], dtype=np.int64),
-                             "jaccard": pd.Series([], dtype=np.float64)})
+        na = df["doc_a"].map(sz).to_numpy(dtype=np.float64)
+        nb = df["doc_b"].map(sz).to_numpy(dtype=np.float64)
+        shared = df["shared"].to_numpy(dtype=np.float64)
+        j = shared / (na + nb - shared)
+        keep = j > threshold
+        return pd.DataFrame({"doc_a": df["doc_a"].to_numpy()[keep],
+                             "doc_b": df["doc_b"].to_numpy()[keep],
+                             "jaccard": np.round(j[keep], round_to)})
 
-    return pair_rows.groupby(["doc_a", "doc_b"]).map_groups(finish, batch_format="pandas")
+    return counted.map_batches(jaccard_batch, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
@@ -249,8 +257,11 @@ def simhash_neardup_pairs(ds: Dataset, max_hamming: int = 3,
                     out.append((ids[i], ids[j]))
         return pd.DataFrame(out, columns=["doc_a", "doc_b"]).astype(np.int64)
 
-    cand = bands.groupby(["band_id", "band_val"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    from searchengine_ray.stages.relational import bucketed_map_groups
+
+    cand = bucketed_map_groups(bands, ["band_id", "band_val"], pairs,
+                               skip_singletons=True)
+    return bucketed_map_groups(cand, ["doc_a", "doc_b"], lambda g: g.head(1))
 
 
 # ---------------------------------------------------------------------------
@@ -300,5 +311,8 @@ def embedding_neardup_pairs(
         return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
                              "cosine": sims[ia, ib][keep]})
 
-    cand = bands.groupby(["band_id", "band_val"]).map_groups(pairs, batch_format="pandas")
-    return cand.groupby(["doc_a", "doc_b"]).map_groups(lambda g: g.head(1), batch_format="pandas")
+    from searchengine_ray.stages.relational import bucketed_map_groups
+
+    cand = bucketed_map_groups(bands, ["band_id", "band_val"], pairs,
+                               skip_singletons=True)
+    return bucketed_map_groups(cand, ["doc_a", "doc_b"], lambda g: g.head(1))

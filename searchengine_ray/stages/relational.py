@@ -113,6 +113,47 @@ def broadcast_join(
     )
 
 
+def bucketed_map_groups(
+    ds: Dataset,
+    keys: Sequence[str],
+    fn,
+    num_buckets: int = 64,
+    skip_singletons: bool = False,
+) -> Dataset:
+    """``groupby(keys).map_groups(fn)`` for MANY small groups.
+
+    Ray's native map_groups pays per-group machinery — pathological at
+    10^4-10^5 groups (measured 10.5s for 80k LSH-band groups vs 0.6s this
+    way).  Here the shuffle key is a hash bucket; inside each bucket a
+    pandas groupby drives ``fn`` per group.  ``skip_singletons`` drops
+    single-row groups before iterating (right for pair-emitting fns)."""
+    keys = list(keys)
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        h = np.zeros(len(df), dtype=np.uint64)
+        for k in keys:
+            h = h * np.uint64(1000003) + pd.util.hash_pandas_object(
+                df[k], index=False).to_numpy(dtype=np.uint64)
+        df["_bucket"] = (h % np.uint64(num_buckets)).astype("int64")
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bucket"])
+        if skip_singletons:
+            g = g[g.duplicated(subset=keys, keep=False)]
+        outs = [fn(grp) for _, grp in g.groupby(keys, sort=False)]
+        outs = [o for o in outs if o is not None and len(o)]
+        if not outs:
+            probe = fn(g.head(0))
+            return probe
+        return pd.concat(outs, ignore_index=True)
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"))
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,
