@@ -101,16 +101,10 @@ def broadcast_join(
     object-store copy (zero-copy within a node, one transfer per node)."""
     ref = ray.put(dim)
 
-    class JoinFn:
-        def __init__(self):
-            self.dim = ray.get(ref)
+    def join_fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(ray.get(ref), on=on, how=how)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.dim, on=on, how=how)
-
-    return ds.map_batches(
-        JoinFn, batch_format="pandas", batch_size=batch_size, concurrency=(1, 8)
-    )
+    return ds.map_batches(join_fn, batch_format="pandas", batch_size=batch_size)
 
 
 def bucketed_map_groups(
@@ -234,14 +228,8 @@ def broadcast_semi_filter(
     """Semi (keep=True) / anti (keep=False) join via a broadcast key set."""
     ref = ray.put(keys)
 
-    class FilterFn:
-        def __init__(self):
-            self.keys = ray.get(ref)
+    def filter_fn(df: pd.DataFrame) -> pd.DataFrame:
+        mask = df[col].isin(ray.get(ref))
+        return df[mask] if keep else df[~mask]
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            mask = df[col].isin(self.keys)
-            return df[mask] if keep else df[~mask]
-
-    return ds.map_batches(
-        FilterFn, batch_format="pandas", batch_size=batch_size, concurrency=(1, 8)
-    )
+    return ds.map_batches(filter_fn, batch_format="pandas", batch_size=batch_size)

@@ -42,8 +42,10 @@ def _tokens_for_mode(text: str, mode: str) -> list[str]:
 
 class DocTermCounts:
     """Per-batch (doc_id, token, cnt, doc_len) explode — the map side of the
-    postings build.  Actor-pool stage: the regex machinery is compiled once
-    per actor (reference T1 pattern — lemmatizer loaded once)."""
+    postings build.  Stateless (regexes are module-level; the reference's
+    per-worker lemmatizer load, T1, amortizes the same way via module
+    import) — so it runs as cheap elastic tasks, not an actor pool that
+    respawns per query."""
 
     def __init__(self, mode: str = "simple", text_col: str = "text", id_col: str = "doc_id"):
         self.mode = mode
@@ -71,12 +73,10 @@ class DocTermCounts:
 
 def doc_term_counts(
     ds: Dataset, mode: str = "simple", text_col: str = "text", id_col: str = "doc_id",
-    batch_size: int = 2048, concurrency=(1, 8),
+    batch_size: int = 2048, concurrency=None,
 ) -> Dataset:
-    return ds.map_batches(
-        DocTermCounts, fn_constructor_kwargs={"mode": mode, "text_col": text_col, "id_col": id_col},
-        batch_format="pandas", batch_size=batch_size, concurrency=concurrency,
-    )
+    fn = DocTermCounts(mode=mode, text_col=text_col, id_col=id_col)
+    return ds.map_batches(fn, batch_format="pandas", batch_size=batch_size)
 
 
 def token_document_frequency(term_counts: Dataset) -> Dataset:
@@ -98,23 +98,20 @@ def tfidf_postings(docs: Dataset, mode: str = "simple", round_to: int | None = 6
     idf = {t: float(np.log(n_docs / d)) for t, d in zip(df_tbl["token"], df_tbl["df"])}
     idf_ref = ray.put(idf)
 
-    class TfIdf:
-        def __init__(self):
-            self.idf = ray.get(idf_ref)
+    def tfidf_fn(df: pd.DataFrame) -> pd.DataFrame:
+        table = ray.get(idf_ref)  # plasma-local; small
+        tf = df["cnt"].to_numpy() / df["doc_len"].to_numpy()
+        idf_v = np.array([table[t] for t in df["token"]])
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"], "token": df["token"], "tf": tf,
+             "tf_idf": tf * idf_v}
+        )
+        if round_to is not None:
+            out["tf"] = out["tf"].round(round_to)
+            out["tf_idf"] = out["tf_idf"].round(round_to)
+        return out
 
-        def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-            tf = df["cnt"].to_numpy() / df["doc_len"].to_numpy()
-            idf_v = np.array([self.idf[t] for t in df["token"]])
-            out = pd.DataFrame(
-                {"doc_id": df["doc_id"], "token": df["token"], "tf": tf,
-                 "tf_idf": tf * idf_v}
-            )
-            if round_to is not None:
-                out["tf"] = out["tf"].round(round_to)
-                out["tf_idf"] = out["tf_idf"].round(round_to)
-            return out
-
-    return tc.map_batches(TfIdf, batch_format="pandas", concurrency=(1, 8))
+    return tc.map_batches(tfidf_fn, batch_format="pandas")
 
 
 class TextFeatures:
