@@ -211,6 +211,44 @@ FROM events GROUP BY event_type
 """
 
 
+# --- 3e. as-of join: each event's most recent prior order --------------------
+
+def q_events_last_order(sf_dir: str):
+    """For every event, the latest order (by o_orderdate ≤ ts) of the
+    customer with c_custkey = user_id — the as-of/range-join operator."""
+    from searchengine_ray.stages.sessions import asof_join
+
+    ev = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["user_id", "o_orderdate", "o_totalprice"])
+
+    orders = orders.map_batches(rename, batch_format="pyarrow")
+    joined = asof_join(ev, orders, key="user_id", left_ts="ts",
+                       right_ts="o_orderdate", value_cols=["o_totalprice"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "event_id": df["event_id"].astype("int64"),
+            "user_id": df["user_id"].astype("int64"),
+            # coalesce: NaN equality is engine-dependent in value hashing
+            "last_order_price": df["o_totalprice"].round(2).fillna(-1.0),
+        })
+        return out
+
+    return joined.map_batches(finish, batch_format="pandas")
+
+
+SQL_EVENTS_LAST_ORDER = """
+SELECT event_id, user_id,
+       coalesce(round(o_totalprice, 2), -1.0) AS last_order_price
+FROM events ASOF LEFT JOIN orders
+  ON user_id = o_custkey AND ts >= o_orderdate
+"""
+
+
 # --- 4. events by type ------------------------------------------------------
 
 def q_events_by_type(sf_dir: str):
@@ -614,6 +652,7 @@ QUERIES = {
     "top_events_per_user": q_top_events_per_user,
     "distinct_users_by_type": q_distinct_users_by_type,
     "ngram_jaccard": q_ngram_jaccard,
+    "events_last_order": q_events_last_order,
     "events_by_type": q_events_by_type,
     "events_user_daily": q_events_user_daily,
     "sessionize": q_sessionize,
@@ -642,6 +681,7 @@ ORACLE_SQL = {
     "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
     "distinct_users_by_type": SQL_DISTINCT_USERS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "events_last_order": SQL_EVENTS_LAST_ORDER,
     "events_by_type": SQL_EVENTS_BY_TYPE,
     "events_user_daily": SQL_EVENTS_USER_DAILY,
     "sessionize": SQL_SESSIONIZE,

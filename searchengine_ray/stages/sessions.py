@@ -31,6 +31,69 @@ def sessionize_counts(
     return ds.groupby(key_col).map_groups(per_user, batch_format="pandas")
 
 
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+) -> Dataset:
+    """As-of join: for each left row, the most recent right row of the same
+    key with ``right_ts <= left_ts``.
+
+    Implementation per the documented partitioning assumption (ray_guide
+    'As-of / range join'): hash-bucket both sides on the key, co-shuffle
+    once, and run ``pd.merge_asof`` per bucket over key-sorted frames.
+    Rows of one key never straddle buckets."""
+    import numpy as np
+    import pyarrow as pa
+
+    num_buckets = 32
+
+    def tag(side: int, cols: list[str]):
+        def fn(b: pa.Table) -> pa.Table:
+            h = pd.util.hash_pandas_object(
+                b[key].to_pandas(), index=False).to_numpy(dtype=np.uint64)
+            b = b.append_column("_bucket", pa.array((h % num_buckets).astype(np.int64)))
+            return b.append_column("_side", pa.array(np.full(b.num_rows, side, np.int8)))
+
+        return fn
+
+    lcols = left.schema().names
+    l_schema = list(zip(left.schema().names, left.schema().types))
+    r_schema = [(n, t) for n, t in zip(right.schema().names, right.schema().types)
+                if n == key or n == right_ts or n in value_cols]
+    all_cols = l_schema + [(n, t) for n, t in r_schema if n not in lcols]
+
+    def widen(b: pa.Table) -> pa.Table:
+        for name, typ in all_cols:
+            if name not in b.column_names:
+                b = b.append_column(name, pa.nulls(b.num_rows, typ))
+        return b.select([n for n, _ in all_cols] + ["_bucket", "_side"])
+
+    lt = left.map_batches(tag(0, lcols), batch_format="pyarrow").map_batches(
+        widen, batch_format="pyarrow")
+    rt = right.map_batches(tag(1, [n for n, _ in r_schema]), batch_format="pyarrow"
+                           ).map_batches(widen, batch_format="pyarrow")
+    both = lt.union(rt)
+    l_names = [n for n, _ in l_schema]
+    r_names = [n for n, _ in r_schema]
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0][l_names].sort_values(left_ts, kind="stable")
+        rg = g[g["_side"] == 1][r_names].sort_values(right_ts, kind="stable")
+        if rg.empty:
+            out = lg.copy()
+            for c in value_cols:
+                out[c] = pd.NA
+            return out
+        return pd.merge_asof(lg, rg, left_on=left_ts, right_on=right_ts,
+                             by=key, direction="backward", suffixes=("", "_r"))
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+
+
 def tumbling_window_agg(
     ds: Dataset, freq: str = "D",
     key_col: str = "user_id", ts_col: str = "ts", value_col: str = "value",

@@ -138,6 +138,43 @@ def test_checkpoint_resume_bit_identical(ray_session, store, tmp_path):
         CrawlEngine.resume(store, bad_cfg)
 
 
+def test_resume_survives_torn_wave(ray_session, store, tmp_path):
+    """A crash mid-wave leaves partial post-manifest artifacts; resume must
+    ignore them and still reproduce the full run bit-identically."""
+    import numpy as np
+    import pyarrow as pq_pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.crawl import CrawlEngine
+
+    ckpt = str(tmp_path / "ckpt")
+    full = _run_engine(store, _config(store))
+
+    eng = CrawlEngine(store, _config(store, checkpoint_dir=ckpt, max_waves=2))
+    eng.run()
+    eng.shutdown()
+
+    # simulate the torn wave the manifest never acknowledged: garbage in
+    # wave-3 artifact locations
+    torn_pages = os.path.join(ckpt, "pages", "wave=2.tmp")
+    os.makedirs(torn_pages, exist_ok=True)
+    with open(os.path.join(torn_pages, "part-0.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    pq.write_table(
+        pq_pa.table({"seq": pq_pa.array(np.array([999], dtype=np.int64))}),
+        os.path.join(ckpt, "crawl_order", "wave=2.parquet.tmp"),
+    )
+
+    eng2 = CrawlEngine.resume(store, _config(store, checkpoint_dir=ckpt))
+    res2 = eng2.run()
+    eng2.shutdown()
+    pd.testing.assert_frame_equal(
+        full.crawl_order.reset_index(drop=True),
+        res2.crawl_order.reset_index(drop=True),
+    )
+    assert full.url_seen == res2.url_seen
+
+
 def test_politeness_pacing(ray_session, store):
     """With one fetch actor and a delay, same-host fetches must be spaced."""
     import time
