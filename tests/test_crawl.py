@@ -193,6 +193,37 @@ def test_politeness_pacing(ray_session, store):
     assert elapsed >= 0.05 * 2, (elapsed, fetched)
 
 
+def test_procedural_store_matches_oracle(ray_session):
+    """The procedural (URL-derived) fetch backend must produce the same
+    crawl as the oracle run over the materialized page dict."""
+    from searchengine_ray.pipelines.crawl import CrawlEngine
+    from searchengine_ray.sources.fixtures import (
+        ProceduralSpec,
+        ProceduralStore,
+        SyntheticStore,
+        procedural_page,
+    )
+
+    spec = ProceduralSpec(n_pages=300, n_hosts=4, chunk=32, img_edge=24, seed=9)
+    pstore = ProceduralStore(spec)
+    config = CrawlConfig(seed_urls=list(pstore.seeds), allowed_domains=("test",),
+                         num_gate_shards=4, fetch_concurrency=2)
+    eng = CrawlEngine(pstore, config)
+    try:
+        res = eng.run()
+    finally:
+        eng.shutdown()
+
+    mat = SyntheticStore()
+    for i in range(spec.n_pages):
+        url = spec.url(i)
+        mat.pages[url] = procedural_page(spec, url)
+    mat.seeds = list(pstore.seeds)
+    oracle = crawl_oracle(mat, config)
+    _assert_match(res, oracle)
+    assert len(res.crawl_order) == spec.n_pages  # hub topology reaches all
+
+
 def test_fixture_payload_invariants(store):
     """FIXTURES.md F1: decode round-trip vs originals, PSNR≥40 for lossy,
     caption + phash stability."""
