@@ -185,8 +185,30 @@ def scaling() -> None:
     }))
 
 
+def stats(query_name: str) -> None:
+    """Print Ray Data per-stage stats for one query — the tuning loop."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    from searchengine_ray.pipelines.queries import QUERIES
+
+    out = QUERIES[query_name](SF_DIR)
+    if hasattr(out, "stats"):
+        out = out.materialize()
+        print(out.stats())
+    else:
+        print(f"{query_name} returns a driver-side result (no Dataset stats)")
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--stats" in sys.argv:
+        stats(sys.argv[sys.argv.index("--stats") + 1])
     else:
         main()

@@ -29,7 +29,7 @@ from collections import defaultdict
 import numpy as np
 import pyarrow as pa
 
-from searchengine_ray.functions.phash import hamming64, hamming64_vec, phash_bands
+from searchengine_ray.functions.phash import hamming64_vec, phash_bands
 
 
 class StoreIndex:
