@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+from collections.abc import Callable
 from dataclasses import asdict, dataclass, field
 
 
@@ -21,6 +22,19 @@ from dataclasses import asdict, dataclass, field
 class CrawlConfig:
     seed_urls: list[str] = field(default_factory=list)
     allowed_domains: tuple[str, ...] | None = None
+
+    # user-extension surface (reference §2.10: pluggable scraper/is_valid,
+    # README.md:58-114 + frontier policy):
+    # - priority_fn(url, host, depth) -> float: frontier ordering — each
+    #   wave processes pending URLs by (priority DESC, discovery seq);
+    #   None = pure FIFO (the reference default posture)
+    # - extra_link_filter(url) -> bool: additional is_valid rules
+    #   (README.md:113-114 "Additional rules should be added to is_valid")
+    # Both must be picklable; both are part of crawl semantics but can't be
+    # hashed — resuming a checkpoint with DIFFERENT callables is undefined
+    # (the manifest records whether each was set).
+    priority_fn: Callable[[str, str, int], float] | None = None
+    extra_link_filter: Callable[[str], bool] | None = None
 
     # politeness / scheduling
     politeness_delay: float = 0.0  # seconds per host between fetches
@@ -53,4 +67,7 @@ class CrawlConfig:
                   "checkpoint_dir", "max_waves", "politeness_delay",
                   "inline_wave_threshold"):
             d.pop(k)
+        # callables aren't hashable: record presence only (see field docs)
+        d["priority_fn"] = self.priority_fn is not None
+        d["extra_link_filter"] = self.extra_link_filter is not None
         return hashlib.sha256(json.dumps(d, sort_keys=True, default=str).encode()).hexdigest()[:16]

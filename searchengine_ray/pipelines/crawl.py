@@ -249,26 +249,35 @@ def _validate_batch(batch: pa.Table, ngram_size: int) -> pa.Table:
     )
 
 
-def _explode_links(batch: pa.Table, allowed_domains) -> pa.Table:
-    """Accepted page → candidate link rows with discovery-order keys
-    (reference M10/M9/M6-M8 in one pass)."""
+def _explode_links(batch: pa.Table, allowed_domains, rank_map: dict[int, int],
+                   extra_filter=None) -> pa.Table:
+    """Accepted page → candidate link rows with PROCESSING-order keys
+    (reference M10/M9/M6-M8 in one pass).  ``rank_map`` maps page seq →
+    this wave's processing rank (= seq order under FIFO; priority order
+    when a priority_fn is set); ``extra_filter`` is the user's additional
+    is_valid rule (README.md:113-114)."""
     from searchengine_ray.utils.urls import get_urlhash
 
     parents = batch["seq"].to_pylist()
     urls = batch["url_norm"].to_pylist()
     links = batch["links"].to_pylist()
-    o_parent, o_idx, o_url, o_hash, o_host = [], [], [], [], []
+    o_rank, o_parent, o_idx, o_url, o_hash, o_host = [], [], [], [], [], []
     for parent_seq, page_url, lst in zip(parents, urls, links):
+        rank = rank_map[parent_seq]
         for idx, raw in enumerate(lst or []):
             resolved = normalize(urldefrag_str(join_url(page_url, raw)))
             if not is_valid(resolved, allowed_domains):
                 continue
+            if extra_filter is not None and not extra_filter(resolved):
+                continue
+            o_rank.append(rank)
             o_parent.append(parent_seq)
             o_idx.append(idx)
             o_url.append(resolved)
             o_hash.append(get_urlhash(resolved))
             o_host.append(resolved.split("/")[2])
     return pa.table({
+        "parent_rank": pa.array(o_rank, pa.int64()),
         "parent_seq": pa.array(o_parent, pa.int64()),
         "link_idx": pa.array(o_idx, pa.int32()),
         "url_norm": pa.array(o_url, pa.string()),
@@ -287,7 +296,7 @@ def _robots_filter_table(b: pa.Table, rules: dict) -> pa.Table:
 
 def _empty_gate_frame() -> pd.DataFrame:
     return pd.DataFrame(
-        columns=["parent_seq", "link_idx", "url_norm", "url_hash", "host",
+        columns=["parent_rank", "parent_seq", "link_idx", "url_norm", "url_hash", "host",
                  "occurrences", "decision"]
     )
 
@@ -303,7 +312,7 @@ def _dedup_candidates(df: pd.DataFrame) -> pd.DataFrame:
     so only the first occurrence needs the stateful gate."""
     if df.empty:
         return df.assign(occurrences=pd.Series([], dtype=np.int64))
-    df = df.sort_values(["parent_seq", "link_idx"], kind="stable")
+    df = df.sort_values(["parent_rank", "link_idx"], kind="stable")
     occ = df.groupby("url_hash", sort=False).size()
     firsts = df.drop_duplicates("url_hash", keep="first").copy()
     firsts["occurrences"] = firsts["url_hash"].map(occ).astype(np.int64)
@@ -363,7 +372,8 @@ class CrawlEngine:
             {"seq": pd.Series([], dtype=np.int64),
              "url_norm": pd.Series([], dtype=str),
              "host": pd.Series([], dtype=str),
-             "wave": pd.Series([], dtype=np.int32)}
+             "wave": pd.Series([], dtype=np.int32),
+             "priority": pd.Series([], dtype=np.float64)}
         )
         self.crawl_order_frames: list[pd.DataFrame] = []
         self.metrics: list[dict] = []
@@ -385,10 +395,13 @@ class CrawlEngine:
             shard = _host_shard(host, self.config.num_gate_shards)
             (newly,) = ray.get(self.gates[shard].seed.remote([(host, nu, h)]))
             if newly:
-                rows.append((self.next_seq, nu, host, 0))
+                pr = (self.config.priority_fn(nu, host, 0)
+                      if self.config.priority_fn else 0.0)
+                rows.append((self.next_seq, nu, host, 0, pr))
                 self.next_seq += 1
-        self.pool = pd.DataFrame(rows, columns=["seq", "url_norm", "host", "wave"]).astype(
-            {"seq": np.int64, "wave": np.int32})
+        self.pool = pd.DataFrame(
+            rows, columns=["seq", "url_norm", "host", "wave", "priority"]
+        ).astype({"seq": np.int64, "wave": np.int32, "priority": np.float64})
 
     # ------------------------------------------- content-store bookkeeping --
     _STORE_FP_SCHEMA = pa.schema([
@@ -440,7 +453,7 @@ class CrawlEngine:
         frames = []
         futures = []
         for _host, g in _dedup_candidates(links).groupby("host", sort=False):
-            g = g.sort_values(["parent_seq", "link_idx"], kind="stable")
+            g = g.sort_values(["parent_rank", "link_idx"], kind="stable")
             shard = _host_shard(_host, self.config.num_gate_shards)
             rows = list(zip(g["host"], g["url_norm"], g["url_hash"]))
             futures.append(self.gates[shard].process.remote(rows))
@@ -455,7 +468,11 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ waves
     def _wave_slice(self) -> pd.DataFrame:
-        pool = self.pool.sort_values("seq")
+        """Priority-queue slice: (priority DESC, discovery seq) per host —
+        pure FIFO when no priority_fn is set (all priorities 0.0).  The
+        returned frame's ROW ORDER is the wave's processing order."""
+        pool = self.pool.sort_values(["priority", "seq"],
+                                     ascending=[False, True], kind="stable")
         if self.config.per_host_wave_budget is not None:
             take = pool.groupby("host", sort=False).head(self.config.per_host_wave_budget)
         else:
@@ -476,6 +493,10 @@ class CrawlEngine:
             return False
         t0 = time.monotonic()
         cfg = self.config
+        # processing rank of each page in this wave (row order of the slice);
+        # all order-dependent gates run in THIS order — identical to seq
+        # order under FIFO, priority order under a priority_fn
+        rank_map = {int(s): i for i, s in enumerate(wave_df["seq"])}
 
         # Small waves (BFS head/tail) skip Ray Data task scheduling and run
         # the SAME kernels inline on the driver — identical semantics (the
@@ -549,7 +570,8 @@ class CrawlEngine:
             # current: flush any in-flight bulk admit first)
             self._flush_admits()
             fp_tbl = validated_tbl.select(fp_cols)
-            fp_tbl = fp_tbl.take(pc.sort_indices(fp_tbl["seq"]))
+            fp_tbl = fp_tbl.take(pc.sort_indices(pa.array(
+                [rank_map[int(s)] for s in fp_tbl["seq"].to_pylist()], pa.int64())))
             live_tbl = fp_tbl.filter(
                 pc.and_(pc.equal(fp_tbl["status"], 200), fp_tbl["integrity_ok"])
             ).select(["seq", "shingles", "phash"])
@@ -563,7 +585,8 @@ class CrawlEngine:
                     fp_cols + ["store_text_dup", "store_image_dup"]
                 ).to_arrow_refs())
             )
-            fp_tbl = fp_tbl.take(pc.sort_indices(fp_tbl["seq"]))
+            fp_tbl = fp_tbl.take(pc.sort_indices(pa.array(
+                [rank_map[int(s)] for s in fp_tbl["seq"].to_pylist()], pa.int64())))
             live_full = fp_tbl.filter(
                 pc.and_(pc.equal(fp_tbl["status"], 200), fp_tbl["integrity_ok"])
             )
@@ -587,6 +610,7 @@ class CrawlEngine:
         # ---- crawl order record ------------------------------------------
         order_df = wave_df[["seq", "url_norm"]].copy()
         order_df["wave"] = np.int32(self.wave)  # fetch wave (≠ discovery wave in budget mode)
+        order_df["rank"] = np.arange(len(order_df), dtype=np.int64)  # processing order
         order_df["status"] = order_df["seq"].map(dict(zip(fp_seqs, fp_status)))
         order_df["decision"] = order_df["seq"].map(decision)
         self.crawl_order_frames.append(order_df)
@@ -644,9 +668,11 @@ class CrawlEngine:
 
         # ---- link pipeline ------------------------------------------------
         allowed = cfg.allowed_domains
+        extra_filter = cfg.extra_link_filter
         if inline:
             links_tbl = _explode_links(
-                accepted_tbl.select(["seq", "url_norm", "links"]), allowed)
+                accepted_tbl.select(["seq", "url_norm", "links"]), allowed,
+                rank_map, extra_filter)
             if links_tbl.num_rows > 0:
                 hosts = list(set(links_tbl["host"].to_pylist()))
                 rules = (ray.get(self.robots.disallowed_prefixes.remote(hosts))
@@ -659,9 +685,11 @@ class CrawlEngine:
         else:
             robots_actor = self.robots
             use_robots = cfg.use_robots
+            rank_ref = ray.put(rank_map)
 
             def explode_and_robots(b: pa.Table) -> pa.Table:
-                out = _explode_links(b, allowed)
+                out = _explode_links(b, allowed, _get_broadcast(rank_ref),
+                                     extra_filter)
                 if out.num_rows == 0 or not use_robots:
                     return out
                 hosts = list(set(out["host"].to_pylist()))
@@ -674,7 +702,7 @@ class CrawlEngine:
             def host_gate(g: pd.DataFrame) -> pd.DataFrame:
                 # collapse duplicate URLs (occurrence-weighted) — the gate
                 # RPC carries only unique candidates, in discovery order
-                g = g.sort_values(["parent_seq", "link_idx"], kind="stable")
+                g = g.sort_values(["parent_rank", "link_idx"], kind="stable")
                 occ = g.groupby("url_hash", sort=False)["occurrences"].sum()
                 g = g.drop_duplicates("url_hash", keep="first").copy()
                 g["occurrences"] = g["url_hash"].map(occ).astype(np.int64)
@@ -704,13 +732,21 @@ class CrawlEngine:
 
         # ---- frontier(w+1): FIFO seq assignment ---------------------------
         accepted_links = gate_res[gate_res["decision"] == "accept"].sort_values(
-            ["parent_seq", "link_idx"]
+            ["parent_rank", "link_idx"]
         ).reset_index(drop=True)
+        pf = cfg.priority_fn
+        prios = (
+            np.array([pf(u, h, self.wave + 1) for u, h in
+                      zip(accepted_links["url_norm"], accepted_links["host"])],
+                     dtype=np.float64)
+            if pf else np.zeros(len(accepted_links), dtype=np.float64)
+        )
         new_rows = pd.DataFrame({
             "seq": self.next_seq + np.arange(len(accepted_links), dtype=np.int64),
             "url_norm": accepted_links["url_norm"],
             "host": accepted_links["host"],
             "wave": np.int32(self.wave + 1),
+            "priority": prios,
         })
         self.next_seq += len(accepted_links)
         self.pool = pd.concat([self.pool, new_rows], ignore_index=True)
@@ -807,7 +843,7 @@ class CrawlEngine:
     def result(self) -> CrawlResult:
         order = (
             pd.concat(self.crawl_order_frames, ignore_index=True)
-            .sort_values(["wave", "seq"]).reset_index(drop=True)
+            .sort_values(["wave", "rank"]).reset_index(drop=True)
             if self.crawl_order_frames else pd.DataFrame()
         )
         dumps = ray.get([g.dump.remote() for g in self.gates])

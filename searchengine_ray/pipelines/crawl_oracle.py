@@ -54,8 +54,17 @@ def crawl_oracle(store: SyntheticStore, config: CrawlConfig) -> OracleResult:
     accepted_shingles: list[frozenset[int]] = []
     accepted_phash: list[int] = []
 
-    frontier: list[tuple[int, str, str, int]] = []  # (seq, url_norm, host, wave)
+    # frontier item: (seq, url_norm, host, wave, priority)
+    frontier: list[tuple[int, str, str, int, float]] = []
     next_seq = 0
+
+    def prio(url: str, host: str, depth: int) -> float:
+        return config.priority_fn(url, host, depth) if config.priority_fn else 0.0
+
+    def order_key(item):
+        # priority DESC, then discovery FIFO (pure FIFO when priority_fn
+        # is unset — every priority is 0.0)
+        return (-item[4], item[0])
 
     def admit(url_norm: str, url_hash: str, host: str) -> None:
         seen.add(url_hash)
@@ -69,7 +78,7 @@ def crawl_oracle(store: SyntheticStore, config: CrawlConfig) -> OracleResult:
         if h in seen:
             continue
         admit(nu, h, host)
-        frontier.append((next_seq, nu, host, 0))
+        frontier.append((next_seq, nu, host, 0, prio(nu, host, 0)))
         next_seq += 1
 
     pages_fetched = 0
@@ -77,19 +86,19 @@ def crawl_oracle(store: SyntheticStore, config: CrawlConfig) -> OracleResult:
     while frontier:
         if config.max_waves is not None and wave >= config.max_waves:
             break
-        # wave slice: full frontier, or k smallest-seq per host
+        # wave slice: full frontier, or the k best (priority desc, seq) per host
         if config.per_host_wave_budget is None:
-            wave_items = sorted(frontier)
+            wave_items = sorted(frontier, key=order_key)
             frontier = []
         else:
             by_host: dict[str, list] = {}
-            for item in sorted(frontier):
+            for item in sorted(frontier, key=order_key):
                 by_host.setdefault(item[2], []).append(item)
             wave_items, rest = [], []
             for h, items in by_host.items():
                 wave_items.extend(items[: config.per_host_wave_budget])
                 rest.extend(items[config.per_host_wave_budget:])
-            wave_items.sort()
+            wave_items.sort(key=order_key)
             frontier = rest
 
         if config.max_pages is not None:
@@ -99,7 +108,7 @@ def crawl_oracle(store: SyntheticStore, config: CrawlConfig) -> OracleResult:
             wave_items = wave_items[:remaining]
 
         discovered: list[tuple[int, str, str, int]] = []
-        for seq, url_norm, host, _w in wave_items:
+        for seq, url_norm, host, _w, _p in wave_items:
             page = store.pages.get(url_norm)
             status = page["status"] if page else 404
             pages_fetched += 1
@@ -135,7 +144,10 @@ def crawl_oracle(store: SyntheticStore, config: CrawlConfig) -> OracleResult:
             for idx, raw in enumerate(page["links"]):
                 resolved = normalize(urldefrag_str(join_url(url_norm, raw)))
                 why = None
-                if not is_valid(resolved, config.allowed_domains):
+                if not is_valid(resolved, config.allowed_domains) or (
+                    config.extra_link_filter is not None
+                    and not config.extra_link_filter(resolved)
+                ):
                     why = "invalid"
                 else:
                     lhost = resolved.split("/")[2]
@@ -155,7 +167,9 @@ def crawl_oracle(store: SyntheticStore, config: CrawlConfig) -> OracleResult:
                             why = "trap"
                         else:
                             admit(resolved, lh, lhost)
-                            discovered.append((next_seq, resolved, lhost, wave + 1))
+                            discovered.append((
+                                next_seq, resolved, lhost, wave + 1,
+                                prio(resolved, lhost, wave + 1)))
                             next_seq += 1
                             why = "accept"
                 res.link_decisions.append(

@@ -98,6 +98,42 @@ def test_engine_matches_oracle_budgeted(ray_session, store, inline_threshold):
     _assert_match(res, crawl_oracle(store, config))
 
 
+def _research_first(url, host, depth):
+    """User priority function: crawl /research/ pages before others."""
+    return 1.0 if "/research/" in url else 0.0
+
+
+def _no_blog(url):
+    """User extra is_valid rule (README.md:113-114): skip /blog/ URLs."""
+    return "/blog/" not in url
+
+
+def test_engine_matches_oracle_priority_queue(ray_session, store, inline_threshold):
+    """Priority-queue scheduling (priority DESC, seq) must match the
+    oracle's, including its effect on gate ordering and discovery seqs."""
+    config = _config(store, priority_fn=_research_first, per_host_wave_budget=4,
+                     inline_wave_threshold=inline_threshold)
+    res = _run_engine(store, config)
+    oracle = crawl_oracle(store, config)
+    _assert_match(res, oracle)
+    # the priority actually reorders: among wave-1+ fetches, research pages
+    # of a host come before its other pages discovered at the same time
+    got = res.crawl_order
+    later = got[got["wave"] >= 1]
+    assert any("/research/" in u for u in later["url_norm"].head(8)), \
+        later["url_norm"].head(8).tolist()
+
+
+def test_engine_matches_oracle_extra_link_filter(ray_session, store):
+    config = _config(store, extra_link_filter=_no_blog)
+    res = _run_engine(store, config)
+    _assert_match(res, crawl_oracle(store, config))
+    assert not any("/blog/" in u for u in res.crawl_order["url_norm"])
+    # and without the filter, blog pages ARE crawled (the filter is load-bearing)
+    base = _run_engine(store, _config(store))
+    assert any("/blog/" in u for u in base.crawl_order["url_norm"])
+
+
 def test_engine_matches_oracle_max_pages(ray_session, store):
     config = _config(store, max_pages=25)
     res = _run_engine(store, config)
