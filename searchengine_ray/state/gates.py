@@ -48,6 +48,7 @@ class HostGateShard:
         self.threshold = url_similarity_threshold
         self.seen_hashes: set[str] = set()
         self.cuckoo = CuckooFilter(capacity=1 << 20)
+        self.cuckoo_degraded = False  # True → fast path off, exact set only
         self.host_urls: dict[str, list[str]] = defaultdict(list)
         self.trap_index = TrapIndex(url_similarity_threshold)
 
@@ -72,7 +73,9 @@ class HostGateShard:
         'accept' | 'dup' | 'trap'."""
         out = []
         for host, url_norm, url_hash in rows:
-            if not self.cuckoo.contains(self._cuckoo_key(url_hash)):
+            if not self.cuckoo_degraded and not self.cuckoo.contains(
+                self._cuckoo_key(url_hash)
+            ):
                 pass  # definitely new — skip the exact-set lookup
             elif url_hash in self.seen_hashes:
                 out.append("dup")
@@ -86,7 +89,19 @@ class HostGateShard:
 
     def _admit(self, host: str, url_norm: str, url_hash: str) -> None:
         self.seen_hashes.add(url_hash)
-        self.cuckoo.add(self._cuckoo_key(url_hash))
+        if not self.cuckoo_degraded and not self.cuckoo.add(
+            self._cuckoo_key(url_hash)
+        ):
+            # filter full: a dropped key would break the "definitely new"
+            # fast path (a seen URL could skip the exact-set check) —
+            # regrow 4× and rehash; if even the regrown filter rejects
+            # (pathological key distribution), disable the fast path: the
+            # exact set remains the source of truth either way
+            self.cuckoo = CuckooFilter(capacity=4 * self.cuckoo.table.size)
+            for h in self.seen_hashes:
+                if not self.cuckoo.add(self._cuckoo_key(h)):
+                    self.cuckoo_degraded = True
+                    break
         self.host_urls[host].append(url_norm)
         self.trap_index.add(url_norm)
 
