@@ -269,6 +269,57 @@ FROM events GROUP BY event_type
 """
 
 
+# --- 4b. parts by brand (column-pruned groupby over part) --------------------
+
+def q_parts_by_brand(sf_dir: str):
+    ds = _pq(sf_dir, "part", columns=["p_brand", "p_retailprice", "p_size"])
+    out = pre_aggregate(ds, ["p_brand"],
+                        {"n_parts": (None, "count"),
+                         "sum_price": ("p_retailprice", "sum"),
+                         "max_size": ("p_size", "max")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_price"] = df["sum_price"].round(2)
+        df["max_size"] = df["max_size"].astype(np.int32)
+        return df
+
+    return out.map_batches(finish, batch_format="pandas")
+
+
+SQL_PARTS_BY_BRAND = """
+SELECT p_brand, count(*) AS n_parts, round(sum(p_retailprice), 2) AS sum_price,
+       max(p_size) AS max_size
+FROM part GROUP BY p_brand
+"""
+
+
+# --- 4c. JSON property extraction from events.props --------------------------
+
+def q_props_k_stats(sf_dir: str):
+    """Parse the JSON ``props`` column and aggregate its ``k`` field per
+    event type — the semi-structured-column capability."""
+    import json
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "props"])
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        ks = np.fromiter((json.loads(p)["k"] for p in df["props"]),
+                         dtype=np.int64, count=len(df))
+        return pd.DataFrame({"event_type": df["event_type"], "k": ks})
+
+    parsed = ds.map_batches(parse, batch_format="pandas")
+    return pre_aggregate(parsed, ["event_type"],
+                         {"sum_k": ("k", "sum"), "max_k": ("k", "max")})
+
+
+SQL_PROPS_K_STATS = """
+SELECT event_type,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
 # --- 5. per-user daily tumbling window -------------------------------------
 
 def q_events_user_daily(sf_dir: str):
@@ -653,6 +704,8 @@ QUERIES = {
     "distinct_users_by_type": q_distinct_users_by_type,
     "ngram_jaccard": q_ngram_jaccard,
     "events_last_order": q_events_last_order,
+    "parts_by_brand": q_parts_by_brand,
+    "props_k_stats": q_props_k_stats,
     "events_by_type": q_events_by_type,
     "events_user_daily": q_events_user_daily,
     "sessionize": q_sessionize,
@@ -682,6 +735,8 @@ ORACLE_SQL = {
     "distinct_users_by_type": SQL_DISTINCT_USERS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
     "events_last_order": SQL_EVENTS_LAST_ORDER,
+    "parts_by_brand": SQL_PARTS_BY_BRAND,
+    "props_k_stats": SQL_PROPS_K_STATS,
     "events_by_type": SQL_EVENTS_BY_TYPE,
     "events_user_daily": SQL_EVENTS_USER_DAILY,
     "sessionize": SQL_SESSIONIZE,
