@@ -410,23 +410,27 @@ class CrawlEngine:
     ])
 
     def _init_store_fp(self, tbl: pa.Table | None = None) -> None:
-        self._store_fp = tbl if tbl is not None else self._STORE_FP_SCHEMA.empty_table()
-        self._store_ref = ray.put(self._store_fp)
+        # store broadcast = ordered chain of per-wave DELTA tables; workers
+        # ingest only deltas they haven't applied (incremental StoreIndex) —
+        # the broadcast cost per wave is the wave's accepted fingerprints,
+        # not the cumulative store
+        self._store_delta_refs: list = []
+        if tbl is not None and tbl.num_rows:
+            self._store_delta_refs.append(ray.put(tbl))
         self._pending_admit = None
 
     def _append_store_fp(self, live_tbl: pa.Table, gate_out: list[str],
                          admit_actor: bool) -> None:
-        """Update the driver-held store snapshot (broadcast to next wave's
-        probe tasks); for the parallel path also sync the gate actor (its
-        copy backs checkpoints and the inline path)."""
+        """Append this wave's accepted fingerprints as a new store delta;
+        for the parallel path also sync the gate actor (its copy backs
+        checkpoints and the inline path)."""
         if not gate_out:
             return
         mask = pa.array([d == "accept" for d in gate_out], pa.bool_())
         accepted = live_tbl.filter(mask)
         if accepted.num_rows == 0:
             return
-        self._store_fp = pa.concat_tables([self._store_fp, accepted])
-        self._store_ref = ray.put(self._store_fp)
+        self._store_delta_refs.append(ray.put(accepted))
         if admit_actor:
             self._pending_admit = self.content_gate.bulk_admit.remote(accepted)
 
@@ -510,11 +514,11 @@ class CrawlEngine:
             from searchengine_ray.stages.content_probe import get_store_index, probe_batch
 
             self._flush_admits()
-            export_ref = self._store_ref
+            export_refs = tuple(self._store_delta_refs)
             max_sim, max_ham = cfg.content_max_similarity, cfg.phash_max_hamming
 
             def probe_fn(b: pa.Table) -> pa.Table:
-                idx = get_store_index(export_ref, max_ham)
+                idx = get_store_index(export_refs, max_ham)
                 text, image = probe_batch(
                     b["shingles"].to_pylist(), b["phash"].to_pylist(),
                     b["status"].to_pylist(), idx, max_sim,

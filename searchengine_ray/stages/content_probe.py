@@ -33,25 +33,34 @@ from searchengine_ray.functions.phash import hamming64_vec, phash_bands
 
 
 class StoreIndex:
-    """Probe-side index over a store snapshot (Arrow table of
-    (seq, shingles, phash))."""
+    """Probe-side index over the accepted-fingerprint store, built
+    incrementally from per-wave delta tables (seq, shingles, phash) — the
+    workers never re-ingest the whole store."""
 
-    def __init__(self, tbl: pa.Table, max_hamming: int):
+    def __init__(self, max_hamming: int, tbl: pa.Table | None = None):
         self.num_bands = max_hamming + 1
         self.max_hamming = max_hamming
-        self.sets = [frozenset(s) for s in tbl["shingles"].to_pylist()]
-        phashes = tbl["phash"].to_pylist()
+        self.sets: list[frozenset[int]] = []
         self.shingle_index: dict[int, list[int]] = defaultdict(list)
-        for i, s in enumerate(self.sets):
+        self.bands: dict[tuple[int, int], np.ndarray] = {}
+        if tbl is not None:
+            self.add_table(tbl)
+
+    def add_table(self, tbl: pa.Table) -> None:
+        base = len(self.sets)
+        new_sets = [frozenset(s) for s in tbl["shingles"].to_pylist()]
+        for i, s in enumerate(new_sets):
             for sh in s:
-                self.shingle_index[sh].append(i)
-        buckets: dict[tuple[int, int], list[int]] = defaultdict(list)
-        for ph in phashes:
+                self.shingle_index[sh].append(base + i)
+        self.sets.extend(new_sets)
+        delta: dict[tuple[int, int], list[int]] = defaultdict(list)
+        for ph in tbl["phash"].to_pylist():
             for band in phash_bands(ph, self.num_bands):
-                buckets[band].append(ph)
-        self.bands = {
-            k: np.fromiter(v, dtype=np.int64, count=len(v)) for k, v in buckets.items()
-        }
+                delta[band].append(ph)
+        for band, lst in delta.items():
+            arr = np.fromiter(lst, dtype=np.int64, count=len(lst))
+            old = self.bands.get(band)
+            self.bands[band] = arr if old is None else np.concatenate([old, arr])
 
     def text_dup(self, shingles: frozenset[int], max_sim: float) -> bool:
         if not shingles:
@@ -74,20 +83,30 @@ class StoreIndex:
         return False
 
 
-_INDEX_CACHE: dict[str, StoreIndex] = {}
+_INDEX_STATE: dict = {"applied": [], "index": None, "max_hamming": None}
 
 
-def get_store_index(ref, max_hamming: int) -> StoreIndex:
-    """Per-worker memoized StoreIndex (one build per store version)."""
+def get_store_index(delta_refs, max_hamming: int) -> StoreIndex:
+    """Per-worker incremental StoreIndex over the wave-delta chain.
+
+    ``delta_refs`` is the ordered tuple of per-wave accepted-fingerprint
+    table refs.  A worker applies only the deltas it hasn't seen; a chain
+    that isn't an extension of the applied prefix (new crawl / resume)
+    rebuilds from scratch."""
     import ray
 
-    key = ref.hex()
-    idx = _INDEX_CACHE.get(key)
-    if idx is None:
-        _INDEX_CACHE.clear()  # only the latest wave's snapshot is live
-        idx = StoreIndex(ray.get(ref), max_hamming)
-        _INDEX_CACHE[key] = idx
-    return idx
+    st = _INDEX_STATE
+    hexes = [r.hex() for r in delta_refs]
+    if (st["index"] is None or st["max_hamming"] != max_hamming
+            or hexes[: len(st["applied"])] != st["applied"]):
+        st["index"] = StoreIndex(max_hamming)
+        st["applied"] = []
+        st["max_hamming"] = max_hamming
+    for ref, hx in zip(delta_refs[len(st["applied"]):],
+                       hexes[len(st["applied"]):]):
+        st["index"].add_table(ray.get(ref))
+        st["applied"].append(hx)
+    return st["index"]
 
 
 def probe_batch(

@@ -260,6 +260,16 @@ def test_procedural_store_matches_oracle(ray_session):
     assert len(res.crawl_order) == spec.n_pages  # hub topology reaches all
 
 
+def test_politeness_actor_path_matches_oracle(ray_session, store):
+    """politeness_delay > 0 switches fetch to the pacing actor pool; the
+    crawl must still match the oracle exactly (pacing never reorders)."""
+    config = _config(store, politeness_delay=0.002, fetch_concurrency=2,
+                     inline_wave_threshold=0, max_waves=3)
+    res = _run_engine(store, config)
+    oracle = crawl_oracle(store, _config(store, max_waves=3))
+    _assert_match(res, oracle)
+
+
 def test_fixture_payload_invariants(store):
     """FIXTURES.md F1: decode round-trip vs originals, PSNR≥40 for lossy,
     caption + phash stability."""
