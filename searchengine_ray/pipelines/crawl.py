@@ -301,22 +301,28 @@ def _empty_gate_frame() -> pd.DataFrame:
     )
 
 
+_CAND_KEY = ["url_hash", "url_norm"]
+
+
 def _dedup_candidates(df: pd.DataFrame) -> pd.DataFrame:
     """Collapse repeated candidate URLs to their first occurrence (by
     discovery order) + an occurrence count.
 
-    EXACT: for a repeated url_hash the reference's sequential gate gives the
-    later occurrence 'dup' when the first was admitted (accept) or already
-    seen (dup), and repeats the identical 'trap' verdict otherwise (gate
-    state is unchanged by a rejected candidate, and is_trap is monotone) —
-    so only the first occurrence needs the stateful gate."""
+    EXACT — and the collapse key must be (url_hash, url_norm), NOT the
+    hash alone: the scheme-less hash (utils/__init__.py:25-30) maps
+    http/https variants to one hash, but the trap gate is scheme-SENSITIVE
+    (link_similarity.py:106-112).  A trap-rejected https candidate leaves
+    the hash unseen, and its http sibling must then be gated on its own
+    URL string.  For IDENTICAL strings the derivation is safe: first
+    accept/dup ⇒ later 'dup' (hash admitted/seen); first trap ⇒ later
+    'trap' (gate state unchanged, is_trap monotone)."""
     if df.empty:
         return df.assign(occurrences=pd.Series([], dtype=np.int64))
     df = df.sort_values(["parent_rank", "link_idx"], kind="stable")
-    occ = df.groupby("url_hash", sort=False).size()
-    firsts = df.drop_duplicates("url_hash", keep="first").copy()
-    firsts["occurrences"] = firsts["url_hash"].map(occ).astype(np.int64)
-    return firsts
+    occ = df.groupby(_CAND_KEY, sort=False).size().rename("occurrences").reset_index()
+    firsts = df.drop_duplicates(_CAND_KEY, keep="first").merge(occ, on=_CAND_KEY)
+    firsts["occurrences"] = firsts["occurrences"].astype(np.int64)
+    return firsts.sort_values(["parent_rank", "link_idx"], kind="stable")
 
 
 def _link_decision_counts(gate_res: pd.DataFrame) -> dict:
@@ -705,11 +711,15 @@ class CrawlEngine:
 
             def host_gate(g: pd.DataFrame) -> pd.DataFrame:
                 # collapse duplicate URLs (occurrence-weighted) — the gate
-                # RPC carries only unique candidates, in discovery order
+                # RPC carries only unique (hash, string) candidates, in
+                # discovery order (see _dedup_candidates for why the string
+                # is part of the key)
                 g = g.sort_values(["parent_rank", "link_idx"], kind="stable")
-                occ = g.groupby("url_hash", sort=False)["occurrences"].sum()
-                g = g.drop_duplicates("url_hash", keep="first").copy()
-                g["occurrences"] = g["url_hash"].map(occ).astype(np.int64)
+                occ = g.groupby(_CAND_KEY, sort=False)["occurrences"].sum().reset_index()
+                g = (g.drop_duplicates(_CAND_KEY, keep="first")
+                     .drop(columns=["occurrences"]).merge(occ, on=_CAND_KEY)
+                     .sort_values(["parent_rank", "link_idx"], kind="stable"))
+                g["occurrences"] = g["occurrences"].astype(np.int64)
                 host = g["host"].iloc[0]
                 shard = _host_shard(host, nshards)
                 rows = list(zip(g["host"], g["url_norm"], g["url_hash"]))

@@ -174,6 +174,68 @@ def test_checkpoint_resume_bit_identical(ray_session, store, tmp_path):
         CrawlEngine.resume(store, bad_cfg)
 
 
+def test_resume_with_priority_queue(ray_session, store, tmp_path):
+    """Priority scheduling must survive checkpoint/resume (the pool's
+    priority column round-trips; the seq order stays bit-identical)."""
+    from searchengine_ray.pipelines.crawl import CrawlEngine
+
+    ckpt = str(tmp_path / "ckpt_prio")
+    cfg_kw = dict(priority_fn=_research_first, per_host_wave_budget=4)
+    full = _run_engine(store, _config(store, **cfg_kw))
+
+    eng = CrawlEngine(store, _config(store, checkpoint_dir=ckpt, max_waves=3, **cfg_kw))
+    eng.run()
+    eng.shutdown()
+    eng2 = CrawlEngine.resume(store, _config(store, checkpoint_dir=ckpt, **cfg_kw))
+    res2 = eng2.run()
+    eng2.shutdown()
+    pd.testing.assert_frame_equal(full.crawl_order.reset_index(drop=True),
+                                  res2.crawl_order.reset_index(drop=True))
+
+
+def test_pages_table_readback(ray_session, store, tmp_path):
+    """The persisted pages table must contain exactly the accepted pages
+    with valid payloads (image_id content-addressing, phash integrity)."""
+    import glob
+    from hashlib import sha256 as _sha
+
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.functions.imagecodec import decode as _dec
+    from searchengine_ray.functions.phash import phash64 as _ph
+    from searchengine_ray.pipelines.crawl import CrawlEngine
+
+    ckpt = str(tmp_path / "ckpt_pages")
+    eng = CrawlEngine(store, _config(store, checkpoint_dir=ckpt))
+    res = eng.run()
+    eng.shutdown()
+
+    files = sorted(glob.glob(os.path.join(ckpt, "pages", "wave=*", "*.parquet")))
+    tables = [pq.read_table(f) for f in files if os.path.getsize(f) > 0]
+    import pyarrow as pa2
+
+    pages = pa2.concat_tables(tables)
+    assert sorted(pages["url_norm"].to_pylist()) == sorted(res.accepted_pages)
+    for i in range(min(20, pages.num_rows)):
+        blob = pages["bytes"][i].as_py()
+        fmt = pages["fmt"][i].as_py()
+        assert pages["image_id"][i].as_py() == _sha(blob).hexdigest()
+        px = _dec(blob, fmt)
+        assert _ph(px) == pages["phash"][i].as_py()
+        assert px.shape[1] == pages["w"][i].as_py()
+
+
+def test_larger_store_conformance(ray_session):
+    """400-page universe: trap families, near-dups and skew at 5× the base
+    fixture — the oracle is brute-force, the engine is not."""
+    big = make_store(n_pages=400, seed=11)
+    config = CrawlConfig(seed_urls=list(big.seeds), allowed_domains=("test",),
+                         num_gate_shards=4, fetch_concurrency=4,
+                         per_host_wave_budget=25)
+    res = _run_engine(big, config)
+    _assert_match(res, crawl_oracle(big, config))
+
+
 def test_resume_survives_torn_wave(ray_session, store, tmp_path):
     """A crash mid-wave leaves partial post-manifest artifacts; resume must
     ignore them and still reproduce the full run bit-identically."""
