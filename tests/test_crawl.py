@@ -236,6 +236,40 @@ def test_larger_store_conformance(ray_session):
     _assert_match(res, crawl_oracle(big, config))
 
 
+def test_messy_seed_variants(ray_session, store):
+    """Seeds that are hash-duplicates of each other (scheme/slash/fragment
+    variants) collapse to one frontier entry, exactly as the oracle's."""
+    u = store.seeds[0]
+    messy = [u, u + "/", u.replace("https://", "http://"), u + "#frag",
+             store.seeds[1]]
+    config = _config(store, max_waves=2)
+    config.seed_urls = messy
+    res = _run_engine(store, config)
+    oracle = crawl_oracle(store, config)
+    _assert_match(res, oracle)
+    assert (res.crawl_order["wave"] == 0).sum() == 2  # two distinct seeds
+
+
+@pytest.mark.parametrize("fuzz_seed,knobs", [
+    (101, dict(n_pages=150, n_hosts=3, fanout=8, frac_near_dup_caption=0.3,
+               frac_near_dup_image=0.2, frac_dead=0.2, trap_len=12)),
+    (202, dict(n_pages=200, n_hosts=10, fanout=2, frac_near_dup_caption=0.02,
+               frac_near_dup_image=0.02, frac_dead=0.02)),
+    (303, dict(n_pages=120, n_hosts=2, fanout=6, frac_near_dup_caption=0.5,
+               frac_near_dup_image=0.0, frac_dead=0.0)),
+])
+def test_conformance_fuzz(ray_session, fuzz_seed, knobs):
+    """Randomized universes with extreme dup/trap/dead fractions — engine
+    vs oracle on ordering + URL-seen set, budgeted and unbudgeted."""
+    fuzz_store = make_store(seed=fuzz_seed, **knobs)
+    for budget in (None, 7):
+        config = CrawlConfig(seed_urls=list(fuzz_store.seeds),
+                             allowed_domains=("test",), num_gate_shards=3,
+                             fetch_concurrency=2, per_host_wave_budget=budget)
+        res = _run_engine(fuzz_store, config)
+        _assert_match(res, crawl_oracle(fuzz_store, config))
+
+
 def test_resume_survives_torn_wave(ray_session, store, tmp_path):
     """A crash mid-wave leaves partial post-manifest artifacts; resume must
     ignore them and still reproduce the full run bit-identically."""
