@@ -262,10 +262,12 @@ def test_conformance_fuzz(ray_session, fuzz_seed, knobs):
     """Randomized universes with extreme dup/trap/dead fractions — engine
     vs oracle on ordering + URL-seen set, budgeted and unbudgeted."""
     fuzz_store = make_store(seed=fuzz_seed, **knobs)
-    for budget in (None, 7):
+    for budget, pf, lf in ((None, None, None), (7, None, None),
+                           (5, _research_first, _no_blog)):
         config = CrawlConfig(seed_urls=list(fuzz_store.seeds),
                              allowed_domains=("test",), num_gate_shards=3,
-                             fetch_concurrency=2, per_host_wave_budget=budget)
+                             fetch_concurrency=2, per_host_wave_budget=budget,
+                             priority_fn=pf, extra_link_filter=lf)
         res = _run_engine(fuzz_store, config)
         _assert_match(res, crawl_oracle(fuzz_store, config))
 
