@@ -771,6 +771,14 @@ class CrawlEngine:
         page_dec = Counter(order_df["decision"])
         link_dec = _link_decision_counts(gate_res)
         wall = time.monotonic() - t0
+        n_cand = int(link_counts["candidates"])
+        n_link_dups = int(link_dec.get("dup", 0) + link_dec.get("trap", 0))
+        # per-partition (gate-shard) lineage: seen-set size per shard +
+        # this wave's per-host fetch counts (north-star: per-partition
+        # throughput/dedup-rate metrics)
+        shard_seen = ray.get([g.seen_count.remote() for g in self.gates])
+        per_host = order_df["url_norm"].map(
+            lambda u: u.split("/")[2]).value_counts().to_dict()
         metric = {
             "wave": self.wave,
             "fetched": int(len(fp_seqs)),
@@ -781,8 +789,11 @@ class CrawlEngine:
                           "links_gate": round(t_links, 3)},
             "inline": inline,
             "page_decisions": dict(page_dec),
-            "link_candidates": int(link_counts["candidates"]),
+            "link_candidates": n_cand,
             "link_decisions": dict(link_dec),
+            "link_dedup_rate": round(n_link_dups / n_cand, 4) if n_cand else 0.0,
+            "shard_seen_counts": [int(s) for s in shard_seen],
+            "fetched_per_host": {h: int(c) for h, c in per_host.items()},
             "frontier_pending": int(len(self.pool)),
             "next_seq": int(self.next_seq),
         }
