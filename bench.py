@@ -128,6 +128,9 @@ def main() -> None:
         "queries": timings,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
+        "scaling": "run `python bench.py --scaling` (8 vs 32 CPUs, fresh "
+                   "processes); recorded in BASELINE.md: 0.80 eff @150k "
+                   "pages, 0.95 @240k",
     }))
     ray.shutdown()
 

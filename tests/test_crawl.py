@@ -309,6 +309,26 @@ def test_resume_survives_torn_wave(ray_session, store, tmp_path):
     assert full.url_seen == res2.url_seen
 
 
+def test_resume_at_every_boundary(ray_session, store, tmp_path):
+    """Kill-and-resume at several wave boundaries; every resumed run must
+    equal the uninterrupted crawl bit-for-bit."""
+    from searchengine_ray.pipelines.crawl import CrawlEngine
+
+    full = _run_engine(store, _config(store))
+    for cut in (1, 3, 5):
+        ckpt = str(tmp_path / f"ckpt_{cut}")
+        eng = CrawlEngine(store, _config(store, checkpoint_dir=ckpt, max_waves=cut))
+        eng.run()
+        eng.shutdown()
+        eng2 = CrawlEngine.resume(store, _config(store, checkpoint_dir=ckpt))
+        res2 = eng2.run()
+        eng2.shutdown()
+        pd.testing.assert_frame_equal(
+            full.crawl_order.reset_index(drop=True),
+            res2.crawl_order.reset_index(drop=True), obj=f"cut={cut}")
+        assert full.url_seen == res2.url_seen, cut
+
+
 def test_politeness_pacing(ray_session, store):
     """With one fetch actor and a delay, same-host fetches must be spaced."""
     import time
