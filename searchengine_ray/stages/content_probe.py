@@ -141,6 +141,43 @@ def _band_values(ph_u: np.ndarray, num_bands: int) -> list[np.ndarray]:
     return out
 
 
+def _pairs_from_key(key: np.ndarray, dense_cap: int = 2048):
+    """All intra-bucket index pairs (ia < ib) for equal values of ``key``.
+
+    Size-2 buckets (the overwhelming majority under near-uniform keys) are
+    extracted fully vectorized; sizes 3..cap loop; buckets beyond the cap
+    are returned separately as ``dense`` indices for the caller's exact
+    fallback.  Returns (ia, ib, dense_idx)."""
+    order = np.argsort(key, kind="stable")
+    sv = key[order]
+    boundaries = np.flatnonzero(np.concatenate([[True], sv[1:] != sv[:-1], [True]]))
+    sizes = np.diff(boundaries)
+    ia_all, ib_all, dense = [], [], []
+    two = np.flatnonzero(sizes == 2)
+    if two.size:
+        lo2 = boundaries[two]
+        ia_all.append(order[lo2])
+        ib_all.append(order[lo2 + 1])
+    for g in np.flatnonzero(sizes > 2):
+        lo, hi = boundaries[g], boundaries[g + 1]
+        idx = order[lo:hi]
+        k = idx.size
+        if k > dense_cap:
+            dense.append(idx)
+            continue
+        ia_all.append(np.repeat(idx, k))
+        ib_all.append(np.tile(idx, k))
+    if ia_all:
+        ia = np.concatenate(ia_all)
+        ib = np.concatenate(ib_all)
+        keep = ia < ib
+        ia, ib = ia[keep], ib[keep]
+    else:
+        ia = ib = np.array([], dtype=np.int64)
+    dense_idx = np.concatenate(dense) if dense else np.array([], dtype=np.int64)
+    return ia, ib, dense_idx
+
+
 def _segment_any(mask_flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     """Per-row 'any' over a flattened list column given row offsets."""
     if mask_flat.size == 0:
@@ -200,68 +237,52 @@ def resolve_wave(
     text_inter = np.zeros(n, dtype=bool)
     if flat.size:
         row_of_flat = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
-        order_f = np.argsort(flat, kind="stable")
-        fv = flat[order_f]
-        fr = row_of_flat[order_f]
-        bnds = np.flatnonzero(np.concatenate([[True], fv[1:] != fv[:-1], [True]]))
-        pa_ia, pa_ib = [], []
-        for g in range(bnds.size - 1):
-            lo, hi = bnds[g], bnds[g + 1]
-            if hi - lo < 2:
-                continue
-            rows = fr[lo:hi]
-            k = rows.size
-            if k > 2048:
-                text_inter[rows] = True  # adversarial dense value → exact walk
-                continue
-            pa_ia.append(np.repeat(rows, k))
-            pa_ib.append(np.tile(rows, k))
-        if pa_ia:
-            ia = np.concatenate(pa_ia)
-            ib = np.concatenate(pa_ib)
-            keep = ia < ib
-            ia, ib = ia[keep], ib[keep]
-            if ia.size:
-                keys = ia * n + ib
-                uk, shared = np.unique(keys, return_counts=True)
-                ua = uk // n
-                ub = uk % n
-                lens = np.diff(offsets)
-                s = max_sim
-                passing = shared > s * (lens[ua] + lens[ub]) / (1.0 + s)
-                text_inter[ua[passing]] = True
-                text_inter[ub[passing]] = True
+        # pair rows by shared shingle value; map flat positions → row ids
+        ia_p, ib_p, dense_p = _pairs_from_key(flat)
+        if dense_p.size:
+            text_inter[row_of_flat[dense_p]] = True  # dense value → exact walk
+        if ia_p.size:
+            ia = row_of_flat[ia_p]
+            ib = row_of_flat[ib_p]
+            swap = ia > ib
+            ia[swap], ib[swap] = ib[swap], ia[swap]
+            same = ia == ib
+            ia, ib = ia[~same], ib[~same]
+        else:
+            ia = ib = np.array([], dtype=np.int64)
+        if ia.size:
+            keys = ia * n + ib
+            uk, shared = np.unique(keys, return_counts=True)
+            ua = uk // n
+            ub = uk % n
+            lens = np.diff(offsets)
+            s = max_sim
+            passing = shared > s * (lens[ua] + lens[ub]) / (1.0 + s)
+            text_inter[ua[passing]] = True
+            text_inter[ub[passing]] = True
 
-    # image-interacting: verified hamming-≤t pairs via band sort-groups
+    # image-interacting: verified hamming-≤t pairs.  Key by PAIRS of bands
+    # from a (t+2)-band split: hamming ≤ t flips bits in ≤ t bands, so ≥ 2
+    # of t+2 bands are intact ⇒ some band PAIR is intact (pigeonhole) —
+    # exact recall like single-band keying, but bucket collision rates drop
+    # from n/2^(64/(t+1)) to n/2^(2·64/(t+2)), which keeps pair counts
+    # near-linear at 10^5-10^6-row waves where 12.8-bit bands saturate.
+    from itertools import combinations
+
+    from searchengine_ray.functions.phash import _popcount64
+
     image_inter = np.zeros(n, dtype=bool)
-    for bv in _band_values(ph_u, num_bands):
-        order = np.argsort(bv, kind="stable")
-        sv = bv[order]
-        boundaries = np.flatnonzero(np.concatenate([[True], sv[1:] != sv[:-1], [True]]))
-        ia_all, ib_all = [], []
-        for g in range(boundaries.size - 1):
-            lo, hi = boundaries[g], boundaries[g + 1]
-            if hi - lo < 2:
-                continue
-            idx = order[lo:hi]
-            k = idx.size
-            if k > 2048:
-                # adversarial dense bucket: route members to the exact walk
-                # instead of enumerating k² pairs (still exact, just slower)
-                image_inter[idx] = True
-                continue
-            ia_all.append(np.repeat(idx, k))
-            ib_all.append(np.tile(idx, k))
-        if not ia_all:
-            continue
-        ia = np.concatenate(ia_all)
-        ib = np.concatenate(ib_all)
-        keep = ia < ib
-        ia, ib = ia[keep], ib[keep]
+    pair_bands = _band_values(ph_u, num_bands + 1)
+    width = np.uint64(16)  # > max band width (last band can reach 14 bits)
+    for b1, b2 in combinations(range(num_bands + 1), 2):
+        key = ((pair_bands[b1] << width) | pair_bands[b2]).astype(np.int64)
+        ia, ib, dense_idx = _pairs_from_key(key)
+        if dense_idx.size:
+            # adversarial dense bucket: route members to the exact walk
+            # instead of enumerating k² pairs (still exact, just slower)
+            image_inter[dense_idx] = True
         if ia.size == 0:
             continue
-        from searchengine_ray.functions.phash import _popcount64
-
         close = _popcount64(ph_u[ia] ^ ph_u[ib]) <= max_hamming
         image_inter[ia[close]] = True
         image_inter[ib[close]] = True
