@@ -829,7 +829,8 @@ class CrawlEngine:
         storage.write_json_atomic(
             {"completed_wave": self.wave, "next_seq": self.next_seq,
              "pages_fetched": self.pages_fetched,
-             "config_hash": self.config.config_hash()},
+             "config_hash": self.config.config_hash(),
+             "num_gate_shards": self.config.num_gate_shards},
             os.path.join(d, "manifest.json"),
         )
 
@@ -838,6 +839,14 @@ class CrawlEngine:
         w = manifest["completed_wave"]
         if manifest["config_hash"] != self.config.config_hash():
             raise ValueError("checkpoint was written under different crawl semantics")
+        if manifest.get("num_gate_shards", self.config.num_gate_shards) != \
+                self.config.num_gate_shards:
+            raise ValueError(
+                "checkpoint has a different gate-shard count — seen-set "
+                "dumps cannot be redistributed (host→hash mapping is not "
+                "in the dump format); resume with num_gate_shards="
+                f"{manifest['num_gate_shards']}"
+            )
         self.wave = w + 1
         self.next_seq = manifest["next_seq"]
         self.pages_fetched = manifest["pages_fetched"]

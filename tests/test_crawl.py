@@ -172,6 +172,10 @@ def test_checkpoint_resume_bit_identical(ray_session, store, tmp_path):
     bad_cfg = _config(store, checkpoint_dir=ckpt, content_max_similarity=0.5)
     with pytest.raises(ValueError):
         CrawlEngine.resume(store, bad_cfg)
+    # shard-count drift is also guarded (seen-set dumps are shard-local)
+    bad_shards = _config(store, checkpoint_dir=ckpt, num_gate_shards=8)
+    with pytest.raises(ValueError, match="shard"):
+        CrawlEngine.resume(store, bad_shards)
 
 
 def test_resume_with_priority_queue(ray_session, store, tmp_path):
