@@ -632,9 +632,11 @@ class CrawlEngine:
         page_cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
                      "url_norm", "wave", "seq"]
         pages_dir = None
+        accepted_arr = pa.array(sorted(accepted_seqs), type=pa.int64())
         if inline:
-            mask = pa.array([int(s) in accepted_seqs
-                             for s in validated_tbl["seq"].to_pylist()])
+            import pyarrow.compute as pc
+
+            mask = pc.is_in(validated_tbl["seq"], value_set=accepted_arr)
             accepted_tbl = validated_tbl.filter(mask)
             if cfg.checkpoint_dir:
                 pages_dir = os.path.join(cfg.checkpoint_dir, "pages",
@@ -651,11 +653,12 @@ class CrawlEngine:
                     shutil.rmtree(pages_dir)
                 os.replace(tmp, pages_dir)
         else:
-            seq_ref = ray.put(accepted_seqs)
+            seq_ref = ray.put(accepted_arr)
 
             def keep_accepted(b: pa.Table) -> pa.Table:
-                acc = ray.get(seq_ref)
-                m = pa.array([int(s) in acc for s in b["seq"].to_pylist()])
+                import pyarrow.compute as pc
+
+                m = pc.is_in(b["seq"], value_set=ray.get(seq_ref))
                 return b.filter(m)
 
             if cfg.checkpoint_dir:

@@ -177,14 +177,19 @@ GROUP BY o_orderpriority
 # --- 3c. per-group top-k (window function analog) ----------------------------
 
 def q_top_events_per_user(sf_dir: str):
-    """Top-2 events by value per user — groupby().map_groups window op."""
+    """Top-2 events by value per user — one vectorized sort + grouped head
+    per hash bucket (no per-user Python at 10^9 users)."""
+    from searchengine_ray.stages.relational import bucketed_apply
+
     ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "value"])
 
-    def top2(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["value", "event_id"],
-                             ascending=[False, True]).head(2)
+    def top2_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["user_id", "value", "event_id"],
+                              ascending=[True, False, True], kind="mergesort")
+                .groupby("user_id", sort=False).head(2)
+                [["event_id", "user_id", "value"]])
 
-    return ds.groupby("user_id").map_groups(top2, batch_format="pandas")
+    return bucketed_apply(ds, ["user_id"], top2_per_bucket)
 
 
 SQL_TOP_EVENTS_PER_USER = """
@@ -314,7 +319,10 @@ def q_props_k_stats(sf_dir: str):
 
 SQL_PROPS_K_STATS = """
 SELECT event_type,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       -- DuckDB sum(BIGINT) yields HUGEINT (→ float64 in pandas); cast back
+       -- so the oracle dtype matches the engine's int64 (driver hashes the
+       -- representation, not just the value)
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        max(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
 """
@@ -458,8 +466,15 @@ FROM documents
 # --- 12. brute-force cosine top-k (similarity search baseline) --------------
 
 def q_knn_bruteforce(sf_dir: str):
+    import pyarrow.parquet as pq
+
     ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    q = ds.filter(lambda r: r["vec_id"] == 0).take(1)[0]["embedding"]
+    # query vector: single-row predicate-pushdown parquet read (row-group
+    # pruning), not a full-table filter
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "==", 0)])
+    q = qt["embedding"].to_pylist()[0]
     # over-fetch (k=50), round, re-rank on (rounded cosine, vec_id): the final
     # top-10 SET then matches the oracle even on rounded-value boundary ties
     out = knn_stage.knn_bruteforce(ds, np.asarray(q), k=50, exclude_ids={0})

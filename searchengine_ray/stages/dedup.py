@@ -36,17 +36,24 @@ def add_content_hash(ds: Dataset, text_col: str = "text", out_col: str = "conten
 def dedup_exact(
     ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
 ) -> Dataset:
-    """Keep the min-id row per distinct content: hash-partition by the
-    content hash, take first within each group.  Order-independent (min id),
+    """Keep the min-id row per distinct content.  Order-independent (min id),
     so it needs no sequential state — unlike the reference's arrival-order
     seen set, the keep-set is identical (min doc_id ↔ first arrival for
-    monotonically assigned ids)."""
+    monotonically assigned ids).
+
+    Shuffle shape: the content hash is near-unique, so per-group machinery
+    (native ``groupby.map_groups`` — or even a per-group Python fn) is the
+    many-tiny-groups pathology.  ``bucketed_apply`` runs ONE vectorized
+    ``sort + drop_duplicates`` per hash bucket instead."""
+    from searchengine_ray.stages.relational import bucketed_apply
+
     hashed = add_content_hash(ds, text_col=text_col)
 
-    def first_per_group(g: pd.DataFrame) -> pd.DataFrame:
-        return g.nsmallest(1, id_col)
+    def keep_min_id(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(id_col, kind="mergesort")
+                .drop_duplicates("content_hash", keep="first"))
 
-    return hashed.groupby("content_hash").map_groups(first_per_group, batch_format="pandas")
+    return bucketed_apply(hashed, ["content_hash"], keep_min_id)
 
 
 # ---------------------------------------------------------------------------

@@ -23,6 +23,17 @@ from ray.data import Dataset
 _PARTIAL_OPS = {"sum", "count", "min", "max"}
 
 
+def default_num_buckets() -> int:
+    """Reduce-side bucket count scaled to the cluster: ~2 buckets per CPU
+    (floor 64) so reduce parallelism tracks cluster size instead of a fixed
+    constant.  Evaluated lazily at pipeline-build time on the driver."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 32))
+    except Exception:
+        cpus = 32
+    return max(64, 2 * cpus)
+
+
 def pre_aggregate(
     ds: Dataset,
     keys: Sequence[str],
@@ -64,6 +75,8 @@ def pre_aggregate(
     merge_ops = {out: ("sum" if op in ("sum", "count") else op)
                  for out, (_, op) in specs.items()}
 
+    nb = default_num_buckets()
+
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
@@ -71,7 +84,7 @@ def pre_aggregate(
         for k in keys:
             h = h * np.uint64(1000003) + pd.util.hash_pandas_object(
                 df[k], index=False).to_numpy(dtype=np.uint64)
-        df["_bucket"] = (h % np.uint64(64)).astype("int64")
+        df["_bucket"] = (h % np.uint64(nb)).astype("int64")
         return df
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -111,7 +124,7 @@ def bucketed_map_groups(
     ds: Dataset,
     keys: Sequence[str],
     fn,
-    num_buckets: int = 64,
+    num_buckets: int | None = None,
     skip_singletons: bool = False,
 ) -> Dataset:
     """``groupby(keys).map_groups(fn)`` for MANY small groups.
@@ -122,6 +135,7 @@ def bucketed_map_groups(
     pandas groupby drives ``fn`` per group.  ``skip_singletons`` drops
     single-row groups before iterating (right for pair-emitting fns)."""
     keys = list(keys)
+    nb = num_buckets if num_buckets is not None else default_num_buckets()
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -130,7 +144,7 @@ def bucketed_map_groups(
         for k in keys:
             h = h * np.uint64(1000003) + pd.util.hash_pandas_object(
                 df[k], index=False).to_numpy(dtype=np.uint64)
-        df["_bucket"] = (h % np.uint64(num_buckets)).astype("int64")
+        df["_bucket"] = (h % np.uint64(nb)).astype("int64")
         return df
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -148,6 +162,41 @@ def bucketed_map_groups(
             .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"))
 
 
+def bucketed_apply(
+    ds: Dataset,
+    keys: Sequence[str],
+    fn,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Co-shuffle rows so every group of ``keys`` lands whole in one bucket,
+    then apply ``fn`` ONCE per bucket (fn sees all the bucket's groups at
+    once and must itself be group-aware, e.g. ``drop_duplicates(keys)`` or
+    ``sort_values + groupby().head``).
+
+    This is the scale shape for per-key kernels that pandas can express as a
+    single vectorized whole-frame op: unlike ``bucketed_map_groups`` there is
+    no per-group Python call at all — near-unique keys (exact dedup) or 10^9
+    tiny groups (sessionize) cost one pandas kernel per bucket."""
+    keys = list(keys)
+    nb = num_buckets if num_buckets is not None else default_num_buckets()
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        h = np.zeros(len(df), dtype=np.uint64)
+        for k in keys:
+            h = h * np.uint64(1000003) + pd.util.hash_pandas_object(
+                df[k], index=False).to_numpy(dtype=np.uint64)
+        df["_bucket"] = (h % np.uint64(nb)).astype("int64")
+        return df
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        return fn(g.drop(columns=["_bucket"]))
+
+    return (ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("_bucket").map_groups(per_bucket, batch_format="pandas"))
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,
@@ -160,7 +209,7 @@ def hash_join(
     Both sides get a ``bucket = hash(key) % B`` column; the union shuffles
     once on ``bucket`` and each group task splits its bucket by side and
     merges with pandas — the portable pattern when neither side fits in a
-    broadcast (ray_guide 'Joins and lookups').  Skewed keys: raise
+    broadcast.  Skewed keys: raise
     ``num_buckets`` or salt the hot key upstream.  Column name collisions
     (other than ``on``) follow pandas suffix rules."""
     import numpy as np

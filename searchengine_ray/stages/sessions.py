@@ -1,8 +1,9 @@
 """Event-stream windowed operators (streaming-shaped semantics over a
-partitioned log — see ray_guide 'Streaming-shaped workloads').
+partitioned log).
 
-Ordering assumption: events for one key fit in one ``map_groups`` group and
-are sorted by ``ts`` inside it; cross-key ordering is irrelevant.
+Partitioning assumption (documented per-operator): all events of one key are
+co-shuffled into one hash bucket and sorted by ``ts`` inside it; cross-key
+ordering is irrelevant.
 """
 
 from __future__ import annotations
@@ -17,18 +18,29 @@ def sessionize_counts(
     key_col: str = "user_id", ts_col: str = "ts",
 ) -> Dataset:
     """Session count per key with a fixed inactivity gap: a new session
-    starts when the time since the previous event exceeds the gap."""
+    starts when the time since the previous event exceeds the gap.
+
+    One vectorized kernel per hash bucket (``bucketed_apply``): sort the
+    bucket by (key, ts) once, flag session starts with a shifted compare,
+    sum flags per key — no per-key Python at 10^9 keys."""
+    from searchengine_ray.stages.relational import bucketed_apply
+
     gap = np.timedelta64(gap_minutes * 60, "s")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g[ts_col].to_numpy())
-        if len(ts) == 0:
-            n = 0
-        else:
-            n = 1 + int((np.diff(ts) > gap).sum())
-        return pd.DataFrame({key_col: [g[key_col].iloc[0]], "n_sessions": [n]})
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        ts = g[ts_col].to_numpy()
+        new_s = np.ones(len(g), dtype=np.int64)
+        if len(g) > 1:
+            same_key = keys[1:] == keys[:-1]
+            within_gap = (ts[1:] - ts[:-1]) <= gap
+            new_s[1:] = (~(same_key & within_gap)).astype(np.int64)
+        return (pd.DataFrame({key_col: keys, "new_s": new_s})
+                .groupby(key_col, as_index=False, sort=False)
+                .agg(n_sessions=("new_s", "sum")))
 
-    return ds.groupby(key_col).map_groups(per_user, batch_format="pandas")
+    return bucketed_apply(ds, [key_col], per_bucket)
 
 
 def asof_join(
@@ -42,10 +54,9 @@ def asof_join(
     """As-of join: for each left row, the most recent right row of the same
     key with ``right_ts <= left_ts``.
 
-    Implementation per the documented partitioning assumption (ray_guide
-    'As-of / range join'): hash-bucket both sides on the key, co-shuffle
-    once, and run ``pd.merge_asof`` per bucket over key-sorted frames.
-    Rows of one key never straddle buckets."""
+    Implementation per the documented partitioning assumption: hash-bucket
+    both sides on the key, co-shuffle once, and run ``pd.merge_asof`` per
+    bucket over key-sorted frames.  Rows of one key never straddle buckets."""
     import numpy as np
     import pyarrow as pa
 

@@ -105,6 +105,13 @@ class HostGateShard:
         self.host_urls[host].append(url_norm)
         self.trap_index.add(url_norm)
 
+    def _rebuild_cuckoo(self, capacity: int) -> bool:
+        self.cuckoo = CuckooFilter(capacity=capacity)
+        for h in self.seen_hashes:
+            if not self.cuckoo.add(self._cuckoo_key(h)):
+                return False
+        return True
+
     def seen_count(self) -> int:
         return len(self.seen_hashes)
 
@@ -118,9 +125,15 @@ class HostGateShard:
     def restore(self, state: dict) -> None:
         self.seen_hashes = set(state["seen_hashes"])
         self.host_urls = defaultdict(list, {h: list(v) for h, v in state["host_urls"].items()})
-        self.cuckoo = CuckooFilter(capacity=max(1 << 20, 2 * len(self.seen_hashes)))
-        for h in self.seen_hashes:
-            self.cuckoo.add(self._cuckoo_key(h))
+        # same regrow/degrade policy as _admit: a silently dropped key would
+        # re-accept a seen URL after resume, breaking bit-identical resume
+        self.cuckoo_degraded = False
+        cap = max(1 << 20, 2 * len(self.seen_hashes))
+        while not self._rebuild_cuckoo(cap):
+            cap *= 4
+            if cap > (1 << 28):
+                self.cuckoo_degraded = True
+                break
         self.trap_index = TrapIndex(self.threshold)
         for urls in self.host_urls.values():
             for u in urls:

@@ -63,9 +63,19 @@ def main() -> None:
         if ok:
             for c in a.columns:
                 av, bv = a[c].to_numpy(), b[c].to_numpy()
+                a_f = np.issubdtype(np.asarray(av).dtype, np.floating)
+                b_f = np.issubdtype(np.asarray(bv).dtype, np.floating)
                 try:
-                    if np.issubdtype(np.asarray(av).dtype, np.floating) or \
-                       np.issubdtype(np.asarray(bv).dtype, np.floating):
+                    if a_f != b_f:
+                        # the real driver hashes the representation — an
+                        # int64-vs-float64 dtype drift fails there even when
+                        # values agree, so fail it here too
+                        ok = False
+                        failures.append(
+                            f"{name}: column {c} dtype drift "
+                            f"{np.asarray(av).dtype} vs {np.asarray(bv).dtype}")
+                        break
+                    if a_f and b_f:
                         ok = np.allclose(av.astype(float), bv.astype(float),
                                          rtol=0, atol=1e-9)
                     else:
