@@ -60,6 +60,80 @@ def _affine_min(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarra
     return v.min(axis=1).astype(np.int64)
 
 
+def _affine_matrix(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(num_perm × num_shingles) matrix of (a*x+b) mod 2^61-1 — the exact
+    arithmetic of ``_affine_min`` without the final min."""
+    M32 = np.uint64(0xFFFFFFFF)
+    M61 = np.uint64((1 << 61) - 1)
+    x = shingles.astype(np.uint64) & M61
+    au = a.astype(np.uint64)
+    bu = b.astype(np.uint64)
+    ah, al = (au >> np.uint64(32))[:, None], (au & M32)[:, None]
+    xh, xl = (x >> np.uint64(32))[None, :], (x & M32)[None, :]
+    mid = ah * xl + al * xh
+    p = al * xl
+    lo = p + ((mid & M32) << np.uint64(32))
+    carry = (lo < p).astype(np.uint64)
+    hi = ah * xh + (mid >> np.uint64(32)) + carry
+    v = (hi << np.uint64(3)) + (lo & M61) + (lo >> np.uint64(61)) + bu[:, None]
+    v = (v & M61) + (v >> np.uint64(61))
+    v = np.where(v >= np.uint64(_P), v - np.uint64(_P), v)
+    return v
+
+
+def batch_signatures(
+    shingle_arrays: list[np.ndarray], a: np.ndarray, b: np.ndarray,
+    chunk_shingles: int = 1 << 15,
+) -> np.ndarray:
+    """Signatures for a whole batch of docs in one vectorized pass.
+
+    Concatenates every doc's shingles, computes the affine matrix in
+    bounded chunks (≤ chunk_shingles columns ⇒ ~32 MB at 128 perms), and
+    takes per-doc minima with ``np.minimum.reduceat`` — no per-doc Python
+    beyond building the offsets.  Empty docs get the all-``_P`` sentinel
+    (same as ``minhash_signature``)."""
+    num_perm = a.shape[0]
+    n_docs = len(shingle_arrays)
+    sigs = np.full((n_docs, num_perm), _P, dtype=np.uint64)
+    lens = np.fromiter((s.size for s in shingle_arrays), dtype=np.int64,
+                       count=n_docs)
+    nonempty = np.flatnonzero(lens)
+    if nonempty.size == 0:
+        return sigs.astype(np.int64)
+    cat = np.concatenate([shingle_arrays[i] for i in nonempty])
+    offsets = np.zeros(nonempty.size, dtype=np.int64)
+    np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+    # chunk along the shingle axis, aligned to doc boundaries
+    start_doc = 0
+    while start_doc < nonempty.size:
+        end_doc = start_doc + 1
+        start_off = offsets[start_doc]
+        while (end_doc < nonempty.size
+               and offsets[end_doc] - start_off < chunk_shingles):
+            end_doc += 1
+        end_off = (offsets[end_doc] if end_doc < nonempty.size else cat.size)
+        m = _affine_matrix(cat[start_off:end_off], a, b)  # (P, S_chunk)
+        local_off = (offsets[start_doc:end_doc] - start_off)
+        mins = np.minimum.reduceat(m, local_off, axis=1)  # (P, docs_chunk)
+        sigs[nonempty[start_doc:end_doc]] = mins.T
+        start_doc = end_doc
+    return sigs.astype(np.int64)
+
+
+def band_digests(sigs: np.ndarray, num_bands: int = 16) -> np.ndarray:
+    """(n_docs, num_perm) signatures → (n_docs, num_bands) int64 FNV-1a band
+    digests — vectorized across docs and bands (identical values to
+    ``band_keys``; the loop is over the r rows of a band only)."""
+    n_docs, num_perm = sigs.shape
+    r = num_perm // num_bands
+    chunks = sigs.astype(np.uint64).reshape(n_docs, num_bands, r)
+    digest = np.full((n_docs, num_bands), 1469598103934665603, dtype=np.uint64)
+    fnv = np.uint64(1099511628211)
+    for i in range(r):
+        digest = (digest ^ chunks[:, :, i]) * fnv  # uint64 wrap == & mask
+    return digest.astype(np.int64)
+
+
 def band_keys(sig: np.ndarray, num_bands: int = 16) -> list[tuple[int, int]]:
     """Signature → (band_id, 64-bit band digest) pairs for the LSH groupby."""
     r = sig.shape[0] // num_bands

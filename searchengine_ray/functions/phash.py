@@ -65,6 +65,12 @@ def hamming64_vec(arr: np.ndarray, v: int) -> np.ndarray:
     return _popcount64(x)
 
 
+def hamming64_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Elementwise Hamming distance between two int64 arrays."""
+    x = (a.astype(np.int64) ^ b.astype(np.int64)).astype(np.uint64)
+    return _popcount64(x)
+
+
 def _popcount64(x: np.ndarray) -> np.ndarray:
     c = np.zeros(x.shape, dtype=np.int64)
     for shift in range(0, 64, 8):

@@ -611,22 +611,79 @@ FROM toks2
 """
 
 
-# --- 14. quality / langid features (rows-only check) ------------------------
+# --- 14. quality / langid features (SQL-checked) -----------------------------
 
 def q_text_features(sf_dir: str):
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
     out = ds.map_batches(text_stage.TextFeatures, batch_format="pandas",
                          batch_size=1024, concurrency=(1, 4))
-    return out.select_columns(
-        ["doc_id", "lang_pred", "n_words", "mean_word_len",
-         "punct_ratio", "stopword_ratio", "n_tokens_bpeish"])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "lang_pred": df["lang_pred"],
+            "n_words": df["n_words"].astype(np.int64),
+            "mean_word_len": df["mean_word_len"].round(6),
+            "punct_ratio": df["punct_ratio"].round(6),
+            "stopword_ratio": df["stopword_ratio"].round(6),
+            "n_tokens_bpeish": df["n_tokens_bpeish"].astype(np.int64),
+        })
+
+    return out.map_batches(finish, batch_format="pandas")
 
 
-# --- 15. minhash LSH near-dup candidates (rows-only check) -------------------
+# Oracle for the full feature row (every feature is deterministic string
+# math, so the whole projection is SQL-expressible; the CJK branch of
+# detect_language is vacuous on this ASCII corpus and the stopword-voting
+# tie-break mirrors the engine's first-max-wins order en→de→fr→es).
+SQL_TEXT_FEATURES = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, ' '), w -> w <> '') AS words,
+         regexp_extract_all(lower(substring(text, 1, 4000)), '[a-z'']+') AS w4k
+  FROM documents),
+feat AS (
+  SELECT doc_id, text, words,
+         len(words) AS n_words,
+         len(list_filter(w4k, w -> w IN ('the','and','of','to','a','in','is','that','it','for'))) AS h_en,
+         len(list_filter(w4k, w -> w IN ('der','die','das','und','ist','nicht','ein','mit','zu','den'))) AS h_de,
+         len(list_filter(w4k, w -> w IN ('le','la','les','et','est','un','une','des','pour','que'))) AS h_fr,
+         len(list_filter(w4k, w -> w IN ('el','la','los','las','y','es','un','una','por','que'))) AS h_es
+  FROM base)
+SELECT doc_id,
+       CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+            WHEN h_de = greatest(h_en, h_de, h_fr, h_es) THEN 'de'
+            WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+            ELSE 'es' END AS lang_pred,
+       CAST(n_words AS BIGINT) AS n_words,
+       round(CASE WHEN n_words = 0 THEN 0.0
+                  ELSE CAST(len(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+                       / n_words END, 6) AS mean_word_len,
+       round(CASE WHEN len(text) = 0 THEN 0.0
+                  ELSE CAST(len(regexp_extract_all(text, '[^\w\s]')) AS DOUBLE)
+                       / len(text) END, 6) AS punct_ratio,
+       round(CASE WHEN n_words = 0 THEN 0.0
+                  ELSE CAST(len(list_filter(words,
+                       w -> lower(w) IN ('the','and','of','to','a','in','is','that','it','for')))
+                       AS DOUBLE) / n_words END, 6) AS stopword_ratio,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]{1,8}|[0-9]{1,3}|[^\sA-Za-z0-9]'))
+            AS BIGINT) AS n_tokens_bpeish
+FROM feat
+"""
+
+
+# --- 15. minhash LSH near-dup + exact verify (SQL-checked) -------------------
 
 def q_minhash_pairs(sf_dir: str):
+    """LSH candidates + distributed exact-Jaccard verify.  The verified
+    output is checked against the exact all-pairs SQL (SQL_MINHASH_PAIRS) —
+    i.e. the LSH stage must have perfect recall at this threshold on this
+    corpus.  128 perms in 32 bands of r=4: P(miss) ≈ (1-J⁴)³² < 1e-3 for
+    J > 0.67 and < 4e-7 for J ≥ 0.78 — and the run is deterministic (fixed
+    seed), so a recall check that passes on a corpus stays passing."""
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
-    cand = dedup_stage.minhash_lsh_candidates(ds)
+    cand = dedup_stage.minhash_lsh_candidates(ds, dedup=False)
     return dedup_stage.verify_jaccard_pairs(ds, cand, threshold=0.65)
 
 
@@ -637,7 +694,9 @@ def q_ngram_jaccard(sf_dir: str):
     return dedup_stage.ngram_jaccard_pairs(ds, threshold=0.65)
 
 
-SQL_NGRAM_JACCARD = """
+# Shared CTE prefix: distinct non-overlapping 3-gram shingles per doc (the
+# engine's shingle_hashes semantics — reference ngrams.py:28-66).
+_SQL_SHINGLES = """
 WITH toks AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
@@ -647,7 +706,32 @@ sh AS (
   SELECT DISTINCT doc_id,
          unnest(list_transform(range(0, len(ts), 3),
                                i -> array_to_string(ts[i+1:i+3], ''))) AS s
-  FROM toks WHERE len(ts) > 0),
+  FROM toks WHERE len(ts) > 0)
+"""
+
+# Capped variant (mirrors stages/dedup.DEFAULT_MAX_SHINGLE_DF = 64): shingles
+# with document frequency > 64 are dropped from pair generation AND from the
+# set sizes, exactly as the engine does.
+SQL_NGRAM_JACCARD = _SQL_SHINGLES + """,
+ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64),
+sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN ok USING (s)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) > 0.65
+"""
+
+# Uncapped exact all-pairs jaccard: the oracle for the MinHash+LSH+verify
+# path — verified LSH output must equal the exact result (full shingle sets,
+# no df cap) at the same threshold.
+SQL_MINHASH_PAIRS = _SQL_SHINGLES + """,
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
@@ -702,12 +786,24 @@ def q_image_pipeline(sf_dir: str):
 def q_embedding_neardup(sf_dir: str):
     ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = dedup_stage.embedding_neardup_pairs(ds, threshold=0.95)
+    pdf = out.to_pandas()  # pair-scale result, small by construction
+    if pdf.empty:
+        # a fully-empty distributed result loses its block schema; pin it
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64),
+                             "cosine": pd.Series([], dtype=np.float64)})
+    pdf["cosine"] = pdf["cosine"].round(6)
+    return pdf.reset_index(drop=True)
 
-    def finish(df: pd.DataFrame) -> pd.DataFrame:
-        df["cosine"] = df["cosine"].round(6)
-        return df
 
-    return out.map_batches(finish, batch_format="pandas")
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.95
+"""
 
 
 QUERIES = {
@@ -764,6 +860,11 @@ ORACLE_SQL = {
     "url_canon": SQL_URL_CANON,
     "boolean_search": SQL_BOOLEAN_SEARCH,
     "index_stats": SQL_INDEX_STATS,
-    # text_features / minhash_pairs / simhash_pairs / embedding_neardup are
-    # non-SQL-expressible → rows-only checks (driver records the weaker gate)
+    "text_features": SQL_TEXT_FEATURES,
+    "minhash_pairs": SQL_MINHASH_PAIRS,
+    "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    # crawl_bfs (stateful sequential-gate semantics), simhash_pairs (64-bit
+    # bitwise majority vote) and image_pipeline (binary codec) are
+    # non-SQL-expressible → rows-only checks; their semantics are pinned by
+    # the pytest conformance suites instead
 }

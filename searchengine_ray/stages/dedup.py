@@ -14,9 +14,10 @@ import pandas as pd
 import ray
 from ray.data import Dataset
 
-from searchengine_ray.functions.minhash import band_keys, make_coeffs, minhash_signature
+from searchengine_ray.functions.minhash import (
+    band_digests, batch_signatures, make_coeffs, minhash_signature)
 from searchengine_ray.functions.ngrams import shingle_hashes, stable_hash64
-from searchengine_ray.functions.phash import hamming64, phash_bands
+from searchengine_ray.functions.phash import phash_bands
 from searchengine_ray.functions.simhash import simhash64
 from searchengine_ray.stages.text import simple_tokens
 
@@ -57,14 +58,159 @@ def dedup_exact(
 
 
 # ---------------------------------------------------------------------------
+# Shared shingle-set machinery (used by both MinHash verify and exact n-gram
+# Jaccard — everything distributed, nothing doc-scaled on the driver)
+# ---------------------------------------------------------------------------
+
+
+def explode_shingles(
+    ds: Dataset, shingle_n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+    drop_ref=None,
+) -> Dataset:
+    """Distinct (doc_id, sh, n) rows — ``shingle_hashes`` yields a set, so
+    the explode is distinct by construction.  ``n`` is the doc's shingle-set
+    size (repeated per row; 8 bytes) so downstream stages never need a
+    per-doc sizes lookup.  ``drop_ref``: optional ``ray.put`` set of shingle
+    hashes to EXCLUDE (hot-shingle cap) — sizes then count the filtered
+    set, keeping jaccard internally consistent."""
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        drop = ray.get(drop_ref) if drop_ref is not None else None
+        ids, hs, ns = [], [], []
+        for doc_id, text in zip(df[id_col].to_numpy(), df[text_col]):
+            sh = shingle_hashes(simple_tokens(text or ""), shingle_n)
+            if drop:
+                sh -= drop
+            for v in sh:
+                ids.append(doc_id)
+                hs.append(v)
+                ns.append(len(sh))
+        return pd.DataFrame({"doc_id": np.array(ids, np.int64),
+                             "sh": np.array(hs, np.int64),
+                             "n": np.array(ns, np.int64)})
+
+    return ds.map_batches(explode, batch_format="pandas", batch_size=1024)
+
+
+def _pair_jaccard_coshuffle(
+    cand: Dataset, exploded: Dataset, threshold: float, round_to: int = 6,
+) -> Dataset:
+    """Exact jaccard for candidate (doc_a, doc_b) pairs in TWO all-to-alls.
+
+    1. union pair-membership rows (2 per pair, tagged side 0/1) with the
+       shingle rows, co-shuffle on doc_id: one vectorized merge per bucket
+       attaches each member doc's shingles (duplicate candidates collapse
+       here — same doc ⇒ same bucket).
+    2. co-shuffle those on (pair_a, pair_b): side-0 × side-1 merge on the
+       shingle gives |A∩B|, sizes ride along on every row, jaccard is one
+       vectorized expression.  A pair sharing zero shingles drops out — it
+       could never pass a positive threshold.
+
+    Everything is (int64 × 6) rows; no shingle set, sizes map or pair list
+    ever lands on the driver."""
+    from searchengine_ray.stages.relational import bucketed_apply
+
+    cols = ["doc_id", "pair_a", "pair_b", "side", "sh", "n"]
+
+    def members(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(dtype=np.int64)
+        b = df["doc_b"].to_numpy(dtype=np.int64)
+        k = len(df)
+        z = np.zeros(2 * k, dtype=np.int64)
+        return pd.DataFrame({"doc_id": np.concatenate([a, b]),
+                             "pair_a": np.tile(a, 2), "pair_b": np.tile(b, 2),
+                             "side": np.repeat(np.array([0, 1], np.int64), k),
+                             "sh": z, "n": z})[cols]
+
+    def widen_sh(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.zeros(len(df), dtype=np.int64)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                             "pair_a": z, "pair_b": z,
+                             "side": np.full(len(df), -1, dtype=np.int64),
+                             "sh": df["sh"].to_numpy(dtype=np.int64),
+                             "n": df["n"].to_numpy(dtype=np.int64)})[cols]
+
+    both = (cand.map_batches(members, batch_format="pandas")
+            .union(exploded.map_batches(widen_sh, batch_format="pandas")))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        mem = g[side >= 0].drop_duplicates(["pair_a", "pair_b", "side"])
+        shg = g[side < 0]
+        out = mem[["doc_id", "pair_a", "pair_b", "side"]].merge(
+            shg[["doc_id", "sh", "n"]], on="doc_id")
+        return out[["pair_a", "pair_b", "side", "sh", "n"]]
+
+    attached = bucketed_apply(both, ["doc_id"], attach)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                              "doc_b": pd.Series([], dtype=np.int64),
+                              "jaccard": pd.Series([], dtype=np.float64)})
+        if not len(g):
+            return empty
+        side = g["side"].to_numpy()
+        s0 = g[side == 0]
+        s1 = g[side == 1]
+        m = s0[["pair_a", "pair_b", "sh"]].merge(
+            s1[["pair_a", "pair_b", "sh"]], on=["pair_a", "pair_b", "sh"])
+        if not len(m):
+            return empty
+        cnt = m.groupby(["pair_a", "pair_b"], as_index=False, sort=False).agg(
+            shared=("sh", "size"))
+        na = s0.drop_duplicates(["pair_a", "pair_b"])[
+            ["pair_a", "pair_b", "n"]].rename(columns={"n": "na"})
+        nb = s1.drop_duplicates(["pair_a", "pair_b"])[
+            ["pair_a", "pair_b", "n"]].rename(columns={"n": "nb"})
+        r = cnt.merge(na, on=["pair_a", "pair_b"]).merge(nb, on=["pair_a", "pair_b"])
+        jac = r["shared"].to_numpy(np.float64) / (
+            r["na"].to_numpy(np.float64) + r["nb"].to_numpy(np.float64)
+            - r["shared"].to_numpy(np.float64))
+        keep = jac > threshold
+        return pd.DataFrame({"doc_a": r["pair_a"].to_numpy()[keep],
+                             "doc_b": r["pair_b"].to_numpy()[keep],
+                             "jaccard": np.round(jac[keep], round_to)})
+
+    return bucketed_apply(attached, ["pair_a", "pair_b"], resolve)
+
+
+def _jaccard_from_counts(
+    counted: Dataset, threshold: float, round_to: int = 6,
+) -> Dataset:
+    """(doc_a, doc_b, shared, na, nb) → thresholded jaccard rows in one
+    vectorized pass: shared/(|A|+|B|-shared)."""
+
+    def jaccard_batch(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "jaccard": pd.Series([], dtype=np.float64)})
+        na = df["na"].to_numpy(dtype=np.float64)
+        nb = df["nb"].to_numpy(dtype=np.float64)
+        shared = df["shared"].to_numpy(dtype=np.float64)
+        jac = shared / (na + nb - shared)
+        keep = jac > threshold
+        return pd.DataFrame({"doc_a": df["doc_a"].to_numpy()[keep],
+                             "doc_b": df["doc_b"].to_numpy()[keep],
+                             "jaccard": np.round(jac[keep], round_to)})
+
+    return counted.map_batches(jaccard_batch, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------
 
 
 class MinHashStage:
-    """doc → (signature bands) rows.  Coefficients built once per actor."""
+    """doc → (signature bands) rows.  Coefficients built once per instance;
+    the whole batch is signed in one vectorized pass (``batch_signatures``:
+    concatenated shingles → chunked affine matrix → per-doc
+    ``minimum.reduceat``) and band digests come from the vectorized FNV
+    (``band_digests``) — no per-doc Python beyond tokenization."""
 
-    def __init__(self, num_perm: int = 128, num_bands: int = 16, shingle_n: int = 3,
+    def __init__(self, num_perm: int = 128, num_bands: int = 32, shingle_n: int = 3,
                  text_col: str = "text", id_col: str = "doc_id"):
         self.a, self.b = make_coeffs(num_perm)
         self.num_bands = num_bands
@@ -77,146 +223,126 @@ class MinHashStage:
         return minhash_signature(np.fromiter(sh, dtype=np.int64, count=len(sh)), self.a, self.b)
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        ids, bands, digests = [], [], []
-        for doc_id, text in zip(df[self.id_col].to_numpy(), df[self.text_col]):
-            sig = self.signature(text or "")
-            for band_id, digest in band_keys(sig, self.num_bands):
-                ids.append(doc_id)
-                bands.append(band_id)
-                digests.append(digest)
+        sh_arrays = [
+            np.fromiter(sh, dtype=np.int64, count=len(sh))
+            for sh in (shingle_hashes(simple_tokens(t or ""), self.shingle_n)
+                       for t in df[self.text_col])
+        ]
+        sigs = batch_signatures(sh_arrays, self.a, self.b)
+        digests = band_digests(sigs, self.num_bands)  # (D, bands)
+        n = len(df)
         return pd.DataFrame(
-            {"doc_id": np.array(ids, dtype=np.int64),
-             "band_id": np.array(bands, dtype=np.int32),
-             "band_digest": np.array(digests, dtype=np.int64)}
+            {"doc_id": np.repeat(df[self.id_col].to_numpy(), self.num_bands),
+             "band_id": np.tile(np.arange(self.num_bands, dtype=np.int32), n),
+             "band_digest": digests.ravel()}
         )
 
 
 def minhash_lsh_candidates(
-    ds: Dataset, num_perm: int = 128, num_bands: int = 16,
-    text_col: str = "text", id_col: str = "doc_id",
+    ds: Dataset, num_perm: int = 128, num_bands: int = 32,
+    text_col: str = "text", id_col: str = "doc_id", dedup: bool = True,
 ) -> Dataset:
     """Candidate near-dup pairs (doc_a < doc_b) sharing ≥1 LSH band bucket.
 
     shingle → minhash → band → ``groupby(band)`` → per-bucket pairing —
-    the all-to-all is over tiny (band, digest, id) rows, never documents."""
-    bands = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"num_perm": num_perm, "num_bands": num_bands,
-                               "text_col": text_col, "id_col": id_col},
-        batch_format="pandas", batch_size=1024, concurrency=(1, 8),
-    )
+    the all-to-all is over tiny (band, digest, id) rows, never documents.
+    ``dedup=False`` skips the cross-band dedup shuffle when the consumer
+    collapses duplicates itself (the verify co-shuffle does)."""
+    # instance, not callable class: coefficient setup is trivial (two
+    # seeded randint arrays), so stateless tasks beat an actor pool that
+    # would respawn per call (CLAUDE.md gotcha)
+    stage = MinHashStage(num_perm=num_perm, num_bands=num_bands,
+                         text_col=text_col, id_col=id_col)
+    bands = ds.map_batches(stage, batch_format="pandas", batch_size=1024)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-        ia, ib = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    from searchengine_ray.stages.relational import bucketed_apply
 
-    from searchengine_ray.stages.relational import bucketed_map_groups
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["band_id", "band_digest"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return pd.DataFrame({"doc_a": m["doc_id_a"].to_numpy(dtype=np.int64),
+                             "doc_b": m["doc_id_b"].to_numpy(dtype=np.int64)})
 
-    cand = bucketed_map_groups(bands, ["band_id", "band_digest"], pairs,
-                               skip_singletons=True)
+    cand = bucketed_apply(bands, ["band_id", "band_digest"], pairs_bucket)
+    if not dedup:
+        return cand
     # dedup pairs discovered in multiple bands
-    return bucketed_map_groups(cand, ["doc_a", "doc_b"], lambda g: g.head(1))
+    return bucketed_apply(cand, ["doc_a", "doc_b"],
+                          lambda g: g.drop_duplicates(["doc_a", "doc_b"]))
 
 
 def verify_jaccard_pairs(
     ds: Dataset, pairs: Dataset, threshold: float, shingle_n: int = 3,
-    text_col: str = "text", id_col: str = "doc_id",
-) -> pd.DataFrame:
-    """Exact-Jaccard verification of candidate pairs.  The candidate set is
-    small (LSH output); shingle sets for the involved docs are collected via
-    a semi-filter and the verify runs driver-side on fingerprints only."""
-    pdf = pairs.to_pandas()
-    need = set(pdf["doc_a"]).union(pdf["doc_b"])
-    need_ref = ray.put(need)
+    text_col: str = "text", id_col: str = "doc_id", round_to: int = 6,
+) -> Dataset:
+    """Exact-Jaccard verification of candidate pairs — fully distributed.
 
-    def shingles_of(df: pd.DataFrame) -> pd.DataFrame:
-        keep = df[df[id_col].isin(ray.get(need_ref))]
-        return pd.DataFrame({
-            "doc_id": keep[id_col].to_numpy(),
-            "sh": [list(shingle_hashes(simple_tokens(t or ""), shingle_n)) for t in keep[text_col]],
-        })
+    Pairs never materialize on the driver — see ``_pair_jaccard_coshuffle``
+    for the two-all-to-all co-shuffle that attaches shingles and resolves
+    jaccard."""
+    exploded = explode_shingles(ds, shingle_n, text_col, id_col)
+    return _pair_jaccard_coshuffle(pairs, exploded, threshold, round_to)
 
-    fp = ds.map_batches(shingles_of, batch_format="pandas").to_pandas()
-    sets = {d: set(s) for d, s in zip(fp["doc_id"], fp["sh"])}
-    out = []
-    for a, b in zip(pdf["doc_a"], pdf["doc_b"]):
-        sa, sb = sets.get(a, set()), sets.get(b, set())
-        union = sa | sb
-        j = (len(sa & sb) / len(union)) if union else 0.0
-        if j > threshold:
-            out.append((a, b, j))
-    return pd.DataFrame(out, columns=["doc_a", "doc_b", "jaccard"]).astype(
-        {"doc_a": np.int64, "doc_b": np.int64}
-    )
+
+DEFAULT_MAX_SHINGLE_DF = 64
 
 
 def ngram_jaccard_pairs(
     ds: Dataset, threshold: float = 0.65, shingle_n: int = 3,
     text_col: str = "text", id_col: str = "doc_id", round_to: int = 6,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> Dataset:
     """EXACT all-pairs n-gram Jaccard dedup, distributed.
 
-    Any pair with Jaccard > 0 shares ≥1 shingle, so: explode
+    Any pair with Jaccard > 0 shares ≥1 shingle, so: explode distinct
     (doc, shingle_hash) → ``groupby(shingle)`` emits co-occurring pairs →
     ``groupby(pair)`` counts shared shingles → jaccard =
-    shared/(|A|+|B|-shared) with broadcast per-doc set sizes.  No pairwise
+    shared/(|A|+|B|-shared) with sizes joined in as a Dataset.  No pairwise
     scan ever touches non-overlapping docs — the distributed form of the
-    reference's O(N²) loop (ngrams.py:88-101) with identical results."""
+    reference's O(N²) loop (ngrams.py:88-101).
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        ids, hs = [], []
-        for doc_id, text in zip(df[id_col].to_numpy(), df[text_col]):
-            for v in shingle_hashes(simple_tokens(text or ""), shingle_n):
-                ids.append(doc_id)
-                hs.append(v)
-        return pd.DataFrame({"doc_id": np.array(ids, np.int64),
-                             "sh": np.array(hs, np.int64)})
+    ``max_shingle_df``: a shingle shared by k docs emits O(k²) pairs, so a
+    stop-phrase shingle is a blowup.  Shingles with document frequency >
+    this cap are DROPPED — from pair generation AND from the set sizes, so
+    jaccard stays internally consistent (the oracle SQL applies the same
+    cap).  ``None`` disables (exact reference semantics; the MinHash verify
+    path uses uncapped sets)."""
+    from searchengine_ray.stages.relational import pre_aggregate
 
-    exploded = ds.map_batches(explode, batch_format="pandas", batch_size=1024)
+    drop_ref = None
+    if max_shingle_df is not None:
+        # pass 1: shingle document frequencies → the HOT set (few by
+        # definition: each has df > cap, so ≤ n_rows/cap of them reach the
+        # driver).  pass 2 re-explodes with the hot set excluded, so the
+        # per-doc sizes it emits count the CAPPED sets.
+        raw = explode_shingles(ds, shingle_n, text_col, id_col)
+        dfc = pre_aggregate(raw, ["sh"], {"df": (None, "count")})
+        hot = dfc.map_batches(
+            lambda df: df[df["df"] > max_shingle_df][["sh"]],
+            batch_format="pandas").to_pandas()
+        if len(hot):
+            drop_ref = ray.put(set(hot["sh"]))
 
-    # per-doc set sizes (small) → broadcast
-    sizes_df = exploded.map_batches(
-        lambda df: df.groupby("doc_id", as_index=False).agg(n=("sh", "size")),
-        batch_format="pandas",
-    ).to_pandas().groupby("doc_id", as_index=False)["n"].sum()
-    sizes = dict(zip(sizes_df["doc_id"], sizes_df["n"]))
-    sizes_ref = ray.put(sizes)
+    exploded = explode_shingles(ds, shingle_n, text_col, id_col,
+                                drop_ref=drop_ref)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(g["doc_id"].to_numpy())
-        if ids.size < 2:
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64)})
-        ia, ib = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    from searchengine_ray.stages.relational import bucketed_apply
 
-    from searchengine_ray.stages.relational import bucketed_map_groups, pre_aggregate
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized self-merge per bucket: every shingle group emits
+        # its co-occurring (a < b) pairs at once — no per-shingle Python
+        m = g.merge(g, on="sh", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        return pd.DataFrame({"doc_a": m["doc_id_a"].to_numpy(dtype=np.int64),
+                             "doc_b": m["doc_id_b"].to_numpy(dtype=np.int64),
+                             "na": m["n_a"].to_numpy(dtype=np.int64),
+                             "nb": m["n_b"].to_numpy(dtype=np.int64)})
 
-    pair_rows = bucketed_map_groups(exploded, ["sh"], pairs, skip_singletons=True)
-    # shared-shingle count per pair (pre-aggregated), then one vectorized
-    # jaccard pass with broadcast set sizes — no per-pair python
+    pair_rows = bucketed_apply(exploded, ["sh"], pairs_bucket)
     counted = pre_aggregate(pair_rows, ["doc_a", "doc_b"],
-                            {"shared": (None, "count")})
-
-    def jaccard_batch(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
-                                 "doc_b": pd.Series([], dtype=np.int64),
-                                 "jaccard": pd.Series([], dtype=np.float64)})
-        sz = ray.get(sizes_ref)
-        na = df["doc_a"].map(sz).to_numpy(dtype=np.float64)
-        nb = df["doc_b"].map(sz).to_numpy(dtype=np.float64)
-        shared = df["shared"].to_numpy(dtype=np.float64)
-        j = shared / (na + nb - shared)
-        keep = j > threshold
-        return pd.DataFrame({"doc_a": df["doc_a"].to_numpy()[keep],
-                             "doc_b": df["doc_b"].to_numpy()[keep],
-                             "jaccard": np.round(j[keep], round_to)})
-
-    return counted.map_batches(jaccard_batch, batch_format="pandas")
+                            {"shared": (None, "count"),
+                             "na": ("na", "min"), "nb": ("nb", "min")})
+    return _jaccard_from_counts(counted, threshold, round_to)
 
 
 # ---------------------------------------------------------------------------
@@ -254,21 +380,22 @@ def simhash_neardup_pairs(ds: Dataset, max_hamming: int = 3,
 
     bands = hashed.map_batches(explode, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy(); hs = g["simhash"].to_numpy()
-        out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if hamming64(int(hs[i]), int(hs[j])) <= max_hamming:
-                    out.append((ids[i], ids[j]))
-        return pd.DataFrame(out, columns=["doc_a", "doc_b"]).astype(np.int64)
+    from searchengine_ray.functions.phash import hamming64_pairs
+    from searchengine_ray.stages.relational import bucketed_apply
 
-    from searchengine_ray.stages.relational import bucketed_map_groups
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["band_id", "band_val"], suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        if len(m):
+            ham = hamming64_pairs(m["simhash_a"].to_numpy(),
+                                  m["simhash_b"].to_numpy())
+            m = m[ham <= max_hamming]
+        return pd.DataFrame({"doc_a": m["doc_id_a"].to_numpy(dtype=np.int64),
+                             "doc_b": m["doc_id_b"].to_numpy(dtype=np.int64)})
 
-    cand = bucketed_map_groups(bands, ["band_id", "band_val"], pairs,
-                               skip_singletons=True)
-    return bucketed_map_groups(cand, ["doc_a", "doc_b"], lambda g: g.head(1))
+    cand = bucketed_apply(bands, ["band_id", "band_val"], pairs_bucket)
+    return bucketed_apply(cand, ["doc_a", "doc_b"],
+                          lambda g: g.drop_duplicates(["doc_a", "doc_b"]))
 
 
 # ---------------------------------------------------------------------------
@@ -278,48 +405,116 @@ def simhash_neardup_pairs(ds: Dataset, max_hamming: int = 3,
 
 def embedding_neardup_pairs(
     ds: Dataset, threshold: float = 0.95, id_col: str = "vec_id",
-    emb_col: str = "embedding", num_buckets: int = 8, seed: int = 13,
+    emb_col: str = "embedding", num_bands: int = 48, bits_per_band: int = 16,
+    seed: int = 13,
 ) -> Dataset:
     """Near-dup pairs with cosine ≥ threshold via random-hyperplane LSH
-    (sign buckets) + within-bucket exact cosine.  Multi-probe: (t+1)-style
-    banding over two independent hyperplane sets keeps recall high for
-    cos ≥ 0.95; exact for identical vectors."""
+    (sign buckets) + exact cosine verify.
+
+    Scale shape: hyperplanes are drawn ONCE on the driver and ``ray.put``
+    (not rebuilt per batch); only (vec_id, band, key) signature rows ride
+    the LSH shuffle — never the vectors.  Vectors attach via the same
+    two-all-to-all co-shuffle as the jaccard verify (union membership rows
+    with the vector rows on vec_id, then resolve per pair), so a vector
+    crosses the wire O(pairs), not O(bands), and cross-band duplicate
+    candidates collapse en route.  48 bands × 16 bits: a random pair
+    (θ≈90°) matches a
+    band with P ≈ 0.5¹⁶, so junk candidates ≈ 48·1.5e-5 per pair — while a
+    cos ≥ 0.95 pair (θ ≤ 18.2°) matches with P ≈ 0.899¹⁶ ≈ 0.18 per band,
+    i.e. P(miss) ≈ (1-0.18)⁴⁸ ≈ 6e-5 — and exactly 0 for identical
+    vectors (equal signs in every band)."""
+    from searchengine_ray.stages.relational import bucketed_apply
+
+    first = ds.take(1)
+    if not first:
+        return rd_from_empty_pairs()
+    dim = len(first[0][emb_col])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(num_bands, dim, bits_per_band)
+    planes_ref = ray.put(planes)
+    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         emb = np.stack([np.asarray(e, dtype=np.float64) for e in df[emb_col]])
-        p_rng = np.random.RandomState(seed)  # same planes in every task
-        planes = [p_rng.randn(emb.shape[1], 6) for _ in range(num_buckets)]
-        ids, bands, vals, vecs = [], [], [], []
-        for r in range(emb.shape[0]):
-            v = emb[r]
-            for band_id, pl in enumerate(planes):
-                bits = (v @ pl > 0).astype(np.int64)
-                key = int((bits * (1 << np.arange(bits.size))).sum())
-                ids.append(df[id_col].iloc[r]); bands.append(band_id)
-                vals.append(key); vecs.append(v.tolist())
-        return pd.DataFrame({"vec_id": np.array(ids, np.int64),
-                             "band_id": np.array(bands, np.int32),
-                             "band_val": np.array(vals, np.int64),
-                             "vec": vecs})
+        pl = ray.get(planes_ref)  # plasma-local, zero-copy numpy
+        proj = np.einsum("nd,bdk->nbk", emb, pl) > 0  # (N, bands, bits)
+        keys = (proj.astype(np.int64) * weights).sum(axis=2)  # (N, bands)
+        n = len(df)
+        return pd.DataFrame(
+            {"vec_id": np.repeat(df[id_col].to_numpy(), num_bands),
+             "band_id": np.tile(np.arange(num_bands, dtype=np.int32), n),
+             "band_val": keys.ravel()})
 
     bands = ds.map_batches(explode, batch_format="pandas", batch_size=1024)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("vec_id").sort_values("vec_id")
-        if len(g) < 2:
+    def id_pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["band_id", "band_val"], suffixes=("_a", "_b"))
+        m = m[m["vec_id_a"] < m["vec_id_b"]]
+        return pd.DataFrame({"doc_a": m["vec_id_a"].to_numpy(dtype=np.int64),
+                             "doc_b": m["vec_id_b"].to_numpy(dtype=np.int64)})
+
+    cand = bucketed_apply(bands, ["band_id", "band_val"], id_pairs_bucket)
+
+    # --- attach vectors + exact cosine: two co-shuffles, no hash joins ----
+    cols = ["doc_id", "pair_a", "pair_b", "side", "vec"]
+
+    def members(df: pd.DataFrame) -> pd.DataFrame:
+        a = df["doc_a"].to_numpy(dtype=np.int64)
+        b = df["doc_b"].to_numpy(dtype=np.int64)
+        k = len(df)
+        no_vec = np.empty(0, dtype=np.float64)  # ragged placeholder, not None
+        return pd.DataFrame({"doc_id": np.concatenate([a, b]),
+                             "pair_a": np.tile(a, 2), "pair_b": np.tile(b, 2),
+                             "side": np.repeat(np.array([0, 1], np.int64), k),
+                             "vec": [no_vec] * (2 * k)})[cols]
+
+    def vec_rows(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.zeros(len(df), dtype=np.int64)
+        return pd.DataFrame({
+            "doc_id": df[id_col].to_numpy(dtype=np.int64),
+            "pair_a": z, "pair_b": z,
+            "side": np.full(len(df), -1, dtype=np.int64),
+            "vec": [np.asarray(v, dtype=np.float64) for v in df[emb_col]],
+        })[cols]
+
+    both = (cand.map_batches(members, batch_format="pandas")
+            .union(ds.map_batches(vec_rows, batch_format="pandas")))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        mem = g[side >= 0].drop_duplicates(["pair_a", "pair_b", "side"])
+        vecs = g[side < 0][["doc_id", "vec"]]
+        out = mem[["doc_id", "pair_a", "pair_b", "side"]].merge(vecs, on="doc_id")
+        return out[["pair_a", "pair_b", "side", "vec"]]
+
+    attached = bucketed_apply(both, ["doc_id"], attach)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy() if len(g) else np.array([], dtype=np.int64)
+        s0 = g[side == 0][["pair_a", "pair_b", "vec"]]
+        s1 = g[side == 1][["pair_a", "pair_b", "vec"]]
+        m = s0.merge(s1, on=["pair_a", "pair_b"], suffixes=("_a", "_b"))
+        if not len(m):
             return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
                                  "doc_b": pd.Series([], dtype=np.int64),
                                  "cosine": pd.Series([], dtype=np.float64)})
-        m = np.stack([np.asarray(v) for v in g["vec"]])
-        norms = np.linalg.norm(m, axis=1); norms[norms == 0] = 1.0
-        sims = (m @ m.T) / np.outer(norms, norms)
-        ids = g["vec_id"].to_numpy()
-        ia, ib = np.triu_indices(len(ids), k=1)
-        keep = sims[ia, ib] >= threshold
-        return pd.DataFrame({"doc_a": ids[ia][keep], "doc_b": ids[ib][keep],
-                             "cosine": sims[ia, ib][keep]})
+        a = np.stack([np.asarray(v, dtype=np.float64) for v in m["vec_a"]])
+        b = np.stack([np.asarray(v, dtype=np.float64) for v in m["vec_b"]])
+        norms = np.linalg.norm(a, axis=1) * np.linalg.norm(b, axis=1)
+        norms[norms == 0] = 1.0
+        sims = (a * b).sum(axis=1) / norms
+        keep = sims >= threshold
+        return pd.DataFrame({"doc_a": m["pair_a"].to_numpy()[keep],
+                             "doc_b": m["pair_b"].to_numpy()[keep],
+                             "cosine": sims[keep]})
 
-    from searchengine_ray.stages.relational import bucketed_map_groups
+    return bucketed_apply(attached, ["pair_a", "pair_b"], resolve)
 
-    cand = bucketed_map_groups(bands, ["band_id", "band_val"], pairs,
-                               skip_singletons=True)
-    return bucketed_map_groups(cand, ["doc_a", "doc_b"], lambda g: g.head(1))
+
+def rd_from_empty_pairs() -> Dataset:
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame({
+        "doc_a": pd.Series([], dtype=np.int64),
+        "doc_b": pd.Series([], dtype=np.int64),
+        "cosine": pd.Series([], dtype=np.float64)}))

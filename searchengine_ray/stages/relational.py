@@ -250,21 +250,42 @@ def hash_join(
     l_names = [n for n, _ in l_schema]
     r_names = [on] + [n for n, _ in r_schema]
 
+    def join_bucket(t: pa.Table) -> pd.DataFrame:
+        # ArrowDtype conversion keeps int64 EXACT through the widened-union
+        # nulls — a plain to_pandas would degrade nullable int64 to float64
+        # and silently round values above 2^53 (64-bit hash keys!)
+        g = t.to_pandas(types_mapper=pd.ArrowDtype)
+        side = g["_side"].to_numpy()
+        lg = g[side == 0][l_names]
+        rg = g[side == 1][r_names]
+        out = lg.merge(rg, on=on, how=how)
+        return _to_numpy_dtypes(out)
+
+    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def _to_numpy_dtypes(df: pd.DataFrame) -> pd.DataFrame:
+    """ArrowDtype columns → the numpy-backed dtypes the rest of the engine
+    uses: int without nulls → int64, int with nulls → float64 (NaN), float →
+    float64, string/list/other → object."""
     import pyarrow as pa
 
-    int_cols = [n for n, t in all_cols if pa.types.is_integer(t)]
-
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["_side"] == 0][l_names]
-        rg = g[g["_side"] == 1][r_names]
-        out = lg.merge(rg, on=on, how=how)
-        # the widened union nulls degrade int columns to float — restore
-        for c in int_cols:
-            if c in out.columns and out[c].notna().all():
-                out[c] = out[c].astype("int64")
-        return out
-
-    return both.groupby("_bucket").map_groups(join_bucket, batch_format="pandas")
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if not isinstance(s.dtype, pd.ArrowDtype):
+            out[c] = s
+            continue
+        t = s.dtype.pyarrow_dtype
+        if pa.types.is_integer(t):
+            out[c] = s.astype("int64") if not s.isna().any() else s.astype("float64")
+        elif pa.types.is_floating(t):
+            out[c] = s.astype("float64")
+        elif pa.types.is_boolean(t):
+            out[c] = s.astype("bool") if not s.isna().any() else s.astype("object")
+        else:
+            out[c] = s.astype("object")
+    return pd.DataFrame(out, index=df.index)
 
 
 def broadcast_semi_filter(
