@@ -36,6 +36,12 @@ def main() -> None:
     ap.add_argument("--politeness-delay", type=float, default=0.0)
     ap.add_argument("--max-waves", type=int, default=None)
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--frontier-spill-dir", default=None,
+                    help="host-hash-partitioned parquet frontier pool dir")
+    ap.add_argument("--frontier-partitions", type=int, default=16)
+    ap.add_argument("--flat-rss", action="store_true",
+                    help="do not hold crawl_order in driver memory (needs "
+                         "--checkpoint-dir); result is read back from disk")
     args = ap.parse_args()
 
     import ray
@@ -65,6 +71,9 @@ def main() -> None:
         politeness_delay=args.politeness_delay,
         max_waves=args.max_waves,
         checkpoint_dir=args.checkpoint_dir,
+        frontier_spill_dir=args.frontier_spill_dir,
+        frontier_partitions=args.frontier_partitions,
+        hold_order_in_memory=not args.flat_rss,
     )
     if args.resume:
         eng = CrawlEngine.resume(store, config)
@@ -78,7 +87,8 @@ def main() -> None:
         "accepted": int(len(res.accepted_pages)),
         "url_seen": int(len(res.url_seen)),
         "waves": int(res.crawl_order["wave"].max()) + 1 if len(res.crawl_order) else 0,
-        "per_wave": [{k: m[k] for k in ("wave", "fetched", "pages_per_sec")}
+        "per_wave": [{k: m[k] for k in ("wave", "fetched", "pages_per_sec",
+                                        "driver_rss_mb")}
                      for m in eng.metrics],
     }))
     eng.shutdown()

@@ -55,6 +55,14 @@ class CrawlConfig:
     fetch_concurrency: int = 8
     fetch_batch_size: int = 256
     checkpoint_dir: str | None = None
+    # frontier pool storage: None = driver-side pandas (small crawls);
+    # a directory = host-hash-partitioned parquet spill pool (the 10^10-URL
+    # shape — the driver holds one partition at a time, never the pool)
+    frontier_spill_dir: str | None = None
+    frontier_partitions: int = 16
+    # False + checkpoint_dir: per-wave crawl_order lands only on disk and
+    # result() reads it back — driver heap stays flat across waves
+    hold_order_in_memory: bool = True
 
     def config_hash(self) -> str:
         """Identity of the semantic knobs — a checkpoint is only resumable
@@ -65,7 +73,8 @@ class CrawlConfig:
         # ``max_pages`` stays in: it truncates wave slices deterministically.
         for k in ("num_gate_shards", "fetch_concurrency", "fetch_batch_size",
                   "checkpoint_dir", "max_waves", "politeness_delay",
-                  "inline_wave_threshold"):
+                  "inline_wave_threshold", "frontier_spill_dir",
+                  "frontier_partitions", "hold_order_in_memory"):
             d.pop(k)
         # callables aren't hashable: record presence only (see field docs)
         d["priority_fn"] = self.priority_fn is not None

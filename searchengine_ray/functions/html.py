@@ -12,9 +12,22 @@ operations with a small regex scanner:
   ``HTML_WEIGHT_MULTIPLIER`` (title/h1/h2/h3/b/strong/a/i/em/h5/h6) — the
   input to ``calculate_term_weights``.
 
-Good enough for well-formed pages; not a general HTML5 parser (documented
-limitation — swap in bs4 where available, the downstream stages only see
-text).
+Documented deltas vs ``BeautifulSoup(content, 'lxml').get_text(' ')``
+(pinned by the adversarial goldens in tests/test_html.py):
+
+- an UNCLOSED <script>/<style> runs to end-of-document in lxml (content
+  after it is dropped); the regex scanner only drops properly closed
+  blocks, so trailing content survives here;
+- ``</script>`` INSIDE a JS string literal ends the script block in both
+  (neither implements the HTML5 script tokenizer);
+- entity references are unescaped AFTER tag stripping, so ``&lt;b&gt;``
+  yields literal ``<b>`` as text — same as get_text;
+- lxml repairs some malformed nestings (e.g. p inside b) that the scanner
+  treats as plain text boundaries; token STREAMS still agree because both
+  sides reduce to whitespace-joined text.
+
+Not a general HTML5 parser — swap in bs4 where available, the downstream
+stages only see text.
 """
 
 from __future__ import annotations
@@ -24,7 +37,9 @@ import re
 
 _SCRIPT_RE = re.compile(r"<(script|style)\b.*?</\1\s*>", re.IGNORECASE | re.DOTALL)
 _COMMENT_RE = re.compile(r"<!--.*?-->", re.DOTALL)
-_TAG_RE = re.compile(r"<[^>]+>")
+# quoted attribute values may contain '>' — consume them as units so
+# <img alt="a>b"> strips as ONE tag (matching what a real parser does)
+_TAG_RE = re.compile(r"""<(?:[^>"']|"[^"]*"|'[^']*')*>""")
 _WS_RE = re.compile(r"\s+")
 
 _WEIGHTED_TAGS = ("title", "h1", "h2", "h3", "b", "strong", "a", "i", "em", "h5", "h6")

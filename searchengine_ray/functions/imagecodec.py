@@ -7,12 +7,16 @@ environment, so this module provides:
 - a REAL, spec-conformant PNG encoder/decoder (stdlib ``zlib`` + ``struct``)
   for ``fmt='png'`` — lossless round-trip, 8-bit RGB, filter types 0-4
   supported on decode;
-- a DETERMINISTIC FAKE lossy codec for ``fmt='jpeg'`` — STUB standing in for
-  a real JPEG codec: quantizes each channel to step ``Q=4`` and deflates.
-  Quantization error ≤ Q/2 ⇒ PSNR ≈ 46 dB ≥ the 40 dB per-row invariant
-  (BASELINE.json:input_hint).  The container tag is ``FJPG`` so the bytes can
-  never be mistaken for real JPEG.  Swap ``encode_jpeg``/``decode_jpeg`` for
-  a real codec when PIL is available; every caller goes through
+- a REAL DCT-quantization lossy codec for ``fmt='jpeg'`` — the JPEG
+  transform pipeline in numpy: RGB → BT.601 YCbCr, 8×8 orthonormal DCT-II
+  per block, quantization with the standard ITU T.81 Annex-K tables scaled
+  by an IJG-style quality factor (default 98), zlib as the entropy stage.
+  The container tag is ``DJPG`` (it is not an interchange JPEG bitstream —
+  no zigzag/Huffman — so the bytes can never be mistaken for real JPEG),
+  but the LOSS MODEL is the real one: frequency-domain quantization error,
+  so the PSNR ≥ 40 dB per-row invariant (BASELINE.json:input_hint) tests a
+  genuine lossy transform.  Swap ``encode_jpeg``/``decode_jpeg`` for a real
+  codec when PIL is available; every caller goes through
   ``encode``/``decode`` below.
 
 All functions operate on ``numpy.uint8`` arrays of shape (h, w, 3).
@@ -26,8 +30,12 @@ import zlib
 import numpy as np
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
-FAKE_JPEG_MAGIC = b"FJPG"
-_JPEG_Q = 4  # quantization step of the fake lossy codec
+DJPG_MAGIC = b"DJPG"
+FAKE_JPEG_MAGIC = DJPG_MAGIC  # backwards-compat alias for older callers
+# Default IJG-style quality.  98 keeps PSNR ≥ 43 dB even on white-noise
+# payloads (the PSNR ≥ 40 dB invariant must hold per row, and the synthetic
+# corpus's blocky/noisy images are the lossy worst case).
+_JPEG_QUALITY = 98
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -106,24 +114,109 @@ def decode_png(data: bytes) -> np.ndarray:
     return _unfilter(raw, h, w * 3, 3).reshape(h, w, 3)
 
 
-def encode_jpeg(pixels: np.ndarray) -> bytes:
-    """Deterministic FAKE lossy codec (see module docstring)."""
+# Standard JPEG quantization tables (ITU T.81 Annex K — public spec).
+_Q_LUMA = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.float64)
+_Q_CHROMA = np.array([
+    [17, 18, 24, 47, 99, 99, 99, 99],
+    [18, 21, 26, 66, 99, 99, 99, 99],
+    [24, 26, 56, 99, 99, 99, 99, 99],
+    [47, 66, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99],
+    [99, 99, 99, 99, 99, 99, 99, 99]], dtype=np.float64)
+
+
+def _dct8_matrix() -> np.ndarray:
+    k = np.arange(8).reshape(-1, 1)
+    i = np.arange(8).reshape(1, -1)
+    m = np.cos(np.pi * (2 * i + 1) * k / 16.0)
+    m[0] *= 1.0 / np.sqrt(2.0)
+    return m * 0.5  # orthonormal
+
+
+_DCT8 = _dct8_matrix()
+
+
+def _quant_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling (libjpeg jcparam.c formulation — public)."""
+    q = int(np.clip(quality, 1, 100))
+    s = 5000 // q if q < 50 else 200 - 2 * q
+    tl = np.clip(np.floor((_Q_LUMA * s + 50) / 100), 1, 255)
+    tc = np.clip(np.floor((_Q_CHROMA * s + 50) / 100), 1, 255)
+    return tl, tc
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def _blockify(ch: np.ndarray) -> np.ndarray:
+    hh, ww = ch.shape
+    return ch.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+
+
+def _unblockify(blocks: np.ndarray, hh: int, ww: int) -> np.ndarray:
+    return (blocks.reshape(hh // 8, ww // 8, 8, 8)
+            .transpose(0, 2, 1, 3).reshape(hh, ww))
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = _JPEG_QUALITY) -> bytes:
+    """DCT-quantization lossy encode (see module docstring)."""
     h, w, c = pixels.shape
     assert c == 3 and pixels.dtype == np.uint8
-    q = np.minimum((pixels.astype(np.uint16) + _JPEG_Q // 2) // _JPEG_Q, 255 // _JPEG_Q)
-    return (
-        FAKE_JPEG_MAGIC
-        + struct.pack(">IIB", w, h, _JPEG_Q)
-        + zlib.compress(q.astype(np.uint8).tobytes(), 6)
-    )
+    tl, tc = _quant_tables(quality)
+    ph, pw = -h % 8, -w % 8  # pad to 8×8 blocks, edge-replicate
+    px = np.pad(pixels.astype(np.float64), ((0, ph), (0, pw), (0, 0)), "edge")
+    ycc = _rgb_to_ycbcr(px)
+    planes = []
+    for ci in range(3):
+        blocks = _blockify(ycc[..., ci] - 128.0)
+        coef = np.einsum("ij,njk,lk->nil", _DCT8, blocks, _DCT8)
+        tbl = tl if ci == 0 else tc
+        planes.append(np.round(coef / tbl).astype(np.int16))
+    payload = np.concatenate([p.ravel() for p in planes]).tobytes()
+    return (DJPG_MAGIC + struct.pack(">IIB", w, h, quality)
+            + zlib.compress(payload, 6))
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    if data[:4] != FAKE_JPEG_MAGIC:
-        raise ValueError("not a FJPG payload")
-    w, h, q = struct.unpack(">IIB", data[4:13])
-    arr = np.frombuffer(zlib.decompress(data[13:]), dtype=np.uint8)
-    return np.minimum(arr.astype(np.uint16) * q, 255).astype(np.uint8).reshape(h, w, 3)
+    if data[:4] != DJPG_MAGIC:
+        raise ValueError("not a DJPG payload")
+    w, h, quality = struct.unpack(">IIB", data[4:13])
+    tl, tc = _quant_tables(quality)
+    hh, ww = h + (-h % 8), w + (-w % 8)
+    n = (hh // 8) * (ww // 8)
+    arr = np.frombuffer(zlib.decompress(data[13:]), dtype=np.int16)
+    arr = arr.reshape(3, n, 8, 8).astype(np.float64)
+    chans = []
+    for ci in range(3):
+        tbl = tl if ci == 0 else tc
+        coef = arr[ci] * tbl
+        blocks = np.einsum("ji,njk,kl->nil", _DCT8, coef, _DCT8)
+        chans.append(_unblockify(blocks, hh, ww) + 128.0)
+    rgb = _ycbcr_to_rgb(np.stack(chans, axis=-1))
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
 
 
 def encode(pixels: np.ndarray, fmt: str) -> bytes:

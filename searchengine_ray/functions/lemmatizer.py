@@ -15,8 +15,29 @@ WordNet morphy noun detachment rules (public, from the WordNet docs):
     "men" -> "man"     "ies" -> "y"
 plus a small irregular-noun exception list.  Unlike full morphy we do not
 check candidates against the WordNet lexicon (not shipped); we apply the
-longest matching suffix rule.  This matches WordNet on regular plurals and on
-the listed irregulars, and is a documented approximation elsewhere.
+longest matching suffix rule.
+
+DOCUMENTED DELTA vs NLTK ``WordNetLemmatizer().lemmatize(token)`` (pinned by
+``tests/test_tokenizer.py::test_lemmatizer_wordnet_delta_table``): the
+divergence class is exactly the tokens whose suffix-stripped candidate is
+NOT a WordNet noun — morphy's lexicon check rejects the candidate and
+returns the input; without the lexicon we keep the stripped form.
+
+    token       this module   WordNet     agree?
+    cats        cat           cat         yes
+    boxes       box           box         yes
+    studies     study         study       yes
+    glasses     glass         glass       yes
+    children    child         child       yes (exception list)
+    was         wa            was         NO (lexicon would reject 'wa')
+    bus         bu            bus         NO ('bus' is itself a noun)
+    analysis    analysi       analysis    NO (lexicon would reject)
+    lens        len           lens        NO ('lens' is itself a noun)
+    this        thi           this        NO (function word)
+
+The delta only affects s-final tokens that are not plural nouns; for the
+reference's downstream use (index terms, tf-idf) both sides remain
+self-consistent — the same surface token always maps to the same term.
 """
 
 from __future__ import annotations

@@ -23,12 +23,14 @@ runs in discovery order inside the gates while all heavy work (fetch,
 decode, hashing, link parsing) is freely parallel.
 
 Scale notes (10^10-URL frontier):
-- the frontier pool is checkpointed as one partition per wave; the driver
-  holds only (seq, url_norm, host) control rows.  At full scale the pool
-  becomes host-hash-partitioned parquet/Lance fragments and the FIFO seq
-  assignment becomes the standard distributed rank: sort by
-  (parent_seq, link_idx) → per-partition counts → exclusive prefix sum →
-  per-partition offset add.  The per-wave dataflow is unchanged.
+- the frontier pool is pluggable (state/frontier.py): the default driver
+  pandas pool for small crawls, or the host-hash-partitioned parquet spill
+  pool (``config.frontier_spill_dir``) where the driver holds at most one
+  partition transiently — slice semantics are identical and both run under
+  the conformance suite.  At full scale the FIFO seq assignment becomes the
+  standard distributed rank: sort by (parent_seq, link_idx) →
+  per-partition counts → exclusive prefix sum → per-partition offset add.
+  The per-wave dataflow is unchanged.
 - the content gate is one logical actor here (exact conformance mode); the
   documented scale mode shards it by LSH band with a two-phase
   accept/confirm, trading a bounded semantic delta for parallelism.
@@ -74,6 +76,19 @@ _EMPTY = b""
 
 def _host_shard(host: str, num_shards: int) -> int:
     return zlib.crc32(host.encode("utf-8")) % num_shards
+
+
+def _driver_rss_mb() -> float | None:
+    """Current driver resident set (MB) from /proc — per-wave lineage for
+    the flat-RSS invariant of the spill-pool path."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return round(int(line.split()[1]) / 1024, 1)
+    except OSError:
+        pass
+    return None
 
 
 # Per-worker-process cache of broadcast objects: ray.get() re-deserializes a
@@ -374,13 +389,14 @@ class CrawlEngine:
         self.wave = 0
         self.next_seq = 0
         self.pages_fetched = 0
-        self.pool = pd.DataFrame(
-            {"seq": pd.Series([], dtype=np.int64),
-             "url_norm": pd.Series([], dtype=str),
-             "host": pd.Series([], dtype=str),
-             "wave": pd.Series([], dtype=np.int32),
-             "priority": pd.Series([], dtype=np.float64)}
-        )
+        from searchengine_ray.state.frontier import (
+            InMemoryFrontierPool, PartitionedFrontierPool)
+
+        if config.frontier_spill_dir:
+            self.pool = PartitionedFrontierPool(
+                config.frontier_spill_dir, config.frontier_partitions)
+        else:
+            self.pool = InMemoryFrontierPool()
         self.crawl_order_frames: list[pd.DataFrame] = []
         self.metrics: list[dict] = []
         self._init_store_fp()
@@ -405,9 +421,9 @@ class CrawlEngine:
                       if self.config.priority_fn else 0.0)
                 rows.append((self.next_seq, nu, host, 0, pr))
                 self.next_seq += 1
-        self.pool = pd.DataFrame(
+        self.pool.add(pd.DataFrame(
             rows, columns=["seq", "url_norm", "host", "wave", "priority"]
-        ).astype({"seq": np.int64, "wave": np.int32, "priority": np.float64})
+        ).astype({"seq": np.int64, "wave": np.int32, "priority": np.float64}))
 
     # ------------------------------------------- content-store bookkeeping --
     _STORE_FP_SCHEMA = pa.schema([
@@ -480,17 +496,12 @@ class CrawlEngine:
     def _wave_slice(self) -> pd.DataFrame:
         """Priority-queue slice: (priority DESC, discovery seq) per host —
         pure FIFO when no priority_fn is set (all priorities 0.0).  The
-        returned frame's ROW ORDER is the wave's processing order."""
-        pool = self.pool.sort_values(["priority", "seq"],
-                                     ascending=[False, True], kind="stable")
-        if self.config.per_host_wave_budget is not None:
-            take = pool.groupby("host", sort=False).head(self.config.per_host_wave_budget)
-        else:
-            take = pool
-        if self.config.max_pages is not None:
-            take = take.head(max(0, self.config.max_pages - self.pages_fetched))
-        self.pool = pool[~pool["seq"].isin(take["seq"])]
-        return take.reset_index(drop=True)
+        returned frame's ROW ORDER is the wave's processing order.  The
+        slice semantics live in the pool (state/frontier.py) — identical for
+        the in-memory and the partitioned spill pool."""
+        cap = (max(0, self.config.max_pages - self.pages_fetched)
+               if self.config.max_pages is not None else None)
+        return self.pool.slice_wave(self.config.per_host_wave_budget, cap)
 
     def run_wave(self) -> bool:
         """Run one wave; returns False when the crawl is finished."""
@@ -623,7 +634,10 @@ class CrawlEngine:
         order_df["rank"] = np.arange(len(order_df), dtype=np.int64)  # processing order
         order_df["status"] = order_df["seq"].map(dict(zip(fp_seqs, fp_status)))
         order_df["decision"] = order_df["seq"].map(decision)
-        self.crawl_order_frames.append(order_df)
+        # with a checkpoint + hold_order_in_memory=False the per-wave order
+        # lands ONLY on disk — the driver's heap stays flat across waves
+        if cfg.hold_order_in_memory or not cfg.checkpoint_dir:
+            self.crawl_order_frames.append(order_df)
 
         t_gate = time.monotonic() - t0 - t_fetch
 
@@ -766,7 +780,7 @@ class CrawlEngine:
             "priority": prios,
         })
         self.next_seq += len(accepted_links)
-        self.pool = pd.concat([self.pool, new_rows], ignore_index=True)
+        self.pool.add(new_rows)
 
         # ---- metrics ------------------------------------------------------
         from collections import Counter
@@ -783,6 +797,7 @@ class CrawlEngine:
         per_host = order_df["url_norm"].map(
             lambda u: u.split("/")[2]).value_counts().to_dict()
         metric = {
+            "driver_rss_mb": _driver_rss_mb(),
             "wave": self.wave,
             "fetched": int(len(fp_seqs)),
             "pages_per_sec": round(len(fp_seqs) / wall, 2) if wall > 0 else None,
@@ -815,10 +830,7 @@ class CrawlEngine:
             pa.Table.from_pandas(order_df, preserve_index=False),
             os.path.join(d, "crawl_order", f"wave={self.wave}"),
         )
-        storage.write_table_atomic(
-            pa.Table.from_pandas(self.pool, preserve_index=False),
-            os.path.join(d, "frontier", f"wave={self.wave + 1}"),
-        )
+        self.pool.snapshot_to(os.path.join(d, "frontier", f"wave={self.wave + 1}"))
         host_dumps = ray.get([g.dump.remote() for g in self.gates])
         storage.write_json_atomic(
             {"shards": host_dumps},
@@ -853,7 +865,9 @@ class CrawlEngine:
         self.wave = w + 1
         self.next_seq = manifest["next_seq"]
         self.pages_fetched = manifest["pages_fetched"]
-        self.pool = storage.read_table(os.path.join(d, "frontier", f"wave={w + 1}")).to_pandas()
+        from searchengine_ray.state.frontier import load_snapshot_into
+
+        load_snapshot_into(self.pool, os.path.join(d, "frontier", f"wave={w + 1}"))
         host_state = storage.read_json(os.path.join(d, "state", f"wave={w}", "hostgates.json"))
         ray.get([
             g.restore.remote(s) for g, s in zip(self.gates, host_state["shards"])
@@ -862,9 +876,10 @@ class CrawlEngine:
             storage.read_json(os.path.join(d, "state", f"wave={w}", "contentgate.json"))
         ))
         self._init_store_fp(ray.get(self.content_gate.export_table.remote()))
-        for wv in range(w + 1):
-            t = storage.read_table(os.path.join(d, "crawl_order", f"wave={wv}"))
-            self.crawl_order_frames.append(t.to_pandas())
+        if self.config.hold_order_in_memory:
+            for wv in range(w + 1):
+                t = storage.read_table(os.path.join(d, "crawl_order", f"wave={wv}"))
+                self.crawl_order_frames.append(t.to_pandas())
 
     @classmethod
     def resume(cls, store: SyntheticStore, config: CrawlConfig) -> "CrawlEngine":
@@ -878,10 +893,20 @@ class CrawlEngine:
         return self.result()
 
     def result(self) -> CrawlResult:
+        frames = self.crawl_order_frames
+        if not frames and not self.config.hold_order_in_memory \
+                and self.config.checkpoint_dir:
+            # order lives only on disk (flat-RSS mode) — read it back
+            frames = []
+            for wv in range(self.wave):
+                p = os.path.join(self.config.checkpoint_dir, "crawl_order",
+                                 f"wave={wv}")
+                if storage.exists(p):
+                    frames.append(storage.read_table(p).to_pandas())
         order = (
-            pd.concat(self.crawl_order_frames, ignore_index=True)
+            pd.concat(frames, ignore_index=True)
             .sort_values(["wave", "rank"]).reset_index(drop=True)
-            if self.crawl_order_frames else pd.DataFrame()
+            if frames else pd.DataFrame()
         )
         dumps = ray.get([g.dump.remote() for g in self.gates])
         seen: set[str] = set()

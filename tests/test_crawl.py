@@ -178,6 +178,49 @@ def test_checkpoint_resume_bit_identical(ray_session, store, tmp_path):
         CrawlEngine.resume(store, bad_shards)
 
 
+def test_engine_matches_oracle_spill_pool(ray_session, store, tmp_path):
+    """The host-hash-partitioned parquet frontier pool must reproduce the
+    oracle exactly (slice semantics identical to the in-memory pool)."""
+    config = _config(store, per_host_wave_budget=3,
+                     frontier_spill_dir=str(tmp_path / "fpool"),
+                     frontier_partitions=5)
+    res = _run_engine(store, config)
+    _assert_match(res, crawl_oracle(store, config))
+
+
+def test_engine_matches_oracle_spill_pool_priority(ray_session, store, tmp_path):
+    config = _config(store, priority_fn=_research_first, per_host_wave_budget=4,
+                     frontier_spill_dir=str(tmp_path / "fpool_prio"),
+                     frontier_partitions=3)
+    res = _run_engine(store, config)
+    _assert_match(res, crawl_oracle(store, config))
+
+
+def test_checkpoint_resume_spill_pool(ray_session, store, tmp_path):
+    """Checkpoint written by the spill pool resumes bit-identically — into a
+    spill pool AND into the in-memory pool (the snapshot layout is
+    pool-independent)."""
+    from searchengine_ray.pipelines.crawl import CrawlEngine
+
+    full = _run_engine(store, _config(store))
+    ckpt = str(tmp_path / "ckpt_spill")
+    eng = CrawlEngine(store, _config(
+        store, checkpoint_dir=ckpt, max_waves=2,
+        frontier_spill_dir=str(tmp_path / "sp1"), frontier_partitions=4))
+    eng.run()
+    eng.shutdown()
+
+    for kw in ({"frontier_spill_dir": str(tmp_path / "sp2"),
+                "frontier_partitions": 4}, {}):
+        eng2 = CrawlEngine.resume(store, _config(store, checkpoint_dir=ckpt, **kw))
+        res2 = eng2.run()
+        eng2.shutdown()
+        pd.testing.assert_frame_equal(
+            full.crawl_order.reset_index(drop=True),
+            res2.crawl_order.reset_index(drop=True))
+        assert full.url_seen == res2.url_seen
+
+
 def test_resume_with_priority_queue(ray_session, store, tmp_path):
     """Priority scheduling must survive checkpoint/resume (the pool's
     priority column round-trips; the seq order stays bit-identical)."""

@@ -42,6 +42,64 @@ def test_extract_tag_texts():
     assert tags["a"] == "link text"
 
 
+def test_adversarial_quoted_attr_gt():
+    """A '>' inside a quoted attribute must not split the tag (the intended
+    get_text(' ') behavior: the whole tag strips as one unit)."""
+    t = extract_text('before <img alt="a>b" src=\'c>d\'> after')
+    assert t == "before after"
+
+
+def test_adversarial_unclosed_tags():
+    t = extract_text("<p>open para <b>bold runs to <i>end")
+    assert t == "open para bold runs to end"
+
+
+def test_adversarial_entities():
+    t = extract_text("A&#65;&amp;&lt;b&gt;&quot;x&quot;")
+    # numeric ref, ampersand, and &lt;b&gt; as LITERAL text (same as
+    # get_text — entity-encoded markup is text, not markup)
+    assert t == 'aa&<b>"x"'
+
+
+def test_adversarial_uppercase_and_spacing():
+    t = extract_text("<DIV CLASS='x'>Mixed <B>Case</B></DIV><p >spaced</p  >")
+    assert t == "mixed case spaced"
+
+
+def test_adversarial_script_with_markup_inside():
+    # markup-looking JS strings stay dropped with the script block
+    t = extract_text('<script>var s = "<b>not text</b>";</script>visible')
+    assert t == "visible"
+
+
+def test_adversarial_script_end_in_string_delta():
+    """Pinned DELTA (module docstring): '</script>' inside a JS string ends
+    the block — the tail of the string leaks as text (lxml does the same;
+    neither side implements the HTML5 script tokenizer)."""
+    t = extract_text('<script>var s = "</script>";</script>tail')
+    assert "tail" in t
+
+
+def test_adversarial_unclosed_style_delta():
+    """Pinned DELTA: an unclosed <style> block is NOT dropped by the regex
+    scanner (lxml would drop to end-of-document) — the rule here is that
+    malformed-block content degrades to visible text, never to an error."""
+    t = extract_text("<style>body { color: red } no close tag")
+    assert "color" in t  # degraded to text, documented divergence
+
+
+def test_adversarial_nested_weighted_tags():
+    tags = dict(extract_tag_texts("<h1>Top <b>inner</b> tail</h1>"))
+    assert tags["h1"] == "Top inner tail"
+    assert tags["b"] == "inner"
+
+
+def test_adversarial_empty_and_plain():
+    assert extract_text("") == ""
+    assert extract_text("no markup at all") == "no markup at all"
+    assert extract_tag_texts("no markup") == []
+
+
 def test_term_weights_additive():
     # reference helpers.py:44-45: += multiplier per tag occurrence
     text = extract_text(PAGE)

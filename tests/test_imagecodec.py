@@ -50,6 +50,18 @@ def test_fake_jpeg_lossy_psnr_ge_40():
     assert p >= 40.0, p
 
 
+def test_dct_codec_is_genuinely_lossy():
+    """The PSNR invariant must be non-vacuous: the lossy codec really loses
+    information (frequency-domain quantization), yet stays ≥ 40 dB even on
+    white noise — the worst case for a DCT codec."""
+    rng = np.random.RandomState(11)
+    noise = rng.randint(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    out = decode(encode(noise, "jpeg"), "jpeg")
+    assert not np.array_equal(noise, out)
+    p = psnr(noise, out)
+    assert 40.0 <= p < 60.0, p
+
+
 def test_psnr_identical_inf():
     img = _img(4)
     assert psnr(img, img) == float("inf")

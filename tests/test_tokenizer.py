@@ -66,3 +66,32 @@ def test_term_frequencies():
     assert math.isclose(tf["b"], 0.25)
     assert math.isclose(tf["c"], 0.25)
     assert term_frequencies([]) == {}
+
+
+def test_lemmatizer_wordnet_delta_table():
+    """Golden table pinning the stand-in lemmatizer AND its documented
+    divergence from NLTK's WordNetLemmatizer (functions/lemmatizer.py
+    docstring): rows marked agree=False are exactly the cases where morphy's
+    lexicon check would have rejected the stripped candidate."""
+    from searchengine_ray.functions.lemmatizer import lemmatize
+
+    table = [
+        # (token, this_module, wordnet, agree)
+        ("cats", "cat", "cat", True),
+        ("boxes", "box", "box", True),
+        ("studies", "study", "study", True),
+        ("glasses", "glass", "glass", True),
+        ("churches", "church", "church", True),
+        ("wishes", "wish", "wish", True),
+        ("children", "child", "child", True),
+        ("men", "man", "man", True),
+        ("data", "data", "data", True),
+        ("was", "wa", "was", False),
+        ("bus", "bu", "bus", False),
+        ("analysis", "analysi", "analysis", False),
+        ("lens", "len", "lens", False),
+        ("this", "thi", "this", False),
+    ]
+    for token, ours, wordnet, agree in table:
+        assert lemmatize(token) == ours, token
+        assert (ours == wordnet) == agree, token
