@@ -100,6 +100,10 @@ def main() -> None:
         "tfidf_top": Q.q_tfidf_top,
         "knn_bruteforce": Q.q_knn_bruteforce,
         "minhash_pairs": Q.q_minhash_pairs,
+        "ngram_jaccard": Q.q_ngram_jaccard,
+        "simhash_pairs": Q.q_simhash_pairs,
+        "embedding_neardup": Q.q_embedding_neardup,
+        "text_features": Q.q_text_features,
         "boolean_search": Q.q_boolean_search,
     }
     if BENCH_ONLY:

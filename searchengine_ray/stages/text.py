@@ -85,33 +85,58 @@ def token_document_frequency(term_counts: Dataset) -> Dataset:
     return pre_aggregate(term_counts, ["token"], {"df": (None, "count")})
 
 
-def tfidf_postings(docs: Dataset, mode: str = "simple", round_to: int | None = 6) -> Dataset:
+def tfidf_postings(docs: Dataset, mode: str = "simple", round_to: int | None = 6,
+                   broadcast_vocab_limit: int = 2_000_000) -> Dataset:
     """Full postings table (doc_id, token, tf, tf_idf).
 
     tf = cnt/doc_len (reference helpers.py:21-27); idf = ln(N/df)
-    (index_construction.py:191-194); tf_idf = tf*idf (:204).  The idf table
-    is small (vocabulary-sized) → broadcast, not shuffled against postings.
+    (index_construction.py:191-194); tf_idf = tf*idf (:204).
+
+    The idf table is vocabulary-sized: up to ``broadcast_vocab_limit``
+    tokens it is broadcast (one object-store copy, no shuffle of the
+    postings); above that — a web-scale vocabulary (~10^8) does not belong
+    on the driver — it stays a Dataset and attaches via a distributed
+    ``hash_join`` on token.  Both paths produce identical rows.
     """
     n_docs = docs.count()
     tc = doc_term_counts(docs, mode=mode).materialize()
-    df_tbl = token_document_frequency(tc).to_pandas()
-    idf = {t: float(np.log(n_docs / d)) for t, d in zip(df_tbl["token"], df_tbl["df"])}
-    idf_ref = ray.put(idf)
+    df_ds = token_document_frequency(tc).materialize()
+    n_vocab = df_ds.count()
 
-    def tfidf_fn(df: pd.DataFrame) -> pd.DataFrame:
-        table = ray.get(idf_ref)  # plasma-local; small
-        tf = df["cnt"].to_numpy() / df["doc_len"].to_numpy()
-        idf_v = np.array([table[t] for t in df["token"]])
-        out = pd.DataFrame(
-            {"doc_id": df["doc_id"], "token": df["token"], "tf": tf,
-             "tf_idf": tf * idf_v}
-        )
+    def finish(out: pd.DataFrame) -> pd.DataFrame:
         if round_to is not None:
             out["tf"] = out["tf"].round(round_to)
             out["tf_idf"] = out["tf_idf"].round(round_to)
         return out
 
-    return tc.map_batches(tfidf_fn, batch_format="pandas")
+    if n_vocab <= broadcast_vocab_limit:
+        df_tbl = df_ds.to_pandas()
+        idf = {t: float(np.log(n_docs / d))
+               for t, d in zip(df_tbl["token"], df_tbl["df"])}
+        idf_ref = ray.put(idf)
+
+        def tfidf_fn(df: pd.DataFrame) -> pd.DataFrame:
+            table = ray.get(idf_ref)  # plasma-local; small
+            tf = df["cnt"].to_numpy() / df["doc_len"].to_numpy()
+            idf_v = np.array([table[t] for t in df["token"]])
+            return finish(pd.DataFrame(
+                {"doc_id": df["doc_id"], "token": df["token"], "tf": tf,
+                 "tf_idf": tf * idf_v}))
+
+        return tc.map_batches(tfidf_fn, batch_format="pandas")
+
+    from searchengine_ray.stages.relational import hash_join
+
+    joined = hash_join(tc, df_ds, on="token")
+
+    def tfidf_join_fn(df: pd.DataFrame) -> pd.DataFrame:
+        tf = df["cnt"].to_numpy() / df["doc_len"].to_numpy()
+        idf_v = np.log(n_docs / df["df"].to_numpy(dtype=np.float64))
+        return finish(pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(), "token": df["token"].to_numpy(),
+             "tf": tf, "tf_idf": tf * idf_v}))
+
+    return joined.map_batches(tfidf_join_fn, batch_format="pandas")
 
 
 class TextFeatures:

@@ -1,0 +1,94 @@
+"""Distributed dedup / tfidf pipeline behavior beyond the SQL oracles:
+planted near-dups must actually be DETECTED (the zero-rows oracle equality
+on random fixtures is necessary but not sufficient), and the two
+tfidf idf-attachment paths must agree."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+
+def _planted_embeddings(n=40, dim=32, seed=5):
+    rng = np.random.RandomState(seed)
+    vecs = rng.randn(n, dim)
+    # plant 3 near-dup pairs: tiny perturbations (cos > 0.99) — and one
+    # EXACT duplicate
+    planted = [(0, n), (7, n + 1), (13, n + 2)]
+    extra = [vecs[0] + rng.randn(dim) * 0.02,
+             vecs[7] + rng.randn(dim) * 0.02,
+             vecs[13].copy()]
+    allv = np.vstack([vecs, np.stack(extra)])
+    return allv, planted
+
+
+def _brute_pairs(vecs, threshold):
+    norms = np.linalg.norm(vecs, axis=1)
+    sims = (vecs @ vecs.T) / np.outer(norms, norms)
+    ia, ib = np.triu_indices(len(vecs), k=1)
+    keep = sims[ia, ib] >= threshold
+    return sorted(zip(ia[keep].tolist(), ib[keep].tolist()))
+
+
+def test_embedding_neardup_detects_planted(ray_session):
+    from searchengine_ray.stages.dedup import embedding_neardup_pairs
+
+    vecs, planted = _planted_embeddings()
+    want = _brute_pairs(vecs, 0.95)
+    assert len(want) >= 3  # the plants are actually above threshold
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(len(vecs), dtype=np.int64),
+        "embedding": [v.tolist() for v in vecs],
+    })).repartition(4)
+    out = embedding_neardup_pairs(ds, threshold=0.95).to_pandas()
+    got = sorted(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
+    assert got == want
+    # exact duplicate reports cosine 1.0
+    exact = out[(out["doc_a"] == 13) & (out["doc_b"] == len(vecs) - 1)]
+    assert len(exact) == 1 and float(exact["cosine"].iloc[0]) == pytest.approx(1.0)
+
+
+def test_minhash_verify_detects_planted(ray_session):
+    from searchengine_ray.stages.dedup import (
+        minhash_lsh_candidates,
+        verify_jaccard_pairs,
+    )
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon ") * 3
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": [base,
+                 base + "phi chi psi",              # near-dup of 0
+                 base.replace("alpha", "ALPHA2"),   # near-dup of 0
+                 "completely different words here now",
+                 "another unrelated document text body",
+                 base],                             # exact dup of 0
+    })
+    ds = rd.from_pandas(docs).repartition(3)
+    out = verify_jaccard_pairs(
+        ds, minhash_lsh_candidates(ds, dedup=False), threshold=0.65
+    ).to_pandas()
+    got = set(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
+    assert (0, 5) in got          # exact dup
+    assert (0, 1) in got and (0, 2) in got
+    assert not any(3 in p or 4 in p for p in got)
+    j05 = float(out[(out["doc_a"] == 0) & (out["doc_b"] == 5)]["jaccard"].iloc[0])
+    assert j05 == pytest.approx(1.0)
+
+
+def test_tfidf_join_path_matches_broadcast(ray_session):
+    from searchengine_ray.stages.text import tfidf_postings
+
+    sf = "/root/testdata/sf0.001"
+    a = tfidf_postings(
+        rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
+        mode="simple").to_pandas()
+    b = tfidf_postings(
+        rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text"]),
+        mode="simple", broadcast_vocab_limit=0).to_pandas()  # force hash_join
+    key = ["doc_id", "token"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True)[a.columns])
