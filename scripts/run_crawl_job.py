@@ -87,8 +87,9 @@ def main() -> None:
         "accepted": int(len(res.accepted_pages)),
         "url_seen": int(len(res.url_seen)),
         "waves": int(res.crawl_order["wave"].max()) + 1 if len(res.crawl_order) else 0,
-        "per_wave": [{k: m[k] for k in ("wave", "fetched", "pages_per_sec",
-                                        "driver_rss_mb")}
+        "per_wave": [{k: m.get(k) for k in ("wave", "fetched", "pages_per_sec",
+                                            "driver_rss_mb",
+                                            "driver_private_mb")}
                      for m in eng.metrics],
     }))
     eng.shutdown()

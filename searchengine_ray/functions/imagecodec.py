@@ -171,14 +171,20 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
     return np.stack([r, g, b], axis=-1)
 
 
-def _blockify(ch: np.ndarray) -> np.ndarray:
-    hh, ww = ch.shape
-    return ch.reshape(hh // 8, 8, ww // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+def _dct2_blocks(plane: np.ndarray, m: np.ndarray) -> np.ndarray:
+    """``m @ B @ m.T`` for every 8×8 block B of ``plane`` — expressed as two
+    full-plane GEMMs (one per axis), not per-block matmuls: ~100× faster
+    than looping blocks for realistic image sizes."""
+    hh, ww = plane.shape
+    a = plane.reshape(hh // 8, 8, ww).transpose(1, 0, 2).reshape(8, -1)
+    a = (m @ a).reshape(8, hh // 8, ww).transpose(1, 0, 2).reshape(hh, ww)
+    b = a.T.reshape(ww // 8, 8, hh).transpose(1, 0, 2).reshape(8, -1)
+    b = (m @ b).reshape(8, ww // 8, hh).transpose(1, 0, 2).reshape(ww, hh)
+    return b.T
 
 
-def _unblockify(blocks: np.ndarray, hh: int, ww: int) -> np.ndarray:
-    return (blocks.reshape(hh // 8, ww // 8, 8, 8)
-            .transpose(0, 2, 1, 3).reshape(hh, ww))
+def _tile_table(tbl: np.ndarray, hh: int, ww: int) -> np.ndarray:
+    return np.tile(tbl, (hh // 8, ww // 8))
 
 
 def encode_jpeg(pixels: np.ndarray, quality: int = _JPEG_QUALITY) -> bytes:
@@ -189,15 +195,17 @@ def encode_jpeg(pixels: np.ndarray, quality: int = _JPEG_QUALITY) -> bytes:
     ph, pw = -h % 8, -w % 8  # pad to 8×8 blocks, edge-replicate
     px = np.pad(pixels.astype(np.float64), ((0, ph), (0, pw), (0, 0)), "edge")
     ycc = _rgb_to_ycbcr(px)
+    hh, ww = ycc.shape[:2]
     planes = []
     for ci in range(3):
-        blocks = _blockify(ycc[..., ci] - 128.0)
-        coef = np.einsum("ij,njk,lk->nil", _DCT8, blocks, _DCT8)
-        tbl = tl if ci == 0 else tc
+        coef = _dct2_blocks(ycc[..., ci] - 128.0, _DCT8)
+        tbl = _tile_table(tl if ci == 0 else tc, hh, ww)
         planes.append(np.round(coef / tbl).astype(np.int16))
     payload = np.concatenate([p.ravel() for p in planes]).tobytes()
+    # level 2: the quantized coefficient planes are zero-heavy, so low
+    # levels already capture most of the ratio at ~5× the throughput
     return (DJPG_MAGIC + struct.pack(">IIB", w, h, quality)
-            + zlib.compress(payload, 6))
+            + zlib.compress(payload, 2))
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
@@ -206,15 +214,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     w, h, quality = struct.unpack(">IIB", data[4:13])
     tl, tc = _quant_tables(quality)
     hh, ww = h + (-h % 8), w + (-w % 8)
-    n = (hh // 8) * (ww // 8)
     arr = np.frombuffer(zlib.decompress(data[13:]), dtype=np.int16)
-    arr = arr.reshape(3, n, 8, 8).astype(np.float64)
+    arr = arr.reshape(3, hh, ww).astype(np.float64)
     chans = []
     for ci in range(3):
-        tbl = tl if ci == 0 else tc
-        coef = arr[ci] * tbl
-        blocks = np.einsum("ji,njk,kl->nil", _DCT8, coef, _DCT8)
-        chans.append(_unblockify(blocks, hh, ww) + 128.0)
+        tbl = _tile_table(tl if ci == 0 else tc, hh, ww)
+        # inverse: B = M.T @ coef @ M
+        chans.append(_dct2_blocks(arr[ci] * tbl, _DCT8.T) + 128.0)
     rgb = _ycbcr_to_rgb(np.stack(chans, axis=-1))
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
 

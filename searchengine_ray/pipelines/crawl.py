@@ -91,15 +91,36 @@ def _driver_rss_mb() -> float | None:
     return None
 
 
+def _driver_private_mb() -> float | None:
+    """Private (non-shared) resident MB — excludes mapped plasma/shm
+    segments, i.e. the driver's OWN heap.  This is the number that must
+    stay flat when the frontier lives off-driver (VmRSS also counts
+    object-store pages the driver merely mapped)."""
+    try:
+        with open("/proc/self/smaps_rollup") as f:
+            total = 0
+            for line in f:
+                if line.startswith(("Private_Clean:", "Private_Dirty:")):
+                    total += int(line.split()[1])
+            return round(total / 1024, 1)
+    except OSError:
+        return None
+
+
 # Per-worker-process cache of broadcast objects: ray.get() re-deserializes a
 # Python dict on every call, so stateless fetch tasks memoize it once per
 # worker (the actor-pool path gets the same amortization via __init__).
+# BOUNDED: per-wave objects (rank maps) would otherwise accumulate in every
+# worker for the life of the crawl — FIFO-evict beyond a few live waves.
 _BROADCAST_CACHE: dict[str, object] = {}
+_BROADCAST_CACHE_MAX = 8
 
 
 def _get_broadcast(ref):
     key = ref.hex()
     if key not in _BROADCAST_CACHE:
+        while len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
         _BROADCAST_CACHE[key] = ray.get(ref)
     return _BROADCAST_CACHE[key]
 
@@ -798,6 +819,7 @@ class CrawlEngine:
             lambda u: u.split("/")[2]).value_counts().to_dict()
         metric = {
             "driver_rss_mb": _driver_rss_mb(),
+            "driver_private_mb": _driver_private_mb(),
             "wave": self.wave,
             "fetched": int(len(fp_seqs)),
             "pages_per_sec": round(len(fp_seqs) / wall, 2) if wall > 0 else None,
