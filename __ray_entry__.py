@@ -6,9 +6,13 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``entry()``: flagship pipeline on /root/testdata/sf0.001.
 - ``queries()``: one callable per implemented operator/pipeline
   (SURVEY.md §2); each takes ``sf_dir``.
-- ``oracle_sql()``: DuckDB-equivalent SQL for each SQL-expressible query;
-  non-SQL-expressible ops (LSH dedup candidates, feature scoring, crawl)
-  are omitted → rows-only checks.
+- ``oracle_sql()``: DuckDB-equivalent SQL for each SQL-expressible query —
+  25 of 28, including the dedup families (verified MinHash output ≡ exact
+  all-pairs jaccard; embedding LSH ≡ all-pairs cosine) and the full
+  text_features row.  Only crawl_bfs (stateful sequential gates),
+  simhash_pairs (64-bit bitwise majority vote) and image_pipeline (binary
+  codec) stay rows-only; their semantics are pinned by the pytest
+  conformance suites.
 """
 
 from __future__ import annotations

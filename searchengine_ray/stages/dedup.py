@@ -18,7 +18,6 @@ from searchengine_ray.functions.minhash import (
     band_digests, batch_signatures, make_coeffs, minhash_signature)
 from searchengine_ray.functions.ngrams import shingle_hashes, stable_hash64
 from searchengine_ray.functions.phash import phash_bands
-from searchengine_ray.functions.simhash import simhash64
 from searchengine_ray.stages.text import simple_tokens
 
 
@@ -351,11 +350,26 @@ def ngram_jaccard_pairs(
 
 
 def add_simhash(ds: Dataset, text_col: str = "text") -> Dataset:
+    from searchengine_ray.functions.simhash import simhash64_from_hashes
+
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        df["simhash"] = np.fromiter(
-            (simhash64(simple_tokens(t or "")) for t in df[text_col]),
-            dtype=np.int64, count=len(df),
-        )
+        # batch-level token-hash cache: vocabulary repeats heavily across
+        # the batch's docs, so each distinct token is blake2b-hashed once
+        cache: dict[str, int] = {}
+        out = np.empty(len(df), dtype=np.int64)
+        for i, t in enumerate(df[text_col]):
+            uniq: dict[str, int] = {}
+            for tok in simple_tokens(t or ""):
+                uniq[tok] = uniq.get(tok, 0) + 1
+            if not uniq:
+                out[i] = 0
+                continue
+            hs = np.fromiter(
+                (cache.setdefault(tok, stable_hash64(tok)) for tok in uniq),
+                dtype=np.int64, count=len(uniq))
+            ws = np.fromiter(uniq.values(), dtype=np.float64, count=len(uniq))
+            out[i] = simhash64_from_hashes(hs, ws)
+        df["simhash"] = out
         return df
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=1024)
