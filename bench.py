@@ -133,8 +133,9 @@ def main() -> None:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "scaling": "run `python bench.py --scaling` (8 vs 32 CPUs, fresh "
-                   "processes); recorded in BASELINE.md: 0.80 eff @150k "
-                   "pages, 0.95 @240k",
+                   "processes); recorded in BASELINE.md (round 2): eff "
+                   "1.39 @8->32 (8-cpu level anomalously slow), 0.96 "
+                   "@16->32, 150k pages",
     }))
     ray.shutdown()
 

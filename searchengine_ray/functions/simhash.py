@@ -31,6 +31,34 @@ def simhash64_from_hashes(hashes: np.ndarray, weights: np.ndarray | None = None)
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+def batch_simhash(hash_arrays: list[np.ndarray],
+                  weight_arrays: list[np.ndarray]) -> np.ndarray:
+    """Simhashes for a whole batch of docs in one vectorized pass — same
+    values as per-doc ``simhash64_from_hashes``: concatenate every doc's
+    feature hashes, unpack to a (features × 64) ±1 bit matrix, weighted
+    per-doc sums via ``np.add.reduceat``, sign → bits → int64."""
+    n_docs = len(hash_arrays)
+    out = np.zeros(n_docs, dtype=np.int64)
+    lens = np.fromiter((h.size for h in hash_arrays), dtype=np.int64,
+                       count=n_docs)
+    nonempty = np.flatnonzero(lens)
+    if nonempty.size == 0:
+        return out
+    cat_h = np.concatenate([hash_arrays[i] for i in nonempty])
+    cat_w = np.concatenate([weight_arrays[i] for i in nonempty])
+    offsets = np.zeros(nonempty.size, dtype=np.int64)
+    np.cumsum(lens[nonempty][:-1], out=offsets[1:])
+    # little-endian byte view + bitorder="little" ⇒ column j == bit j
+    bits = np.unpackbits(
+        cat_h.astype("<i8").view(np.uint8).reshape(-1, 8),
+        axis=1, bitorder="little").astype(np.float64)
+    contrib = (2.0 * bits - 1.0) * cat_w[:, None]
+    acc = np.add.reduceat(contrib, offsets, axis=0)  # (docs, 64)
+    packed = np.packbits((acc > 0), axis=1, bitorder="little")
+    out[nonempty] = packed.view("<i8").ravel()
+    return out
+
+
 def simhash64(tokens: list[str]) -> int:
     """Tokens → simhash via stable per-token hashes with count weights."""
     if not tokens:

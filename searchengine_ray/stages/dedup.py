@@ -350,26 +350,24 @@ def ngram_jaccard_pairs(
 
 
 def add_simhash(ds: Dataset, text_col: str = "text") -> Dataset:
-    from searchengine_ray.functions.simhash import simhash64_from_hashes
+    from searchengine_ray.functions.simhash import batch_simhash
 
     def fn(df: pd.DataFrame) -> pd.DataFrame:
-        # batch-level token-hash cache: vocabulary repeats heavily across
-        # the batch's docs, so each distinct token is blake2b-hashed once
+        # batch-level token-hash cache (each distinct token blake2b-hashed
+        # once per batch), then ONE vectorized bit-voting pass for the whole
+        # batch (batch_simhash) — no per-doc numpy loops
         cache: dict[str, int] = {}
-        out = np.empty(len(df), dtype=np.int64)
-        for i, t in enumerate(df[text_col]):
+        hs_list, ws_list = [], []
+        for t in df[text_col]:
             uniq: dict[str, int] = {}
             for tok in simple_tokens(t or ""):
                 uniq[tok] = uniq.get(tok, 0) + 1
-            if not uniq:
-                out[i] = 0
-                continue
-            hs = np.fromiter(
+            hs_list.append(np.fromiter(
                 (cache.setdefault(tok, stable_hash64(tok)) for tok in uniq),
-                dtype=np.int64, count=len(uniq))
-            ws = np.fromiter(uniq.values(), dtype=np.float64, count=len(uniq))
-            out[i] = simhash64_from_hashes(hs, ws)
-        df["simhash"] = out
+                dtype=np.int64, count=len(uniq)))
+            ws_list.append(np.fromiter(uniq.values(), dtype=np.float64,
+                                       count=len(uniq)))
+        df["simhash"] = batch_simhash(hs_list, ws_list)
         return df
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=1024)
