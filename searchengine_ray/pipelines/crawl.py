@@ -379,6 +379,40 @@ def _link_decision_counts(gate_res: pd.DataFrame) -> dict:
     return out
 
 
+def _gate_counts_distributed(gated) -> tuple[int, dict]:
+    """(total candidate occurrences, per-occurrence decision counts) from
+    the distributed gate output — per-batch partials, only a handful of
+    count rows reach the driver (same arithmetic as
+    ``_link_decision_counts``)."""
+    cols = ["cand", "accept", "accept_dup_occ", "trap_occ"]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame(columns=cols, dtype=np.int64)
+        occ = df["occurrences"].to_numpy(dtype=np.int64)
+        dec = df["decision"]
+        return pd.DataFrame([{
+            "cand": int(occ.sum()),
+            "accept": int((dec == "accept").sum()),
+            "accept_dup_occ": int(occ[dec.isin(["accept", "dup"]).to_numpy()].sum()),
+            "trap_occ": int(occ[(dec == "trap").to_numpy()].sum()),
+        }])[cols]
+
+    parts = gated.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return 0, {}
+    t = parts.sum()
+    n_accept = int(t["accept"])
+    n_dup = int(t["accept_dup_occ"]) - n_accept
+    n_trap = int(t["trap_occ"])
+    out = {"accept": n_accept}
+    if n_dup:
+        out["dup"] = n_dup
+    if n_trap:
+        out["trap"] = n_trap
+    return int(t["cand"]), out
+
+
 @dataclass
 class CrawlResult:
     crawl_order: pd.DataFrame = None
@@ -766,48 +800,56 @@ class CrawlEngine:
                 return g
 
             # single chained execution:
-            # explode → robots → batch-local dedup → groupby → gate
-            gate_res = (
+            # explode → robots → batch-local dedup → groupby → gate.
+            # materialize: the gate RPCs mutate actor state and must run
+            # EXACTLY once; the blocks stay distributed in the object store
+            # (bounded by this wave's candidates), never on the driver.
+            gated = (
                 accepted_ds
                 .map_batches(explode_and_robots, batch_format="pyarrow")
                 .map_batches(_dedup_candidates, batch_format="pandas")
                 .groupby("host")
                 .map_groups(host_gate, batch_format="pandas")
-                .to_pandas()
+                .materialize()
             )
-            if gate_res.empty:
-                gate_res = _empty_gate_frame()
+            gate_res = None  # candidates never concat on the driver
+            n_candidates, link_dec = _gate_counts_distributed(gated)
+        if gate_res is not None:
             n_candidates = int(gate_res["occurrences"].sum()) if len(gate_res) else 0
+            link_dec = _link_decision_counts(gate_res)
         link_counts = {"candidates": n_candidates}
 
         t_links = time.monotonic() - t0 - t_fetch - t_gate
 
         # ---- frontier(w+1): FIFO seq assignment ---------------------------
-        accepted_links = gate_res[gate_res["decision"] == "accept"].sort_values(
-            ["parent_rank", "link_idx"]
-        ).reset_index(drop=True)
         pf = cfg.priority_fn
-        prios = (
-            np.array([pf(u, h, self.wave + 1) for u, h in
-                      zip(accepted_links["url_norm"], accepted_links["host"])],
-                     dtype=np.float64)
-            if pf else np.zeros(len(accepted_links), dtype=np.float64)
-        )
-        new_rows = pd.DataFrame({
-            "seq": self.next_seq + np.arange(len(accepted_links), dtype=np.int64),
-            "url_norm": accepted_links["url_norm"],
-            "host": accepted_links["host"],
-            "wave": np.int32(self.wave + 1),
-            "priority": prios,
-        })
-        self.next_seq += len(accepted_links)
-        self.pool.add(new_rows)
+        if gate_res is not None:
+            accepted_links = gate_res[gate_res["decision"] == "accept"].sort_values(
+                ["parent_rank", "link_idx"]
+            ).reset_index(drop=True)
+            prios = (
+                np.array([pf(u, h, self.wave + 1) for u, h in
+                          zip(accepted_links["url_norm"], accepted_links["host"])],
+                         dtype=np.float64)
+                if pf else np.zeros(len(accepted_links), dtype=np.float64)
+            )
+            new_rows = pd.DataFrame({
+                "seq": self.next_seq + np.arange(len(accepted_links), dtype=np.int64),
+                "url_norm": accepted_links["url_norm"],
+                "host": accepted_links["host"],
+                "wave": np.int32(self.wave + 1),
+                "priority": prios,
+            })
+            n_accepted = len(accepted_links)
+            self.pool.add(new_rows)
+        else:
+            n_accepted = self._append_frontier_distributed(gated, pf)
+        self.next_seq += n_accepted
 
         # ---- metrics ------------------------------------------------------
         from collections import Counter
 
         page_dec = Counter(order_df["decision"])
-        link_dec = _link_decision_counts(gate_res)
         wall = time.monotonic() - t0
         n_cand = int(link_counts["candidates"])
         n_link_dups = int(link_dec.get("dup", 0) + link_dec.get("trap", 0))
@@ -843,6 +885,87 @@ class CrawlEngine:
             self._checkpoint(order_df, metric)
         self.wave += 1
         return True
+
+    # ----------------------------------------- distributed frontier append --
+    def _append_frontier_distributed(self, gated, pf) -> int:
+        """Accepted candidates → frontier(w+1) WITHOUT landing on the
+        driver: the distributed FIFO rank the module docstring promises.
+
+        seq(link) = next_seq + |accepted links with smaller parent_rank|
+                  + rank of link_idx within its parent — value-based (no
+        reliance on block ordering): per-parent accepted counts come back
+        tiny (≤ wave pages, already driver-resident as the wave slice), the
+        exclusive prefix sum over parent_rank broadcasts, and within-parent
+        ranks are one vectorized cumcount per hash bucket.  The resulting
+        rows stream into the pool batch-by-batch."""
+        from searchengine_ray.stages.relational import bucketed_apply, pre_aggregate
+
+        acc = gated.map_batches(
+            lambda df: df[(df["decision"] == "accept").to_numpy()]
+            [["parent_rank", "link_idx", "url_norm", "host"]],
+            batch_format="pandas")
+        per_parent = pre_aggregate(acc, ["parent_rank"],
+                                   {"n": (None, "count")}).to_pandas()
+        n_accepted = int(per_parent["n"].sum()) if len(per_parent) else 0
+        if n_accepted == 0:
+            return 0
+        per_parent = per_parent.sort_values("parent_rank")
+        offsets = np.zeros(len(per_parent), dtype=np.int64)
+        np.cumsum(per_parent["n"].to_numpy()[:-1], out=offsets[1:])
+        off_ref = ray.put(dict(zip(per_parent["parent_rank"].astype(int), offsets)))
+        base = self.next_seq
+        next_wave = np.int32(self.wave + 1)
+
+        def rank_within(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["parent_rank", "link_idx"], kind="mergesort")
+            g["_r"] = g.groupby("parent_rank", sort=False).cumcount()
+            return g
+
+        ranked = bucketed_apply(acc, ["parent_rank"], rank_within)
+
+        def to_pool_rows(df: pd.DataFrame) -> pd.DataFrame:
+            off = _get_broadcast(off_ref)
+            parent_off = df["parent_rank"].map(off).to_numpy(dtype=np.int64)
+            urls = df["url_norm"]
+            hosts = df["host"]
+            prios = (np.fromiter((pf(u, h, int(next_wave)) for u, h in
+                                  zip(urls, hosts)),
+                                 dtype=np.float64, count=len(df))
+                     if pf else np.zeros(len(df), dtype=np.float64))
+            return pd.DataFrame({
+                "seq": base + parent_off + df["_r"].to_numpy(dtype=np.int64),
+                "url_norm": urls.to_numpy(),
+                "host": hosts.to_numpy(),
+                "wave": np.full(len(df), next_wave, dtype=np.int32),
+                "priority": prios,
+            })
+
+        # priority_fn now runs INSIDE tasks: functions from modules the
+        # workers can't import (e.g. a test module) must ship by value
+        mod = None
+        if pf is not None:
+            import sys as _sys
+
+            from ray import cloudpickle as _cp
+
+            mod = _sys.modules.get(getattr(pf, "__module__", ""))
+            if mod is not None and mod.__name__ not in ("__main__", "builtins"):
+                try:
+                    _cp.register_pickle_by_value(mod)
+                except Exception:
+                    mod = None
+        try:
+            self.pool.add_dataset(
+                ranked.map_batches(to_pool_rows, batch_format="pandas"))
+        finally:
+            if mod is not None:
+                try:
+                    from ray import cloudpickle as _cp
+
+                    _cp.unregister_pickle_by_value(mod)
+                except Exception:
+                    pass
+        return n_accepted
 
     # ------------------------------------------------------------ checkpoint
     def _checkpoint(self, order_df: pd.DataFrame, metric: dict) -> None:

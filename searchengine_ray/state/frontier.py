@@ -58,6 +58,13 @@ def _slice_frame(pool: pd.DataFrame, per_host_budget: int | None,
     return take
 
 
+def _add_dataset(pool, ds, batch_size: int = 65536) -> None:
+    """Stream a Dataset of pool rows into ``pool`` — the driver holds one
+    batch at a time, never the dataset."""
+    for batch in ds.iter_batches(batch_size=batch_size, batch_format="pandas"):
+        pool.add(batch)
+
+
 class InMemoryFrontierPool:
     """Driver-side pandas pool (the original engine shape)."""
 
@@ -66,6 +73,9 @@ class InMemoryFrontierPool:
 
     def __len__(self) -> int:
         return len(self.pool)
+
+    def add_dataset(self, ds) -> None:
+        _add_dataset(self, ds)
 
     def add(self, df: pd.DataFrame) -> None:
         if not len(df):
@@ -160,6 +170,9 @@ class PartitionedFrontierPool:
         for pid, g in df.groupby(pids, sort=False):
             self._write_fragment(int(pid), g)
             self._counts[int(pid)] += len(g)
+
+    def add_dataset(self, ds) -> None:
+        _add_dataset(self, ds)
 
     def slice_wave(self, per_host_budget: int | None, cap: int | None) -> pd.DataFrame:
         takes = []
