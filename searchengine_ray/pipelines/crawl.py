@@ -434,7 +434,8 @@ class CrawlEngine:
         else:
             self.store_ref = ray.put(store_to_arrow(store.pages))
         self.gates = [
-            HostGateShard.remote(i, config.url_similarity_threshold)
+            HostGateShard.remote(i, config.url_similarity_threshold,
+                                 track_deltas=config.checkpoint_dir is not None)
             for i in range(config.num_gate_shards)
         ]
         self.content_gate = ContentGate.remote(
@@ -495,6 +496,7 @@ class CrawlEngine:
         if tbl is not None and tbl.num_rows:
             self._store_delta_refs.append(ray.put(tbl))
         self._pending_admit = None
+        self._last_delta_tbl = None  # this wave's accepted fps (checkpoint unit)
 
     def _append_store_fp(self, live_tbl: pa.Table, gate_out: list[str],
                          admit_actor: bool) -> None:
@@ -508,6 +510,7 @@ class CrawlEngine:
         if accepted.num_rows == 0:
             return
         self._store_delta_refs.append(ray.put(accepted))
+        self._last_delta_tbl = accepted
         if admit_actor:
             self._pending_admit = self.content_gate.bulk_admit.remote(accepted)
 
@@ -569,6 +572,7 @@ class CrawlEngine:
             return False
         t0 = time.monotonic()
         cfg = self.config
+        self._last_delta_tbl = None  # reset the per-wave checkpoint delta
         # processing rank of each page in this wave (row order of the slice);
         # all order-dependent gates run in THIS order — identical to seq
         # order under FIFO, priority order under a priority_fn
@@ -969,6 +973,10 @@ class CrawlEngine:
 
     # ------------------------------------------------------------ checkpoint
     def _checkpoint(self, order_df: pd.DataFrame, metric: dict) -> None:
+        """Per-wave INCREMENTAL checkpoint: every artifact is O(wave), not
+        O(crawl) — host-gate admit deltas + this wave's accepted content
+        fingerprints; restore replays deltas in wave order (bit-identical,
+        verified by tests)."""
         self._flush_admits()  # gate actor must be current before dump
         d = self.config.checkpoint_dir
         storage.write_table_atomic(
@@ -976,15 +984,16 @@ class CrawlEngine:
             os.path.join(d, "crawl_order", f"wave={self.wave}"),
         )
         self.pool.snapshot_to(os.path.join(d, "frontier", f"wave={self.wave + 1}"))
-        host_dumps = ray.get([g.dump.remote() for g in self.gates])
+        host_deltas = ray.get([g.dump_delta.remote() for g in self.gates])
         storage.write_json_atomic(
-            {"shards": host_dumps},
-            os.path.join(d, "state", f"wave={self.wave}", "hostgates.json"),
+            {"shards": host_deltas},
+            os.path.join(d, "state", f"wave={self.wave}", "hostgate_deltas.json"),
         )
-        storage.write_json_atomic(
-            ray.get(self.content_gate.dump.remote()),
-            os.path.join(d, "state", f"wave={self.wave}", "contentgate.json"),
-        )
+        if self._last_delta_tbl is not None and self._last_delta_tbl.num_rows:
+            storage.write_table_atomic(
+                self._last_delta_tbl,
+                os.path.join(d, "state", f"wave={self.wave}", "content_delta"),
+            )
         storage.write_json_atomic(metric, os.path.join(d, "metrics", f"wave={self.wave}.json"))
         storage.write_json_atomic(
             {"completed_wave": self.wave, "next_seq": self.next_seq,
@@ -1013,14 +1022,28 @@ class CrawlEngine:
         from searchengine_ray.state.frontier import load_snapshot_into
 
         load_snapshot_into(self.pool, os.path.join(d, "frontier", f"wave={w + 1}"))
-        host_state = storage.read_json(os.path.join(d, "state", f"wave={w}", "hostgates.json"))
-        ray.get([
-            g.restore.remote(s) for g, s in zip(self.gates, host_state["shards"])
-        ])
-        ray.get(self.content_gate.restore.remote(
-            storage.read_json(os.path.join(d, "state", f"wave={w}", "contentgate.json"))
-        ))
-        self._init_store_fp(ray.get(self.content_gate.export_table.remote()))
+        # replay the incremental per-wave deltas IN ORDER: host-gate admits
+        # rebuild seen/cuckoo/trap state exactly; content deltas bulk_admit
+        # into the gate actor and re-form the broadcast delta chain
+        self._store_delta_refs = []
+        self._pending_admit = None
+        self._last_delta_tbl = None
+        admit_futs = []
+        for wv in range(w + 1):
+            sd = os.path.join(d, "state", f"wave={wv}")
+            host_state = storage.read_json(
+                os.path.join(sd, "hostgate_deltas.json"))
+            ray.get([
+                g.restore_replay.remote(s["rows"])
+                for g, s in zip(self.gates, host_state["shards"])
+            ])
+            if storage.exists(os.path.join(sd, "content_delta")):
+                tbl = storage.read_table(os.path.join(sd, "content_delta"))
+                ref = ray.put(tbl)
+                self._store_delta_refs.append(ref)
+                admit_futs.append(self.content_gate.bulk_admit.remote(tbl))
+        if admit_futs:
+            ray.get(admit_futs)
         if self.config.hold_order_in_memory:
             for wv in range(w + 1):
                 t = storage.read_table(os.path.join(d, "crawl_order", f"wave={wv}"))

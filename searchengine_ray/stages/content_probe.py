@@ -24,63 +24,142 @@ cost — same as the reference; typical waves are ~fully parallel.
 
 from __future__ import annotations
 
-from collections import defaultdict
-
 import numpy as np
 import pyarrow as pa
 
-from searchengine_ray.functions.phash import hamming64_vec, phash_bands
+from searchengine_ray.functions.phash import _popcount64
+
+
+class _Segment:
+    """One delta table as COMPACT numpy arrays (~150 B per page, vs several
+    KB for dict/frozenset structures — at 10^6-10^7 accepted pages the
+    per-worker replica must stay array-backed or it eats the node):
+
+    - (shingle value → local row) pairs sorted by value (binary-searchable)
+    - per-row shingle-set size, per-row phash
+    - per phash band: (band value, phash) pairs sorted by band value
+    """
+
+    __slots__ = ("n", "sh_vals", "sh_rows", "sizes", "band_vals", "band_ph")
+
+    def __init__(self, tbl: pa.Table, num_bands: int):
+        import pyarrow.compute as pc
+
+        sh = tbl["shingles"]
+        sh = sh.combine_chunks() if isinstance(sh, pa.ChunkedArray) else sh
+        if isinstance(sh, pa.ChunkedArray):  # zero-chunk edge
+            sh = sh.chunk(0) if sh.num_chunks else pa.array([], pa.list_(pa.int64()))
+        offsets = np.asarray(sh.offsets.to_numpy(zero_copy_only=False), np.int64)
+        offsets = offsets - offsets[0]
+        flat = np.asarray(pc.list_flatten(sh).to_numpy(zero_copy_only=False), np.int64)
+        self.n = tbl.num_rows
+        self.sizes = np.diff(offsets).astype(np.int32)
+        rows = np.repeat(np.arange(self.n, dtype=np.int32), self.sizes)
+        order = np.argsort(flat, kind="stable")
+        self.sh_vals = flat[order]
+        self.sh_rows = rows[order]
+        ph = np.asarray(tbl["phash"].to_numpy(zero_copy_only=False), np.int64)
+        ph_u = ph.astype(np.uint64)
+        self.band_vals: list[np.ndarray] = []
+        self.band_ph: list[np.ndarray] = []
+        for bv in _band_values(ph_u, num_bands):
+            o = np.argsort(bv, kind="stable")
+            self.band_vals.append(bv[o].astype(np.uint64))
+            self.band_ph.append(ph_u[o])
+
+
+def _expand_ranges(lo: np.ndarray, hi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized concatenation of ranges [lo[i], hi[i]): returns (indices,
+    which-input-range-each-index-came-from)."""
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
+        return (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+    src = np.repeat(np.arange(lo.size, dtype=np.int64), counts)
+    starts = np.zeros(lo.size, dtype=np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    idx = np.arange(total, dtype=np.int64) - starts[src] + lo[src]
+    return idx, src
 
 
 class StoreIndex:
     """Probe-side index over the accepted-fingerprint store, built
     incrementally from per-wave delta tables (seq, shingles, phash) — the
-    workers never re-ingest the whole store."""
+    workers never re-ingest the whole store.  State is a list of immutable
+    compact segments (one per delta); probes binary-search every segment,
+    vectorized across the whole candidate batch."""
 
     def __init__(self, max_hamming: int, tbl: pa.Table | None = None):
         self.num_bands = max_hamming + 1
         self.max_hamming = max_hamming
-        self.sets: list[frozenset[int]] = []
-        self.shingle_index: dict[int, list[int]] = defaultdict(list)
-        self.bands: dict[tuple[int, int], np.ndarray] = {}
+        self.segments: list[_Segment] = []
         if tbl is not None:
             self.add_table(tbl)
 
     def add_table(self, tbl: pa.Table) -> None:
-        base = len(self.sets)
-        new_sets = [frozenset(s) for s in tbl["shingles"].to_pylist()]
-        for i, s in enumerate(new_sets):
-            for sh in s:
-                self.shingle_index[sh].append(base + i)
-        self.sets.extend(new_sets)
-        delta: dict[tuple[int, int], list[int]] = defaultdict(list)
-        for ph in tbl["phash"].to_pylist():
-            for band in phash_bands(ph, self.num_bands):
-                delta[band].append(ph)
-        for band, lst in delta.items():
-            arr = np.fromiter(lst, dtype=np.int64, count=len(lst))
-            old = self.bands.get(band)
-            self.bands[band] = arr if old is None else np.concatenate([old, arr])
+        if tbl.num_rows:
+            self.segments.append(_Segment(tbl, self.num_bands))
 
+    # ---- batch probes (the hot path) -------------------------------------
+    def text_dup_batch(self, flat: np.ndarray, offsets: np.ndarray,
+                       max_sim: float) -> np.ndarray:
+        """Per-candidate 'near-dups something in the store' flags.
+        ``flat``/``offsets`` = the batch's concatenated distinct shingle
+        hashes + row offsets."""
+        n = offsets.size - 1
+        out = np.zeros(n, dtype=bool)
+        if flat.size == 0:
+            return out
+        cand_sizes = np.diff(offsets)
+        row_of_flat = np.repeat(np.arange(n, dtype=np.int64), cand_sizes)
+        s = max_sim
+        for seg in self.segments:
+            lo = np.searchsorted(seg.sh_vals, flat, side="left")
+            hi = np.searchsorted(seg.sh_vals, flat, side="right")
+            idx, src = _expand_ranges(lo, hi)
+            if idx.size == 0:
+                continue
+            crow = row_of_flat[src]
+            srow = seg.sh_rows[idx].astype(np.int64)
+            keys = crow * seg.n + srow
+            uk, shared = np.unique(keys, return_counts=True)
+            ua = uk // seg.n
+            ub = (uk % seg.n).astype(np.int64)
+            # jaccard = c/(la+lb-c) > s  ⟺  c·(1+s) > s·(la+lb)
+            passing = shared * (1.0 + s) > s * (
+                cand_sizes[ua] + seg.sizes[ub].astype(np.int64))
+            out[ua[passing]] = True
+        return out
+
+    def image_dup_batch(self, ph: np.ndarray) -> np.ndarray:
+        """Per-candidate 'phash within hamming ≤ t of the store' flags."""
+        n = ph.size
+        out = np.zeros(n, dtype=bool)
+        if n == 0:
+            return out
+        ph_u = ph.astype(np.uint64)
+        cand_bands = _band_values(ph_u, self.num_bands)
+        t = self.max_hamming
+        for seg in self.segments:
+            for b in range(self.num_bands):
+                bv = cand_bands[b]
+                lo = np.searchsorted(seg.band_vals[b], bv, side="left")
+                hi = np.searchsorted(seg.band_vals[b], bv, side="right")
+                idx, src = _expand_ranges(lo, hi)
+                if idx.size == 0:
+                    continue
+                close = _popcount64(seg.band_ph[b][idx] ^ ph_u[src]) <= t
+                out[src[close]] = True
+        return out
+
+    # ---- scalar compatibility wrappers -----------------------------------
     def text_dup(self, shingles: frozenset[int], max_sim: float) -> bool:
-        if not shingles:
-            return False
-        cand: set[int] = set()
-        for sh in shingles:
-            cand.update(self.shingle_index.get(sh, ()))
-        for i in cand:
-            prev = self.sets[i]
-            union = shingles | prev
-            if union and len(shingles & prev) / len(union) > max_sim:
-                return True
-        return False
+        arr = np.fromiter(shingles, dtype=np.int64, count=len(shingles))
+        return bool(self.text_dup_batch(
+            arr, np.array([0, arr.size], dtype=np.int64), max_sim)[0])
 
     def image_dup(self, ph: int) -> bool:
-        for band in phash_bands(ph, self.num_bands):
-            arr = self.bands.get(band)
-            if arr is not None and (hamming64_vec(arr, ph) <= self.max_hamming).any():
-                return True
-        return False
+        return bool(self.image_dup_batch(np.array([ph], dtype=np.int64))[0])
 
 
 _INDEX_STATE: dict = {"applied": [], "index": None, "max_hamming": None}
@@ -116,16 +195,29 @@ def probe_batch(
     index: StoreIndex,
     max_sim: float,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Store-probe flags per row (False for non-200 rows)."""
+    """Store-probe flags per row (False for non-200 rows) — one vectorized
+    pass over the whole batch per store segment.
+
+    The image flag is computed for every live row (the sequential resolver
+    consults it only when the text flag is down, so the extra flags are
+    inert — verdict order text-before-image is preserved there)."""
     n = len(phashes)
     text = np.zeros(n, dtype=bool)
     image = np.zeros(n, dtype=bool)
-    for i in range(n):
-        if statuses[i] != 200:
-            continue
-        text[i] = index.text_dup(frozenset(shingle_lists[i]), max_sim)
-        if not text[i]:
-            image[i] = index.image_dup(phashes[i])
+    rows = np.flatnonzero(np.asarray(statuses, dtype=np.int64) == 200)
+    if rows.size == 0:
+        return text, image
+    lens = np.fromiter((len(shingle_lists[i]) for i in rows),
+                       dtype=np.int64, count=rows.size)
+    offsets = np.zeros(rows.size + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    flat = (np.concatenate([np.asarray(shingle_lists[i], dtype=np.int64)
+                            for i in rows if len(shingle_lists[i])])
+            if int(lens.sum()) else np.array([], dtype=np.int64))
+    text[rows] = index.text_dup_batch(flat, offsets, max_sim)
+    ph = np.fromiter((phashes[i] for i in rows), dtype=np.int64,
+                     count=rows.size)
+    image[rows] = index.image_dup_batch(ph)
     return text, image
 
 

@@ -198,24 +198,50 @@ class PartitionedFrontierPool:
         return take.drop(columns=["_pid"]).reset_index(drop=True)
 
     def snapshot_to(self, path: str) -> None:
-        # one table per partition, written sequentially — the driver never
-        # holds more than one partition
+        # fragments are immutable once written (rewrites create new files),
+        # so a snapshot is a HARDLINK per fragment — O(#files), not O(pool
+        # bytes), and the links survive later fragment removals.  tmp+rename
+        # per partition keeps the snapshot atomic.
+        import shutil
+
         for pid in range(self.num_partitions):
-            storage.write_table_atomic(
-                pa.Table.from_pandas(self._read_partition(pid),
-                                     preserve_index=False),
-                os.path.join(path, f"part={pid}"))
+            dest = os.path.join(path, f"part={pid}")
+            tmp = dest + ".tmp"
+            if os.path.exists(tmp):
+                shutil.rmtree(tmp)
+            os.makedirs(tmp)
+            for f in self._fragments(pid):
+                target = os.path.join(tmp, os.path.basename(f))
+                try:
+                    os.link(f, target)
+                except OSError:  # cross-device fallback
+                    shutil.copy2(f, target)
+            if os.path.exists(dest):
+                shutil.rmtree(dest)
+            os.replace(tmp, dest)
 
 
 def load_snapshot_into(pool, path: str) -> None:
-    """Restore a checkpoint snapshot (either layout) into ``pool``."""
+    """Restore a checkpoint snapshot (any layout) into ``pool``:
+    single table (in-memory snapshots), per-partition tables, or
+    per-partition hardlinked fragment directories."""
+    import pyarrow.parquet as pq
+
     if storage.exists(path):  # single-table layout (in-memory snapshots)
         pool.add(storage.read_table(path).to_pandas())
         return
     pid = 0
     seen_any = False
-    while storage.exists(os.path.join(path, f"part={pid}")):
-        pool.add(storage.read_table(os.path.join(path, f"part={pid}")).to_pandas())
+    while True:
+        part = os.path.join(path, f"part={pid}")
+        if storage.exists(part):  # one-table-per-partition layout
+            pool.add(storage.read_table(part).to_pandas())
+        elif os.path.isdir(part):  # fragment-directory layout
+            for f in sorted(os.listdir(part)):
+                if f.endswith(".parquet"):
+                    pool.add(pq.read_table(os.path.join(part, f)).to_pandas())
+        else:
+            break
         seen_any = True
         pid += 1
     if not seen_any:

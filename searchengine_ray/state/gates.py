@@ -43,7 +43,8 @@ class HostGateShard:
     the reference's all-pairs scan (the reference corpus's 58%-skew host
     would otherwise make this gate O(N²) on one shard)."""
 
-    def __init__(self, shard_id: int, url_similarity_threshold: float = 0.85):
+    def __init__(self, shard_id: int, url_similarity_threshold: float = 0.85,
+                 track_deltas: bool = False):
         self.shard_id = shard_id
         self.threshold = url_similarity_threshold
         self.seen_hashes: set[str] = set()
@@ -51,6 +52,10 @@ class HostGateShard:
         self.cuckoo_degraded = False  # True → fast path off, exact set only
         self.host_urls: dict[str, list[str]] = defaultdict(list)
         self.trap_index = TrapIndex(url_similarity_threshold)
+        # incremental-checkpoint support: admits since the last dump_delta
+        # (only tracked when the engine checkpoints — unbounded otherwise)
+        self.track_deltas = track_deltas
+        self._delta: list[tuple[str, str, str]] = []
 
     def _cuckoo_key(self, url_hash: str) -> int:
         return int(url_hash[:16], 16)
@@ -88,6 +93,8 @@ class HostGateShard:
         return out
 
     def _admit(self, host: str, url_norm: str, url_hash: str) -> None:
+        if self.track_deltas:
+            self._delta.append((host, url_norm, url_hash))
         self.seen_hashes.add(url_hash)
         if not self.cuckoo_degraded and not self.cuckoo.add(
             self._cuckoo_key(url_hash)
@@ -121,6 +128,20 @@ class HostGateShard:
             "seen_hashes": sorted(self.seen_hashes),
             "host_urls": {h: list(v) for h, v in self.host_urls.items()},
         }
+
+    def dump_delta(self) -> dict:
+        """Admits since the last dump_delta — the O(wave) checkpoint unit
+        (the full dump is O(crawl) and only used by result())."""
+        d = {"shard_id": self.shard_id, "rows": [list(r) for r in self._delta]}
+        self._delta = []
+        return d
+
+    def restore_replay(self, rows: list) -> None:
+        """Replay checkpointed admit deltas IN ORDER — rebuilds seen set,
+        cuckoo, host_urls and trap index exactly (same _admit path)."""
+        for host, url_norm, url_hash in rows:
+            self._admit(host, url_norm, url_hash)
+        self._delta = []
 
     def restore(self, state: dict) -> None:
         self.seen_hashes = set(state["seen_hashes"])
