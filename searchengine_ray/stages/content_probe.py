@@ -89,6 +89,8 @@ class StoreIndex:
     compact segments (one per delta); probes binary-search every segment,
     vectorized across the whole candidate batch."""
 
+    COMPACT_AT = 24  # merge segments when the chain grows past this
+
     def __init__(self, max_hamming: int, tbl: pa.Table | None = None):
         self.num_bands = max_hamming + 1
         self.max_hamming = max_hamming
@@ -99,6 +101,35 @@ class StoreIndex:
     def add_table(self, tbl: pa.Table) -> None:
         if tbl.num_rows:
             self.segments.append(_Segment(tbl, self.num_bands))
+            if len(self.segments) > self.COMPACT_AT:
+                self._compact()
+
+    def _compact(self) -> None:
+        """Merge all segments into one (amortized — keeps probe cost
+        O(log N) per shingle instead of O(waves · log) on long crawls).
+        Row identity within a segment is local-only, so merging just
+        re-sorts the concatenated pair arrays with rebased row ids."""
+        segs = self.segments
+        merged = _Segment.__new__(_Segment)
+        bases = np.zeros(len(segs), dtype=np.int64)
+        np.cumsum([s.n for s in segs[:-1]], out=bases[1:])
+        merged.n = int(sum(s.n for s in segs))
+        sh_vals = np.concatenate([s.sh_vals for s in segs])
+        sh_rows = np.concatenate([
+            s.sh_rows.astype(np.int64) + b for s, b in zip(segs, bases)])
+        order = np.argsort(sh_vals, kind="stable")
+        merged.sh_vals = sh_vals[order]
+        merged.sh_rows = sh_rows[order]
+        merged.sizes = np.concatenate([s.sizes for s in segs])
+        merged.band_vals = []
+        merged.band_ph = []
+        for b in range(self.num_bands):
+            bv = np.concatenate([s.band_vals[b] for s in segs])
+            ph = np.concatenate([s.band_ph[b] for s in segs])
+            o = np.argsort(bv, kind="stable")
+            merged.band_vals.append(bv[o])
+            merged.band_ph.append(ph[o])
+        self.segments = [merged]
 
     # ---- batch probes (the hot path) -------------------------------------
     def text_dup_batch(self, flat: np.ndarray, offsets: np.ndarray,
