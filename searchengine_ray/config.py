@@ -55,6 +55,12 @@ class CrawlConfig:
     fetch_concurrency: int = 8
     fetch_batch_size: int = 256
     checkpoint_dir: str | None = None
+    # accepted-link volume above which frontier(w+1) seq assignment and
+    # pool append run DISTRIBUTED (per-parent prefix-sum rank + streamed
+    # add) instead of on the driver: the distributed path costs ~3 extra
+    # all-to-all stages per wave — pure overhead for small waves, the only
+    # shape that works for giant ones
+    driver_link_threshold: int = 200_000
     # frontier pool storage: None = driver-side pandas (small crawls);
     # a directory = host-hash-partitioned parquet spill pool (the 10^10-URL
     # shape — the driver holds one partition at a time, never the pool)
@@ -74,7 +80,8 @@ class CrawlConfig:
         for k in ("num_gate_shards", "fetch_concurrency", "fetch_batch_size",
                   "checkpoint_dir", "max_waves", "politeness_delay",
                   "inline_wave_threshold", "frontier_spill_dir",
-                  "frontier_partitions", "hold_order_in_memory"):
+                  "frontier_partitions", "hold_order_in_memory",
+                  "driver_link_threshold"):
             d.pop(k)
         # callables aren't hashable: record presence only (see field docs)
         d["priority_fn"] = self.priority_fn is not None

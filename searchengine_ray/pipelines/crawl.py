@@ -804,20 +804,36 @@ class CrawlEngine:
                 return g
 
             # single chained execution:
-            # explode → robots → batch-local dedup → groupby → gate.
-            # materialize: the gate RPCs mutate actor state and must run
-            # EXACTLY once; the blocks stay distributed in the object store
-            # (bounded by this wave's candidates), never on the driver.
-            gated = (
+            # explode → robots → batch-local dedup → groupby → gate
+            chain = (
                 accepted_ds
                 .map_batches(explode_and_robots, batch_format="pyarrow")
                 .map_batches(_dedup_candidates, batch_format="pandas")
                 .groupby("host")
                 .map_groups(host_gate, batch_format="pandas")
-                .materialize()
             )
-            gate_res = None  # candidates never concat on the driver
-            n_candidates, link_dec = _gate_counts_distributed(gated)
+            if len(wave_df) * 64 <= cfg.driver_link_threshold:
+                # wave small enough that even max-fanout candidates are
+                # driver-trivial: collect once (executes the gate RPCs),
+                # skip the distributed-append machinery entirely
+                gate_res = chain.to_pandas()
+                if gate_res.empty:
+                    gate_res = _empty_gate_frame()
+            else:
+                # materialize: the gate RPCs mutate actor state and must
+                # run EXACTLY once; the blocks stay distributed in the
+                # object store, never on the driver
+                gated = chain.materialize()
+                gate_res = None
+                n_candidates, link_dec = _gate_counts_distributed(gated)
+                # few accepts → driver seq assignment is still cheaper
+                # than the distributed append's extra all-to-all stages
+                # (frame provably bounded by the thresholds)
+                if link_dec.get("accept", 0) <= cfg.driver_link_threshold \
+                        and n_candidates <= 4 * cfg.driver_link_threshold:
+                    gate_res = gated.to_pandas()
+                    if gate_res.empty:
+                        gate_res = _empty_gate_frame()
         if gate_res is not None:
             n_candidates = int(gate_res["occurrences"].sum()) if len(gate_res) else 0
             link_dec = _link_decision_counts(gate_res)

@@ -178,6 +178,19 @@ def test_checkpoint_resume_bit_identical(ray_session, store, tmp_path):
         CrawlEngine.resume(store, bad_shards)
 
 
+def test_engine_matches_oracle_distributed_append(ray_session, store, tmp_path):
+    """Force the fully distributed frontier append (prefix-sum seq
+    assignment + streamed pool add) on every wave — ordering must still be
+    bit-identical to the oracle, with and without a priority_fn."""
+    for kw in ({}, {"priority_fn": _research_first, "per_host_wave_budget": 4}):
+        config = _config(store, inline_wave_threshold=0,
+                         driver_link_threshold=0,
+                         frontier_spill_dir=str(tmp_path / "fp_da"),
+                         frontier_partitions=3, **kw)
+        res = _run_engine(store, config)
+        _assert_match(res, crawl_oracle(store, config))
+
+
 def test_engine_matches_oracle_spill_pool(ray_session, store, tmp_path):
     """The host-hash-partitioned parquet frontier pool must reproduce the
     oracle exactly (slice semantics identical to the in-memory pool)."""
