@@ -61,6 +61,13 @@ class CrawlConfig:
     # all-to-all stages per wave — pure overhead for small waves, the only
     # shape that works for giant ones
     driver_link_threshold: int = 200_000
+    # upper bound on links per fetched page, used ONLY by the size-routing
+    # guard (wave_pages × this ≤ driver_link_threshold ⇒ the wave's gate
+    # frame provably fits on the driver).  The synthetic stores emit ≤ 64
+    # links/page; a higher-fanout corpus must raise this or big waves will
+    # collect oversized frames on the driver (memory hazard, not
+    # correctness — both routes are conformance-identical)
+    max_links_per_page: int = 64
     # frontier pool storage: None = driver-side pandas (small crawls);
     # a directory = host-hash-partitioned parquet spill pool (the 10^10-URL
     # shape — the driver holds one partition at a time, never the pool)
@@ -81,7 +88,7 @@ class CrawlConfig:
                   "checkpoint_dir", "max_waves", "politeness_delay",
                   "inline_wave_threshold", "frontier_spill_dir",
                   "frontier_partitions", "hold_order_in_memory",
-                  "driver_link_threshold"):
+                  "driver_link_threshold", "max_links_per_page"):
             d.pop(k)
         # callables aren't hashable: record presence only (see field docs)
         d["priority_fn"] = self.priority_fn is not None

@@ -73,6 +73,11 @@ from searchengine_ray.utils.urls import is_valid, join_url, normalize, urldefrag
 
 _EMPTY = b""
 
+# checkpoint layout version: 2 = per-wave incremental deltas (hostgate admit
+# deltas + content-fp deltas, replayed in order on resume); 1 was the
+# round-1 full-dump layout, which this engine can no longer read
+_CHECKPOINT_FORMAT = 2
+
 
 def _host_shard(host: str, num_shards: int) -> int:
     return zlib.crc32(host.encode("utf-8")) % num_shards
@@ -110,19 +115,25 @@ def _driver_private_mb() -> float | None:
 # Per-worker-process cache of broadcast objects: ray.get() re-deserializes a
 # Python dict on every call, so stateless fetch tasks memoize it once per
 # worker (the actor-pool path gets the same amortization via __init__).
-# BOUNDED: per-wave objects (rank maps) would otherwise accumulate in every
-# worker for the life of the crawl — FIFO-evict beyond a few live waves.
-_BROADCAST_CACHE: dict[str, object] = {}
+# BOUNDED + LRU: per-wave objects (rank maps) would otherwise accumulate in
+# every worker for the life of the crawl; LRU (refresh on hit) keeps the
+# long-lived store ref resident while per-wave refs cycle through.
+from collections import OrderedDict
+
+_BROADCAST_CACHE: OrderedDict[str, object] = OrderedDict()
 _BROADCAST_CACHE_MAX = 8
 
 
 def _get_broadcast(ref):
     key = ref.hex()
-    if key not in _BROADCAST_CACHE:
-        while len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
-            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
-        _BROADCAST_CACHE[key] = ray.get(ref)
-    return _BROADCAST_CACHE[key]
+    if key in _BROADCAST_CACHE:
+        _BROADCAST_CACHE.move_to_end(key)
+        return _BROADCAST_CACHE[key]
+    while len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+        _BROADCAST_CACHE.popitem(last=False)
+    obj = ray.get(ref)
+    _BROADCAST_CACHE[key] = obj
+    return obj
 
 
 def store_to_arrow(pages: dict[str, dict]) -> tuple[pa.Table, dict[str, int]]:
@@ -323,11 +334,27 @@ def _explode_links(batch: pa.Table, allowed_domains, rank_map: dict[int, int],
 
 
 def _robots_filter_table(b: pa.Table, rules: dict) -> pa.Table:
-    mask = []
-    for u, h in zip(b["url_norm"].to_pylist(), b["host"].to_pylist()):
-        path = "/" + u.split("/", 3)[3] if u.count("/") >= 3 else "/"
-        mask.append(not any(path.startswith(p) for p in rules.get(h, ())))
-    return b.filter(pa.array(mask))
+    """Drop rows whose URL path starts with a disallowed prefix for its
+    host.  Vectorized: the loop runs over the (few) per-host prefix RULES,
+    each applied as one pandas str.startswith over that host's rows."""
+    active = {h: p for h, p in rules.items() if p}
+    if not active or b.num_rows == 0:
+        return b
+    u = b["url_norm"].to_pandas()
+    h = b["host"].to_pandas()
+    # path = everything from the 3rd "/" on ("/" when the URL has no path)
+    path = ("/" + u.str.split("/", n=3).str[3].fillna("")).to_numpy(dtype=object)
+    drop = np.zeros(len(u), dtype=bool)
+    for host, prefixes in active.items():
+        m = (h == host).to_numpy()
+        if not m.any():
+            continue
+        sub = pd.Series(path[m])
+        d = np.zeros(int(m.sum()), dtype=bool)
+        for p in prefixes:
+            d |= sub.str.startswith(p).to_numpy()
+        drop[m] |= d
+    return b.filter(pa.array(~drop))
 
 
 def _empty_gate_frame() -> pd.DataFrame:
@@ -812,10 +839,13 @@ class CrawlEngine:
                 .groupby("host")
                 .map_groups(host_gate, batch_format="pandas")
             )
-            if len(wave_df) * 64 <= cfg.driver_link_threshold:
+            if len(wave_df) * cfg.max_links_per_page <= cfg.driver_link_threshold:
                 # wave small enough that even max-fanout candidates are
                 # driver-trivial: collect once (executes the gate RPCs),
                 # skip the distributed-append machinery entirely
+                # (cfg.max_links_per_page bounds per-page fan-out — a
+                # corpus with higher fan-out must raise the knob or the
+                # gate frame can exceed driver_link_threshold)
                 gate_res = chain.to_pandas()
                 if gate_res.empty:
                     gate_res = _empty_gate_frame()
@@ -1012,7 +1042,8 @@ class CrawlEngine:
             )
         storage.write_json_atomic(metric, os.path.join(d, "metrics", f"wave={self.wave}.json"))
         storage.write_json_atomic(
-            {"completed_wave": self.wave, "next_seq": self.next_seq,
+            {"format": _CHECKPOINT_FORMAT,
+             "completed_wave": self.wave, "next_seq": self.next_seq,
              "pages_fetched": self.pages_fetched,
              "config_hash": self.config.config_hash(),
              "num_gate_shards": self.config.num_gate_shards},
@@ -1022,6 +1053,14 @@ class CrawlEngine:
     def _restore(self, manifest: dict) -> None:
         d = self.config.checkpoint_dir
         w = manifest["completed_wave"]
+        fmt = manifest.get("format", 1)
+        if fmt != _CHECKPOINT_FORMAT:
+            raise ValueError(
+                f"incompatible checkpoint format {fmt} (engine writes "
+                f"{_CHECKPOINT_FORMAT}): format-1 checkpoints carried full "
+                "gate dumps instead of per-wave deltas and cannot be "
+                "replayed — re-run the crawl to produce a new checkpoint"
+            )
         if manifest["config_hash"] != self.config.config_hash():
             raise ValueError("checkpoint was written under different crawl semantics")
         if manifest.get("num_gate_shards", self.config.num_gate_shards) != \

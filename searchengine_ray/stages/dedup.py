@@ -70,24 +70,35 @@ def explode_shingles(
     """Distinct (doc_id, sh, n) rows — ``shingle_hashes`` yields a set, so
     the explode is distinct by construction.  ``n`` is the doc's shingle-set
     size (repeated per row; 8 bytes) so downstream stages never need a
-    per-doc sizes lookup.  ``drop_ref``: optional ``ray.put`` set of shingle
-    hashes to EXCLUDE (hot-shingle cap) — sizes then count the filtered
-    set, keeping jaccard internally consistent."""
+    per-doc sizes lookup.  ``drop_ref``: optional ``ray.put`` int64 numpy
+    array of shingle hashes to EXCLUDE (hot-shingle cap) — sizes then count
+    the filtered set, keeping jaccard internally consistent.
+
+    Hot path is array-built: per-doc hash arrays are concatenated once and
+    (doc_id, n) columns come from np.repeat/bincount — the only per-row
+    Python left is the blake2b shingle hashing itself."""
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         drop = ray.get(drop_ref) if drop_ref is not None else None
-        ids, hs, ns = [], [], []
-        for doc_id, text in zip(df[id_col].to_numpy(), df[text_col]):
-            sh = shingle_hashes(simple_tokens(text or ""), shingle_n)
-            if drop:
-                sh -= drop
-            for v in sh:
-                ids.append(doc_id)
-                hs.append(v)
-                ns.append(len(sh))
-        return pd.DataFrame({"doc_id": np.array(ids, np.int64),
-                             "sh": np.array(hs, np.int64),
-                             "n": np.array(ns, np.int64)})
+        arrs = [
+            np.fromiter(sh, dtype=np.int64, count=len(sh))
+            for sh in (shingle_hashes(simple_tokens(t or ""), shingle_n)
+                       for t in df[text_col])
+        ]
+        ndocs = len(arrs)
+        lens = np.fromiter((a.size for a in arrs), dtype=np.int64, count=ndocs)
+        flat = (np.concatenate(arrs) if ndocs and lens.sum()
+                else np.array([], dtype=np.int64))
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+        if drop is not None and drop.size and flat.size:
+            keep = ~np.isin(flat, drop)
+            flat = flat[keep]
+            doc_idx = doc_idx[keep]
+            lens = np.bincount(doc_idx, minlength=ndocs).astype(np.int64)
+        doc_ids = df[id_col].to_numpy(dtype=np.int64)
+        return pd.DataFrame({"doc_id": doc_ids[doc_idx],
+                             "sh": flat,
+                             "n": lens[doc_idx]})
 
     return ds.map_batches(explode, batch_format="pandas", batch_size=1024)
 
@@ -291,14 +302,19 @@ def ngram_jaccard_pairs(
     text_col: str = "text", id_col: str = "doc_id", round_to: int = 6,
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> Dataset:
-    """EXACT all-pairs n-gram Jaccard dedup, distributed.
+    """All-pairs n-gram Jaccard dedup, distributed — exact under an optional
+    hot-shingle df cap (default 64; pass ``max_shingle_df=None`` for the
+    reference's uncapped semantics).
 
     Any pair with Jaccard > 0 shares ≥1 shingle, so: explode distinct
     (doc, shingle_hash) → ``groupby(shingle)`` emits co-occurring pairs →
     ``groupby(pair)`` counts shared shingles → jaccard =
     shared/(|A|+|B|-shared) with sizes joined in as a Dataset.  No pairwise
     scan ever touches non-overlapping docs — the distributed form of the
-    reference's O(N²) loop (ngrams.py:88-101).
+    reference's O(N²) loop (ngrams.py:88-101).  With the default df cap the
+    pair set and jaccard values differ from uncapped semantics wherever a
+    stop-phrase shingle would have participated (the oracle SQL applies the
+    identical cap, so the gate stays exact).
 
     ``max_shingle_df``: a shingle shared by k docs emits O(k²) pairs, so a
     stop-phrase shingle is a blowup.  Shingles with document frequency >
@@ -320,7 +336,7 @@ def ngram_jaccard_pairs(
             lambda df: df[df["df"] > max_shingle_df][["sh"]],
             batch_format="pandas").to_pandas()
         if len(hot):
-            drop_ref = ray.put(set(hot["sh"]))
+            drop_ref = ray.put(np.sort(hot["sh"].to_numpy(dtype=np.int64)))
 
     exploded = explode_shingles(ds, shingle_n, text_col, id_col,
                                 drop_ref=drop_ref)

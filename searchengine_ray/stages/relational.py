@@ -201,7 +201,7 @@ def hash_join(
     left: Dataset,
     right: Dataset,
     on: str,
-    num_buckets: int = 32,
+    num_buckets: int | None = None,
     how: str = "inner",
 ) -> Dataset:
     """Explicit partitioned hash join for two LARGE sides.
@@ -209,11 +209,15 @@ def hash_join(
     Both sides get a ``bucket = hash(key) % B`` column; the union shuffles
     once on ``bucket`` and each group task splits its bucket by side and
     merges with pandas — the portable pattern when neither side fits in a
-    broadcast.  Skewed keys: raise
+    broadcast.  ``num_buckets`` defaults to ``default_num_buckets()`` so
+    reduce parallelism scales with the cluster.  Skewed keys: raise
     ``num_buckets`` or salt the hot key upstream.  Column name collisions
     (other than ``on``) follow pandas suffix rules."""
     import numpy as np
     import pyarrow as pa
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
 
     def tag(side: int):
         def fn(b: pa.Table) -> pa.Table:

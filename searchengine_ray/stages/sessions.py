@@ -56,11 +56,14 @@ def asof_join(
 
     Implementation per the documented partitioning assumption: hash-bucket
     both sides on the key, co-shuffle once, and run ``pd.merge_asof`` per
-    bucket over key-sorted frames.  Rows of one key never straddle buckets."""
+    bucket over key-sorted frames.  Rows of one key never straddle buckets.
+    Bucket count scales with the cluster (``default_num_buckets``)."""
     import numpy as np
     import pyarrow as pa
 
-    num_buckets = 32
+    from searchengine_ray.stages.relational import default_num_buckets
+
+    num_buckets = default_num_buckets()
 
     def tag(side: int, cols: list[str]):
         def fn(b: pa.Table) -> pa.Table:

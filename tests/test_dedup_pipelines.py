@@ -78,6 +78,43 @@ def test_minhash_verify_detects_planted(ray_session):
     assert j05 == pytest.approx(1.0)
 
 
+def test_simhash_pairs_match_brute_force(ray_session):
+    """Pair-level oracle for the simhash family: the banded pipeline's pair
+    set must EQUAL the all-pairs numpy hamming64 scan over the same simhash
+    values (pigeonhole banding promises exact recall; this is the gate)."""
+    from searchengine_ray.functions.phash import hamming64_pairs
+    from searchengine_ray.stages.dedup import add_simhash, simhash_neardup_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog while seven "
+            "wizards brew strong potions beside the ancient oak tree ") * 4
+    texts = [base,
+             base + "extra trailing words",           # near-dup of 0
+             base.replace("quick", "rapid"),          # near-dup of 0
+             base.replace("fox", "wolf").replace("dog", "cat"),
+             "completely unrelated content about ray data pipelines",
+             "another different document body with other words entirely",
+             base]                                    # exact dup of 0
+    # pad with random-word docs so the brute force scans a real corpus
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(200)]
+    texts += [" ".join(rng.choice(vocab, size=60)) for _ in range(40)]
+    docs = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                         "text": texts})
+    ds = rd.from_pandas(docs).repartition(4)
+
+    max_ham = 3
+    hashed = add_simhash(ds).to_pandas().sort_values("doc_id")
+    sh = hashed["simhash"].to_numpy(dtype=np.int64)
+    ia, ib = np.triu_indices(len(sh), k=1)
+    close = hamming64_pairs(sh[ia], sh[ib]) <= max_ham
+    want = sorted(zip(ia[close].tolist(), ib[close].tolist()))
+    assert (0, 6) in want and len(want) >= 2  # plants are genuinely close
+
+    out = simhash_neardup_pairs(ds, max_hamming=max_ham).to_pandas()
+    got = sorted(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
+    assert got == want
+
+
 def test_tfidf_join_path_matches_broadcast(ray_session):
     from searchengine_ray.stages.text import tfidf_postings
 
