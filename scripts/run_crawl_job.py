@@ -42,6 +42,13 @@ def main() -> None:
     ap.add_argument("--flat-rss", action="store_true",
                     help="do not hold crawl_order in driver memory (needs "
                          "--checkpoint-dir); result is read back from disk")
+    ap.add_argument("--probe-shards", type=int, default=None,
+                    help="shard the content-store probe across N actors "
+                         "(O(corpus/N) each) instead of the per-worker "
+                         "broadcast replica")
+    ap.add_argument("--driver-fp-threshold", type=int, default=None,
+                    help="wave size above which the content resolve runs "
+                         "fully distributed (default: config default)")
     args = ap.parse_args()
 
     import ray
@@ -74,7 +81,10 @@ def main() -> None:
         frontier_spill_dir=args.frontier_spill_dir,
         frontier_partitions=args.frontier_partitions,
         hold_order_in_memory=not args.flat_rss,
+        content_probe_shards=args.probe_shards,
     )
+    if args.driver_fp_threshold is not None:
+        config.driver_fp_threshold = args.driver_fp_threshold
     if args.resume:
         eng = CrawlEngine.resume(store, config)
         print(f"resumed at wave {eng.wave}, {eng.pages_fetched} pages fetched",
@@ -82,11 +92,23 @@ def main() -> None:
     else:
         eng = CrawlEngine(store, config)
     res = eng.run()
+    # streaming consumption: counts come from the metrics / per-shard
+    # counters — the O(crawl) eager views are never materialized here
+    n_fetched = int(sum(m["fetched"] for m in eng.metrics))
+    n_accepted = int(sum(m["page_decisions"].get("accept", 0)
+                         for m in eng.metrics))
+    # per-partition state lineage: gate-shard + probe-shard memory (the
+    # bounded-actor-state invariant evidence, actor-side measurements)
+    gate_mem = ray.get([g.memory_stats.remote() for g in eng.gates])
+    probe_mem = (ray.get([s.memory_stats.remote() for s in eng.probe_tier])
+                 if eng.probe_tier is not None else None)
     print(json.dumps({
-        "pages_fetched": int(len(res.crawl_order)),
-        "accepted": int(len(res.accepted_pages)),
-        "url_seen": int(len(res.url_seen)),
-        "waves": int(res.crawl_order["wave"].max()) + 1 if len(res.crawl_order) else 0,
+        "pages_fetched": n_fetched,
+        "accepted": n_accepted,
+        "url_seen": int(res.url_seen_count),
+        "waves": int(eng.wave),
+        "gate_shard_memory": gate_mem,
+        "probe_shard_memory": probe_mem,
         "per_wave": [{k: m.get(k) for k in ("wave", "fetched", "pages_per_sec",
                                             "driver_rss_mb",
                                             "driver_private_mb")}

@@ -52,6 +52,18 @@ class CrawlConfig:
     # execution
     inline_wave_threshold: int = 64  # waves ≤ this run driver-inline (same kernels)
     num_gate_shards: int = 8
+    # content-store probe tier: None = per-worker broadcast StoreIndex
+    # replica (lowest latency; O(corpus) memory per worker — fine to ~10^7
+    # pages); N = shard the accepted-fingerprint index across N probe
+    # actors at O(corpus/N) each, probed by batch RPC from the fetch tasks
+    # (the 10^10 shape).  Pure execution knob — decisions are identical.
+    content_probe_shards: int | None = None
+    # wave size above which the content-gate resolve runs DISTRIBUTED
+    # (shared-shingle / shared-band co-shuffle partner graph + pull of only
+    # the interacting pages) instead of concatenating the wave's
+    # fingerprints on the driver.  ~3 extra all-to-alls per wave — pure
+    # overhead below the threshold, the only shape that works above it.
+    driver_fp_threshold: int = 100_000
     fetch_concurrency: int = 8
     fetch_batch_size: int = 256
     checkpoint_dir: str | None = None
@@ -88,7 +100,8 @@ class CrawlConfig:
                   "checkpoint_dir", "max_waves", "politeness_delay",
                   "inline_wave_threshold", "frontier_spill_dir",
                   "frontier_partitions", "hold_order_in_memory",
-                  "driver_link_threshold", "max_links_per_page"):
+                  "driver_link_threshold", "max_links_per_page",
+                  "content_probe_shards", "driver_fp_threshold"):
             d.pop(k)
         # callables aren't hashable: record presence only (see field docs)
         d["priority_fn"] = self.priority_fn is not None

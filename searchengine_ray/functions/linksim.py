@@ -116,10 +116,15 @@ class TrapIndex:
 
     def __init__(self, threshold: float = URL_SIMILARITY_THRESHOLD):
         self.threshold = threshold
-        # (scheme, netloc) → {"dirs": {(len, parts[:-1]): [charsets]},
+        # (scheme, netloc) → {"dirs": {(len, parts[:-1]): {charsets}},
         #                     "empty": int, "trie": node}
         # trie node = [children: dict[str, node], lengths: dict[int, int]]
+        # "dirs" buckets are SETS of last-segment charsets: is_trap only
+        # needs existence of a high-jaccard charset, so duplicates (a date
+        # enumeration shares one ~10-char digit set across thousands of
+        # URLs) collapse — memory rides distinct structure, not URL count
         self.groups: dict[tuple[str, str], dict] = {}
+        self.n = 0  # admitted URL count (buckets dedupe, so count separately)
 
     @staticmethod
     def _parse(url: str):
@@ -136,9 +141,10 @@ class TrapIndex:
         if lp == 0:
             g["empty"] += 1
         else:
-            g["dirs"].setdefault((lp, tuple(parts[:-1])), []).append(
+            g["dirs"].setdefault((lp, tuple(parts[:-1])), set()).add(
                 frozenset(parts[-1])
             )
+        self.n += 1
         node = g["trie"]
         node[1][lp] = node[1].get(lp, 0) + 1
         for seg in parts:
@@ -183,7 +189,4 @@ class TrapIndex:
         return False
 
     def __len__(self) -> int:
-        return sum(
-            g["empty"] + sum(len(v) for v in g["dirs"].values())
-            for g in self.groups.values()
-        )
+        return self.n

@@ -19,9 +19,12 @@ Three actor families replace the reference's lock-guarded module globals
 - ``RobotsCache``: per-host robots rules cache (north-star component); rules
   are supplied by the fetch layer (synthetic store in tests) and cached.
 
-All actors expose ``dump()``/``restore()`` for wave checkpoints — resume is
-bit-identical because every decision is content-derived and ordered by the
-deterministic FIFO ``seq`` (SURVEY.md §7 hard part 6).
+Checkpointing is INCREMENTAL: ``dump_delta``/``restore_replay`` move only
+each wave's admits (O(wave)); resume is bit-identical because every decision
+is content-derived and ordered by the deterministic FIFO ``seq`` (SURVEY.md
+§7 hard part 6).  Result-time state exports are streaming: ``dump_seen_to``
+writes each shard's seen set actor-side (the driver handles only paths and
+counts) and ``contains_hashes`` answers bounded membership probes.
 """
 
 from __future__ import annotations
@@ -33,6 +36,7 @@ import ray
 from searchengine_ray.functions.linksim import TrapIndex
 from searchengine_ray.functions.phash import hamming64, phash_bands
 from searchengine_ray.state.cuckoo import CuckooFilter
+from searchengine_ray.state.seenset import SeenSet
 
 
 @ray.remote(num_cpus=0.5)
@@ -41,31 +45,38 @@ class HostGateShard:
 
     The trap check uses ``TrapIndex`` — exact sub-quadratic equivalent of
     the reference's all-pairs scan (the reference corpus's 58%-skew host
-    would otherwise make this gate O(N²) on one shard)."""
+    would otherwise make this gate O(N²) on one shard).
+
+    Memory discipline (the 10^10 design point): the exact seen set is a
+    ``SeenSet`` of raw 32-byte digests in sorted numpy segments (~32 B/URL
+    amortized, binary-search probes) behind the cuckoo fast path — never a
+    Python set of hex strings; URL strings are not retained at all (the
+    TrapIndex holds only path structure, with duplicate last-segment
+    charsets collapsed)."""
 
     def __init__(self, shard_id: int, url_similarity_threshold: float = 0.85,
                  track_deltas: bool = False):
         self.shard_id = shard_id
         self.threshold = url_similarity_threshold
-        self.seen_hashes: set[str] = set()
+        self.seen = SeenSet(digest_size=32)
         self.cuckoo = CuckooFilter(capacity=1 << 20)
         self.cuckoo_degraded = False  # True → fast path off, exact set only
-        self.host_urls: dict[str, list[str]] = defaultdict(list)
         self.trap_index = TrapIndex(url_similarity_threshold)
         # incremental-checkpoint support: admits since the last dump_delta
         # (only tracked when the engine checkpoints — unbounded otherwise)
         self.track_deltas = track_deltas
         self._delta: list[tuple[str, str, str]] = []
 
-    def _cuckoo_key(self, url_hash: str) -> int:
-        return int(url_hash[:16], 16)
+    @staticmethod
+    def _cuckoo_key(digest: bytes) -> int:
+        return int.from_bytes(digest[:8], "big")
 
     def seed(self, rows: list[tuple[str, str, str]]) -> list[bool]:
         """Seed URLs enter dedup but bypass the trap gate (they never pass
         through the scraper in the reference flow)."""
         out = []
         for _host, url_norm, url_hash in rows:
-            if url_hash in self.seen_hashes:
+            if bytes.fromhex(url_hash) in self.seen:
                 out.append(False)
                 continue
             self._admit(_host, url_norm, url_hash)
@@ -78,11 +89,12 @@ class HostGateShard:
         'accept' | 'dup' | 'trap'."""
         out = []
         for host, url_norm, url_hash in rows:
+            digest = bytes.fromhex(url_hash)
             if not self.cuckoo_degraded and not self.cuckoo.contains(
-                self._cuckoo_key(url_hash)
+                self._cuckoo_key(digest)
             ):
                 pass  # definitely new — skip the exact-set lookup
-            elif url_hash in self.seen_hashes:
+            elif digest in self.seen:
                 out.append("dup")
                 continue
             if self.trap_index.is_trap(url_norm):
@@ -95,9 +107,10 @@ class HostGateShard:
     def _admit(self, host: str, url_norm: str, url_hash: str) -> None:
         if self.track_deltas:
             self._delta.append((host, url_norm, url_hash))
-        self.seen_hashes.add(url_hash)
+        digest = bytes.fromhex(url_hash)
+        self.seen.add(digest)
         if not self.cuckoo_degraded and not self.cuckoo.add(
-            self._cuckoo_key(url_hash)
+            self._cuckoo_key(digest)
         ):
             # filter full: a dropped key would break the "definitely new"
             # fast path (a seen URL could skip the exact-set check) —
@@ -105,61 +118,58 @@ class HostGateShard:
             # (pathological key distribution), disable the fast path: the
             # exact set remains the source of truth either way
             self.cuckoo = CuckooFilter(capacity=4 * self.cuckoo.table.size)
-            for h in self.seen_hashes:
-                if not self.cuckoo.add(self._cuckoo_key(h)):
+            for d in self.seen:
+                if not self.cuckoo.add(self._cuckoo_key(d)):
                     self.cuckoo_degraded = True
                     break
-        self.host_urls[host].append(url_norm)
         self.trap_index.add(url_norm)
 
-    def _rebuild_cuckoo(self, capacity: int) -> bool:
-        self.cuckoo = CuckooFilter(capacity=capacity)
-        for h in self.seen_hashes:
-            if not self.cuckoo.add(self._cuckoo_key(h)):
-                return False
-        return True
-
     def seen_count(self) -> int:
-        return len(self.seen_hashes)
+        return len(self.seen)
 
-    def dump(self) -> dict:
+    def memory_stats(self) -> dict:
+        """Per-structure resident-byte estimates — the per-partition lineage
+        for the bounded-state invariant (recorded by scripts/run_crawl_job)."""
         return {
             "shard_id": self.shard_id,
-            "seen_hashes": sorted(self.seen_hashes),
-            "host_urls": {h: list(v) for h, v in self.host_urls.items()},
+            "seen_count": len(self.seen),
+            "seen_bytes": self.seen.nbytes(),
+            "seen_segments": len(self.seen.segments),
+            "cuckoo_bytes": int(self.cuckoo.table.nbytes),
+            "trap_groups": len(self.trap_index.groups),
         }
 
+    def dump_seen_to(self, path: str) -> int:
+        """Write this shard's seen URL hashes as ONE sorted table at
+        ``path`` (Lance/parquet via the storage seam) — executed actor-side,
+        so the driver never receives the set (the streaming replacement for
+        the old full-dump RPC).  Returns the row count."""
+        import pyarrow as pa
+
+        from searchengine_ray.sources import storage
+
+        hashes = [d.hex() for d in self.seen.sorted_digests()]
+        storage.write_table_atomic(
+            pa.table({"url_hash": pa.array(hashes, pa.string())}), path)
+        return len(hashes)
+
+    def contains_hashes(self, url_hashes: list[str]) -> list[bool]:
+        """Membership probe — the bounded-RPC alternative to shipping the
+        seen set to the caller."""
+        return [bytes.fromhex(h) in self.seen for h in url_hashes]
+
     def dump_delta(self) -> dict:
-        """Admits since the last dump_delta — the O(wave) checkpoint unit
-        (the full dump is O(crawl) and only used by result())."""
+        """Admits since the last dump_delta — the O(wave) checkpoint unit."""
         d = {"shard_id": self.shard_id, "rows": [list(r) for r in self._delta]}
         self._delta = []
         return d
 
     def restore_replay(self, rows: list) -> None:
         """Replay checkpointed admit deltas IN ORDER — rebuilds seen set,
-        cuckoo, host_urls and trap index exactly (same _admit path)."""
+        cuckoo and trap index exactly (same _admit path)."""
         for host, url_norm, url_hash in rows:
             self._admit(host, url_norm, url_hash)
         self._delta = []
-
-    def restore(self, state: dict) -> None:
-        self.seen_hashes = set(state["seen_hashes"])
-        self.host_urls = defaultdict(list, {h: list(v) for h, v in state["host_urls"].items()})
-        # same regrow/degrade policy as _admit: a silently dropped key would
-        # re-accept a seen URL after resume, breaking bit-identical resume
-        self.cuckoo_degraded = False
-        cap = max(1 << 20, 2 * len(self.seen_hashes))
-        while not self._rebuild_cuckoo(cap):
-            cap *= 4
-            if cap > (1 << 28):
-                self.cuckoo_degraded = True
-                break
-        self.trap_index = TrapIndex(self.threshold)
-        for urls in self.host_urls.values():
-            for u in urls:
-                self.trap_index.add(u)
-
 
 class ContentGateCore:
     """Sequential content near-dup gate (caption shingles + image phash) —
@@ -299,6 +309,68 @@ class ContentGate(ContentGateCore):
     """Actor form of ContentGateCore — the cross-wave store of record
     (checkpoints, inline path); big waves resolve driver-side against the
     broadcast snapshot and sync back via bulk_admit."""
+
+
+@ray.remote(num_cpus=0.25)
+class ContentProbeShard:
+    """One shard of the content-store probe TIER — the 10^10-scale
+    replacement for the per-worker broadcast ``StoreIndex`` replica
+    (VERDICT r2 'What's missing' #1; SCALE.md sharded-probe design).
+
+    Sharding is by store ROW (``seq % num_shards``): each shard holds a
+    complete ``StoreIndex`` over its 1/N slice of accepted pages, so a
+    probe against one shard is EXACT for that slice (jaccard shared-counts
+    never straddle shards — the alternative, sharding by shingle value,
+    would force cross-shard partial-count sums per candidate pair).  A
+    batch's fingerprints are sent to every shard and the per-shard flags OR
+    together; probe payload is the WAVE's fingerprints (small) × N, while
+    resident state per shard is O(corpus/N) — the trade that scales."""
+
+    def __init__(self, shard_id: int, num_shards: int, max_hamming: int):
+        from searchengine_ray.stages.content_probe import StoreIndex
+
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.index = StoreIndex(max_hamming)
+
+    def add_table(self, tbl) -> int:
+        """Ingest accepted-page fingerprints (caller pre-routes rows with
+        seq % num_shards == shard_id)."""
+        self.index.add_table(tbl)
+        return tbl.num_rows
+
+    def add_table_sliced(self, tbl) -> int:
+        """Ingest only this shard's rows (seq % num_shards == shard_id)
+        from an UNROUTED block — the distributed-admit path, where no
+        single process ever holds the wave's delta (blocks are shipped by
+        ref; each shard filters its slice plasma-side)."""
+        import numpy as np
+        import pyarrow as pa
+
+        shards = np.asarray(
+            tbl["seq"].to_numpy(zero_copy_only=False)) % self.num_shards
+        m = shards == self.shard_id
+        if not m.any():
+            return 0
+        sub = tbl.filter(pa.array(m))
+        self.index.add_table(sub)
+        return sub.num_rows
+
+    def probe(self, flat, offsets, phashes, max_sim: float):
+        """(text_dup, image_dup) flags vs this shard's slice for a batch of
+        candidates given as concatenated shingle hashes + offsets + phashes
+        (the ``probe_batch`` wire format)."""
+        return (self.index.text_dup_batch(flat, offsets, max_sim),
+                self.index.image_dup_batch(phashes))
+
+    def accepted_count(self) -> int:
+        return sum(s.n for s in self.index.segments)
+
+    def memory_stats(self) -> dict:
+        return {"shard_id": self.shard_id,
+                "accepted": self.accepted_count(),
+                "index_bytes": self.index.nbytes(),
+                "segments": len(self.index.segments)}
 
 
 @ray.remote(num_cpus=0.25)

@@ -124,6 +124,89 @@ def test_engine_matches_oracle_priority_queue(ray_session, store, inline_thresho
         later["url_norm"].head(8).tolist()
 
 
+def test_engine_matches_oracle_probe_tier(ray_session, store, inline_threshold):
+    """The sharded content-probe tier (content_probe_shards=N) must produce
+    the exact oracle crawl on both execution paths — the tier replaces the
+    broadcast replica AND the monolithic gate actor, decisions unchanged."""
+    config = _config(store, content_probe_shards=3,
+                     inline_wave_threshold=inline_threshold)
+    res = _run_engine(store, config)
+    _assert_match(res, crawl_oracle(store, config))
+
+
+def test_engine_matches_oracle_probe_tier_budgeted_priority(ray_session, store):
+    config = _config(store, content_probe_shards=2, per_host_wave_budget=4,
+                     priority_fn=_research_first, inline_wave_threshold=0)
+    res = _run_engine(store, config)
+    _assert_match(res, crawl_oracle(store, config))
+
+
+def test_checkpoint_resume_probe_tier(ray_session, store, tmp_path):
+    """Checkpoints are mode-independent: a run checkpointed under the tier
+    resumes bit-identically under the tier AND under the replica mode
+    (content deltas replay into whichever store exists)."""
+    from searchengine_ray.pipelines.crawl import CrawlEngine
+
+    full = _run_engine(store, _config(store, content_probe_shards=3))
+    ckpt = str(tmp_path / "ckpt_tier")
+    eng = CrawlEngine(store, _config(store, checkpoint_dir=ckpt, max_waves=2,
+                                     content_probe_shards=3))
+    eng.run()
+    eng.shutdown()
+    for shards in (3, None):
+        eng2 = CrawlEngine.resume(store, _config(
+            store, checkpoint_dir=ckpt, content_probe_shards=shards))
+        res2 = eng2.run()
+        eng2.shutdown()
+        pd.testing.assert_frame_equal(
+            full.crawl_order.reset_index(drop=True),
+            res2.crawl_order.reset_index(drop=True), obj=f"shards={shards}")
+        assert full.url_seen == res2.url_seen
+
+
+def test_engine_matches_oracle_distributed_resolve(ray_session, store):
+    """driver_fp_threshold=0 forces the GIANT-wave content resolve
+    (distributed partner graph + interacting-only pull + split replay) on
+    every distributed wave — decisions must stay oracle-exact, in both
+    store modes (broadcast replica and probe tier)."""
+    for shards in (None, 3):
+        config = _config(store, inline_wave_threshold=0,
+                         driver_fp_threshold=0, content_probe_shards=shards)
+        res = _run_engine(store, config)
+        _assert_match(res, crawl_oracle(store, config))
+
+
+def test_engine_matches_oracle_distributed_resolve_budgeted(ray_session, store):
+    config = _config(store, inline_wave_threshold=0, driver_fp_threshold=0,
+                     per_host_wave_budget=3)
+    res = _run_engine(store, config)
+    _assert_match(res, crawl_oracle(store, config))
+
+
+def test_checkpoint_resume_distributed_resolve(ray_session, store, tmp_path):
+    """The giant-wave delta (content_delta_dir, distributed parquet write)
+    must replay into a resumed engine bit-identically — resuming into
+    either store mode."""
+    from searchengine_ray.pipelines.crawl import CrawlEngine
+
+    full = _run_engine(store, _config(store))
+    ckpt = str(tmp_path / "ckpt_dres")
+    eng = CrawlEngine(store, _config(store, checkpoint_dir=ckpt, max_waves=3,
+                                     inline_wave_threshold=0,
+                                     driver_fp_threshold=0))
+    eng.run()
+    eng.shutdown()
+    for kw in ({}, {"content_probe_shards": 2},
+               {"inline_wave_threshold": 0, "driver_fp_threshold": 0}):
+        eng2 = CrawlEngine.resume(store, _config(store, checkpoint_dir=ckpt, **kw))
+        res2 = eng2.run()
+        eng2.shutdown()
+        pd.testing.assert_frame_equal(
+            full.crawl_order.reset_index(drop=True),
+            res2.crawl_order.reset_index(drop=True), obj=str(kw))
+        assert full.url_seen == res2.url_seen
+
+
 def test_engine_matches_oracle_extra_link_filter(ray_session, store):
     config = _config(store, extra_link_filter=_no_blog)
     res = _run_engine(store, config)

@@ -61,7 +61,7 @@ def test_gate_degrades_on_pathological_keys():
     Gate.__init__(g, 0, 0.85)
     g.cuckoo = CF(capacity=64)
     g._cuckoo_key = lambda h: 7  # adversarial: every key identical
-    rows = [("h.test", f"https://h.test/d{i}/p", f"hash{i}") for i in range(40)]
+    rows = [("h.test", f"https://h.test/d{i}/p", f"{i:064x}") for i in range(40)]
     out1 = g.process(list(rows))
     assert all(d == "accept" for d in out1)
     assert g.cuckoo_degraded
