@@ -64,6 +64,15 @@ class CrawlConfig:
     # fingerprints on the driver.  ~3 extra all-to-alls per wave — pure
     # overhead below the threshold, the only shape that works above it.
     driver_fp_threshold: int = 100_000
+    # wave pipelining: speculatively fetch+validate the PREDICTED next wave
+    # (the frontier backlog's next slice — exact in budget-bound steady
+    # state, a subset during frontier expansion) while the current wave's
+    # gate/link/frontier stages run.  Fetch is pure (decode/phash/shingle;
+    # no store probe, no gate state), so decisions are identical; results
+    # are keyed by seq and consumed by whichever wave the seq lands in.
+    # Auto-disabled when politeness_delay > 0 (speculation would break the
+    # per-host pacing clock).
+    speculative_fetch: bool = False
     fetch_concurrency: int = 8
     fetch_batch_size: int = 256
     checkpoint_dir: str | None = None
@@ -101,7 +110,8 @@ class CrawlConfig:
                   "inline_wave_threshold", "frontier_spill_dir",
                   "frontier_partitions", "hold_order_in_memory",
                   "driver_link_threshold", "max_links_per_page",
-                  "content_probe_shards", "driver_fp_threshold"):
+                  "content_probe_shards", "driver_fp_threshold",
+                  "speculative_fetch"):
             d.pop(k)
         # callables aren't hashable: record presence only (see field docs)
         d["priority_fn"] = self.priority_fn is not None

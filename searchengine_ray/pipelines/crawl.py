@@ -357,6 +357,16 @@ def _robots_filter_table(b: pa.Table, rules: dict) -> pa.Table:
     return b.filter(pa.array(~drop))
 
 
+@ray.remote
+def _spec_fetch_validate(store, tbl: pa.Table, ngram_size: int) -> pa.Table:
+    """Speculative fetch+validate of PREDICTED next-wave rows (wave
+    pipelining).  Pure data work — decode, phash, shingles; no store probe,
+    no gate state — so running it early cannot change any decision; output
+    rows are keyed by seq and consumed by whichever wave the seq lands in."""
+    f = Fetcher(store, 0.0)
+    return _validate_batch(f(tbl), ngram_size)
+
+
 def _empty_gate_frame() -> pd.DataFrame:
     return pd.DataFrame(
         columns=["parent_rank", "parent_seq", "link_idx", "url_norm", "url_hash", "host",
@@ -593,6 +603,11 @@ class CrawlEngine:
             self.pool = InMemoryFrontierPool()
         self.crawl_order_frames: list[pd.DataFrame] = []
         self.metrics: list[dict] = []
+        # wave pipelining: outstanding speculative fetch results
+        # [(table ref, seqs it covers)] + the covered-seq set
+        self._spec: list[tuple] = []
+        self._spec_seqs: set[int] = set()
+        self._spec_predicted: pd.DataFrame | None = None
         self._init_store_fp()
         if _restore is None:
             self._seed()
@@ -679,13 +694,27 @@ class CrawlEngine:
     # ------------------------------------------------- inline (small-wave) --
     def _fetch_validate_inline(self, wave_df: pd.DataFrame) -> pa.Table:
         """Driver-side fetch+validate for small waves — same kernels as the
-        distributed path (Fetcher.__call__ + _validate_batch)."""
-        if not hasattr(self, "_inline_fetcher"):
-            self._inline_fetcher = Fetcher(self.store_ref,
-                                           self.config.politeness_delay)
-        batch = pa.Table.from_pandas(wave_df, preserve_index=False)
-        fetched = self._inline_fetcher(batch)
-        return _validate_batch(fetched, self.config.ngram_size)
+        distributed path (Fetcher.__call__ + _validate_batch); speculative
+        results for these seqs are consumed instead of refetched."""
+        import pyarrow.compute as pc
+
+        refs, covered = self._spec_hits(wave_df)
+        parts = []
+        if refs:
+            arr = pa.array(sorted(covered), pa.int64())
+            for t in ray.get(refs):
+                ft = t.filter(pc.is_in(t["seq"], value_set=arr))
+                if ft.num_rows:
+                    parts.append(ft)
+        rest = wave_df[~wave_df["seq"].isin(covered)] if covered else wave_df
+        if len(rest) or not parts:
+            if not hasattr(self, "_inline_fetcher"):
+                self._inline_fetcher = Fetcher(self.store_ref,
+                                               self.config.politeness_delay)
+            batch = pa.Table.from_pandas(rest, preserve_index=False)
+            fetched = self._inline_fetcher(batch)
+            parts.append(_validate_batch(fetched, self.config.ngram_size))
+        return pa.concat_tables(parts) if len(parts) > 1 else parts[0]
 
     def _host_gate_inline(self, links: pd.DataFrame) -> pd.DataFrame:
         """Driver-side host-gate dispatch: one RPC per host, issued in
@@ -716,7 +745,67 @@ class CrawlEngine:
         the in-memory and the partitioned spill pool."""
         cap = (max(0, self.config.max_pages - self.pages_fetched)
                if self.config.max_pages is not None else None)
+        if self._spec_on():
+            take, peek = self.pool.slice_wave(
+                self.config.per_host_wave_budget, cap, peek_next=True)
+            self._spec_predicted = peek
+            return take
         return self.pool.slice_wave(self.config.per_host_wave_budget, cap)
+
+    # --------------------------------------------------- wave pipelining --
+    def _spec_on(self) -> bool:
+        # pacing clocks are per-actor; speculative fetches would bypass them
+        return (self.config.speculative_fetch
+                and self.config.politeness_delay == 0)
+
+    def _launch_speculation(self) -> None:
+        """Fire speculative fetch+validate tasks for the predicted next
+        slice (frontier backlog) — they run while THIS wave's gate/link/
+        frontier stages occupy the driver."""
+        pred = self._spec_predicted
+        self._spec_predicted = None
+        if pred is None or not len(pred):
+            return
+        new = pred[~pred["seq"].isin(self._spec_seqs)]
+        if not len(new):
+            return
+        bs = self.config.fetch_batch_size
+        cols = ["seq", "url_norm", "host", "wave"]
+        for i in range(0, len(new), bs):
+            chunk = new.iloc[i:i + bs]
+            tbl = pa.Table.from_pandas(chunk[cols], preserve_index=False)
+            ref = _spec_fetch_validate.remote(
+                self.store_ref, tbl, self.config.ngram_size)
+            seqs = chunk["seq"].to_numpy(dtype=np.int64)
+            self._spec.append((ref, seqs))
+            self._spec_seqs.update(int(s) for s in seqs)
+
+    def _spec_hits(self, wave_df: pd.DataFrame):
+        """(refs covering this wave, covered seq set) — refs stay alive for
+        their unconsumed rows; consumed seqs are pruned at wave end."""
+        if not self._spec:
+            return [], set()
+        wave_seqs = {int(s) for s in wave_df["seq"]}
+        use, covered = [], set()
+        for ref, seqs in self._spec:
+            hit = [int(x) for x in seqs if int(x) in wave_seqs]
+            if hit:
+                use.append(ref)
+                covered.update(hit)
+        return use, covered
+
+    def _spec_prune(self, wave_df: pd.DataFrame) -> None:
+        if not self._spec:
+            return
+        consumed = np.fromiter((int(s) for s in wave_df["seq"]), dtype=np.int64,
+                               count=len(wave_df))
+        kept = []
+        for ref, seqs in self._spec:
+            rest = seqs[~np.isin(seqs, consumed)]
+            if rest.size:
+                kept.append((ref, rest))
+        self._spec = kept
+        self._spec_seqs.difference_update(int(s) for s in consumed)
 
     def run_wave(self) -> bool:
         """Run one wave; returns False when the crawl is finished."""
@@ -735,6 +824,11 @@ class CrawlEngine:
         # all order-dependent gates run in THIS order — identical to seq
         # order under FIFO, priority order under a priority_fn
         rank_map = {int(s): i for i, s in enumerate(wave_df["seq"])}
+
+        # wave pipelining: fire the predicted-next-wave speculative fetches
+        # FIRST — they overlap this wave's whole pipeline
+        if self._spec_on():
+            self._launch_speculation()
 
         # Small waves (BFS head/tail) skip Ray Data task scheduling and run
         # the SAME kernels inline on the driver — identical semantics (the
@@ -763,40 +857,62 @@ class CrawlEngine:
                     text, image = probe_batch(*cols, idx, max_sim)
                 return (b.append_column("store_text_dup", pa.array(text))
                         .append_column("store_image_dup", pa.array(image)))
-            # from_pandas yields ONE block and map parallelism is per-block —
-            # split the wave so every core gets tasks (blocks ≈ batch-sized,
-            # capped at 4×cluster CPUs)
-            ncpu = int(ray.cluster_resources().get("CPU", 8))
-            # ≥8 rows per block, capped at 4×CPUs: small waves still fan out
-            # (their links explode ~fanout× rows), big waves get full blocks
-            nblocks = max(1, min(len(wave_df) // 8 + 1, 4 * ncpu))
-            wave_ds = rd.from_pandas(wave_df).repartition(nblocks)
+
             ngram_size = cfg.ngram_size
             store_ref = self.store_ref
-            if cfg.politeness_delay > 0:
-                # pacing needs per-actor clocks → actor pool
-                fetched = wave_ds.map_batches(
-                    Fetcher,
-                    fn_constructor_kwargs={"store_ref": store_ref,
-                                           "delay": cfg.politeness_delay},
-                    batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
-                    concurrency=(1, cfg.fetch_concurrency), num_cpus=0.25,
-                )
-                validated = fetched.map_batches(
-                    lambda b: probe_fn(_validate_batch(b, ngram_size)),
-                    batch_format="pyarrow",
-                ).materialize()
-            else:
-                # stateless fused fetch+validate+probe tasks — no per-wave
-                # actor pool spin-up; broadcasts memoized per worker
-                def fetch_validate(b: pa.Table) -> pa.Table:
-                    f = Fetcher(_get_broadcast(store_ref), 0.0)
-                    return probe_fn(_validate_batch(f(b), ngram_size))
+            spec_refs, covered = self._spec_hits(wave_df)
+            fetch_df = (wave_df[~wave_df["seq"].isin(covered)]
+                        if covered else wave_df)
+            parts = []
+            if len(fetch_df):
+                # from_pandas yields ONE block and map parallelism is
+                # per-block — split the wave so every core gets tasks
+                # (blocks ≈ batch-sized, capped at 4×cluster CPUs)
+                ncpu = int(ray.cluster_resources().get("CPU", 8))
+                # ≥8 rows per block, capped at 4×CPUs: small waves still
+                # fan out (links explode ~fanout× rows), big waves get
+                # full blocks
+                nblocks = max(1, min(len(fetch_df) // 8 + 1, 4 * ncpu))
+                wave_ds = rd.from_pandas(fetch_df).repartition(nblocks)
+                if cfg.politeness_delay > 0:
+                    # pacing needs per-actor clocks → actor pool
+                    fetched = wave_ds.map_batches(
+                        Fetcher,
+                        fn_constructor_kwargs={"store_ref": store_ref,
+                                               "delay": cfg.politeness_delay},
+                        batch_format="pyarrow", batch_size=cfg.fetch_batch_size,
+                        concurrency=(1, cfg.fetch_concurrency), num_cpus=0.25,
+                    )
+                    parts.append(fetched.map_batches(
+                        lambda b: _validate_batch(b, ngram_size),
+                        batch_format="pyarrow"))
+                else:
+                    # stateless fetch+validate tasks — no per-wave actor
+                    # pool spin-up; broadcasts memoized per worker
+                    def fetch_validate(b: pa.Table) -> pa.Table:
+                        f = Fetcher(_get_broadcast(store_ref), 0.0)
+                        return _validate_batch(f(b), ngram_size)
 
-                validated = wave_ds.map_batches(
-                    fetch_validate, batch_format="pyarrow",
-                    batch_size=cfg.fetch_batch_size,
-                ).materialize()
+                    parts.append(wave_ds.map_batches(
+                        fetch_validate, batch_format="pyarrow",
+                        batch_size=cfg.fetch_batch_size))
+            if spec_refs:
+                # already-fetched speculative rows: keep this wave's seqs
+                cov_ref = ray.put(pa.array(sorted(covered), pa.int64()))
+
+                def keep_wave(b: pa.Table) -> pa.Table:
+                    import pyarrow.compute as pc
+
+                    return b.filter(pc.is_in(b["seq"],
+                                             value_set=ray.get(cov_ref)))
+
+                parts.append(rd.from_arrow_refs(spec_refs).map_batches(
+                    keep_wave, batch_format="pyarrow"))
+            prevalidated = parts[0]
+            for p in parts[1:]:
+                prevalidated = prevalidated.union(p)
+            validated = prevalidated.map_batches(
+                probe_fn, batch_format="pyarrow").materialize()
             validated_tbl = None
 
         t_fetch = time.monotonic() - t0
@@ -1094,6 +1210,7 @@ class CrawlEngine:
 
         if cfg.checkpoint_dir:
             self._checkpoint(order_df, metric)
+        self._spec_prune(wave_df)
         self.wave += 1
         return True
 

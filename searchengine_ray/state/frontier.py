@@ -82,10 +82,18 @@ class InMemoryFrontierPool:
             return
         self.pool = pd.concat([self.pool, df[POOL_COLUMNS]], ignore_index=True)
 
-    def slice_wave(self, per_host_budget: int | None, cap: int | None) -> pd.DataFrame:
+    def slice_wave(self, per_host_budget: int | None, cap: int | None,
+                   peek_next: bool = False):
         take = _slice_frame(self.pool, per_host_budget, cap)
         self.pool = self.pool[~self.pool["seq"].isin(take["seq"])]
-        return take.reset_index(drop=True)
+        take = take.reset_index(drop=True)
+        if not peek_next:
+            return take
+        # prediction of the NEXT wave's slice from the current backlog (the
+        # speculative-fetch feed) — computed in the same pass, no extra read
+        nxt_cap = cap - len(take) if cap is not None else None
+        peek = _slice_frame(self.pool, per_host_budget, nxt_cap)
+        return take, peek.reset_index(drop=True)
 
     def snapshot_to(self, path: str) -> None:
         storage.write_table_atomic(
@@ -174,28 +182,41 @@ class PartitionedFrontierPool:
     def add_dataset(self, ds) -> None:
         _add_dataset(self, ds)
 
-    def slice_wave(self, per_host_budget: int | None, cap: int | None) -> pd.DataFrame:
+    def slice_wave(self, per_host_budget: int | None, cap: int | None,
+                   peek_next: bool = False):
         takes = []
         for pid in range(self.num_partitions):
             if self._counts[pid] == 0:
                 continue
             g = self._read_partition(pid)
-            local = _slice_frame(g, per_host_budget, None)
+            # read each partition ONCE per wave: take up to 2× the per-host
+            # budget so the same pass yields both the wave slice and the
+            # next-wave prediction (speculative-fetch feed)
+            depth = (2 * per_host_budget if peek_next and per_host_budget
+                     else per_host_budget)
+            local = _slice_frame(g, depth, None)
             if len(local):
                 local = local.copy()
                 local["_pid"] = pid
                 takes.append(local)
             del g
+        empty = empty_pool_frame()
         if not takes:
-            return empty_pool_frame()
+            return (empty, empty) if peek_next else empty
         merged = pd.concat(takes, ignore_index=True)
-        take = _slice_frame(merged, None, cap)
+        take = _slice_frame(merged, per_host_budget, cap)
         # remove the taken rows from their partitions (touched ones only)
         for pid, tg in take.groupby("_pid", sort=False):
             remaining = self._read_partition(int(pid))
             remaining = remaining[~remaining["seq"].isin(tg["seq"])]
             self._replace_partition(int(pid), remaining)
-        return take.drop(columns=["_pid"]).reset_index(drop=True)
+        take = take.drop(columns=["_pid"]).reset_index(drop=True)
+        if not peek_next:
+            return take
+        rest = merged[~merged["seq"].isin(take["seq"])]
+        nxt_cap = cap - len(take) if cap is not None else None
+        peek = _slice_frame(rest, per_host_budget, nxt_cap)
+        return take, peek.drop(columns=["_pid"]).reset_index(drop=True)
 
     def snapshot_to(self, path: str) -> None:
         # fragments are immutable once written (rewrites create new files),

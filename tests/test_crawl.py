@@ -207,6 +207,26 @@ def test_checkpoint_resume_distributed_resolve(ray_session, store, tmp_path):
         assert full.url_seen == res2.url_seen
 
 
+def test_engine_matches_oracle_speculative_fetch(ray_session, store, inline_threshold):
+    """Wave pipelining (speculative next-wave fetch) must not change any
+    decision: fetch is pure, probes/gates still run in the wave proper."""
+    config = _config(store, speculative_fetch=True, per_host_wave_budget=3,
+                     inline_wave_threshold=inline_threshold)
+    res = _run_engine(store, config)
+    _assert_match(res, crawl_oracle(store, config))
+
+
+def test_engine_matches_oracle_speculative_spill_priority(ray_session, store, tmp_path):
+    """Speculation over the partitioned spill pool + priority queue + probe
+    tier — the full 10^10-shape stack at fixture scale."""
+    config = _config(store, speculative_fetch=True, per_host_wave_budget=4,
+                     priority_fn=_research_first, content_probe_shards=2,
+                     frontier_spill_dir=str(tmp_path / "spec_pool"),
+                     frontier_partitions=3, inline_wave_threshold=0)
+    res = _run_engine(store, config)
+    _assert_match(res, crawl_oracle(store, config))
+
+
 def test_engine_matches_oracle_extra_link_filter(ray_session, store):
     config = _config(store, extra_link_filter=_no_blog)
     res = _run_engine(store, config)
