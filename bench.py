@@ -105,6 +105,8 @@ def main() -> None:
         "embedding_neardup": Q.q_embedding_neardup,
         "text_features": Q.q_text_features,
         "boolean_search": Q.q_boolean_search,
+        "customers_no_urgent": Q.q_customers_no_urgent,
+        "user_running_total": Q.q_user_running_total,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))
@@ -113,6 +115,10 @@ def main() -> None:
     for name, fn in bench_queries.items():
         sec, _ = _timed(fn, SF_DIR)
         timings[name] = round(sec, 3)
+
+    if not BENCH_ONLY or "image_phash_neardup" in BENCH_ONLY.split(","):
+        sec, _ = _timed(bench_image_phash_neardup)
+        timings["image_phash_neardup"] = round(sec, 3)
 
     if not BENCH_ONLY or "crawl" in BENCH_ONLY.split(","):
         crawl_sec, pages_per_sec = bench_crawl()
@@ -138,6 +144,21 @@ def main() -> None:
                    "@16->32, 150k pages",
     }))
     ray.shutdown()
+
+
+def bench_image_phash_neardup():
+    """Banded phash near-dup pairs over a bench-sized image corpus
+    (generation is cached on disk and excluded from the timing)."""
+    import ray.data as rd
+
+    from searchengine_ray.sources.image_table import ensure_image_table
+    from searchengine_ray.stages.dedup import hash_neardup_pairs
+
+    path = ensure_image_table(path="/tmp/graft_image_table/bench_images.parquet",
+                              n_images=2500)
+    ds = rd.read_parquet(path, columns=["image_id", "phash"])
+    return hash_neardup_pairs(ds, hash_col="phash", id_col="image_id",
+                              max_hamming=4)
 
 
 def bench_crawl_scale() -> tuple[float, float]:

@@ -49,6 +49,9 @@ def main() -> None:
     ap.add_argument("--driver-fp-threshold", type=int, default=None,
                     help="wave size above which the content resolve runs "
                          "fully distributed (default: config default)")
+    ap.add_argument("--speculative", action="store_true",
+                    help="wave pipelining: overlap the predicted next "
+                         "wave's fetch+validate with this wave's gates")
     args = ap.parse_args()
 
     import ray
@@ -82,6 +85,7 @@ def main() -> None:
         frontier_partitions=args.frontier_partitions,
         hold_order_in_memory=not args.flat_rss,
         content_probe_shards=args.probe_shards,
+        speculative_fetch=args.speculative,
     )
     if args.driver_fp_threshold is not None:
         config.driver_fp_threshold = args.driver_fp_threshold

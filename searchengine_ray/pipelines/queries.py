@@ -806,6 +806,230 @@ WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+# --- 18. relational extensions: anti-join, rollup, keep-best dedup,
+# running window, exact group quantiles ------------------------------------
+
+def q_customers_no_urgent(sf_dir: str):
+    """Distributed ANTI-join: customers with no URGENT order.  Both sides
+    are fact-scale, so neither broadcasts: the right side pre-aggregates to
+    distinct keys (one row per customer with an urgent order), co-shuffles
+    with the left through the bucketed hash join, and the anti condition is
+    a vectorized null-mask per bucket."""
+    from searchengine_ray.stages.relational import hash_join
+
+    cust = _pq(sf_dir, "customer",
+               columns=["c_custkey", "c_name", "c_acctbal"])
+    orders = _pq(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    def urgent_keys(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = pc.equal(t["o_orderpriority"], pa.scalar("1-URGENT"))
+        return pa.table({"c_custkey": t.filter(m)["o_custkey"]})
+
+    keys = pre_aggregate(
+        orders.map_batches(urgent_keys, batch_format="pyarrow"),
+        ["c_custkey"], {"n_urgent": (None, "count")})
+    joined = hash_join(cust, keys, on="c_custkey", how="left")
+
+    def anti(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[df["n_urgent"].isna()][["c_custkey", "c_name", "c_acctbal"]]
+        out = out.copy()
+        out["c_acctbal"] = out["c_acctbal"].round(2)
+        return out
+
+    return joined.map_batches(anti, batch_format="pandas")
+
+
+SQL_CUSTOMERS_NO_URGENT = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+FROM customer
+WHERE c_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+"""
+
+
+def q_orders_rollup(sf_dir: str):
+    """Grouping-sets / ROLLUP over (status, priority): one distributed
+    pre-aggregate at the finest level, then the coarser levels derive from
+    that (tiny) aggregate on the driver — no second pass over the fact
+    table.  NULL grouping keys are encoded as 'ALL' on both sides."""
+    ds = _pq(sf_dir, "orders",
+             columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    fine = pre_aggregate(
+        ds, ["o_orderstatus", "o_orderpriority"],
+        {"n_orders": (None, "count"), "sum_price": ("o_totalprice", "sum")},
+    ).to_pandas()
+    lvl1 = (fine.groupby("o_orderstatus", as_index=False)
+            .agg(n_orders=("n_orders", "sum"), sum_price=("sum_price", "sum")))
+    lvl1["o_orderpriority"] = "ALL"
+    lvl0 = pd.DataFrame({
+        "o_orderstatus": ["ALL"], "o_orderpriority": ["ALL"],
+        "n_orders": [fine["n_orders"].sum()],
+        "sum_price": [fine["sum_price"].sum()],
+    })
+    out = pd.concat([fine, lvl1, lvl0], ignore_index=True)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    out["sum_price"] = out["sum_price"].round(2)
+    return out[["o_orderstatus", "o_orderpriority", "n_orders", "sum_price"]]
+
+
+SQL_ORDERS_ROLLUP = """
+SELECT coalesce(o_orderstatus, 'ALL')   AS o_orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+       count(*)                         AS n_orders,
+       round(sum(o_totalprice), 2)      AS sum_price
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+"""
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Keep-BEST dedup (vs dedup_exact's keep-first): per (lang, source)
+    key keep the longest document, ties to the smallest doc_id — the
+    training-pipeline pattern of keeping the highest-quality member of a
+    duplicate cluster.  One vectorized sort + drop_duplicates per hash
+    bucket (``bucketed_apply``), no per-group Python."""
+    from searchengine_ray.stages.relational import bucketed_apply
+
+    ds = _pq(sf_dir, "documents",
+             columns=["doc_id", "lang", "source", "n_chars"])
+
+    def keep_best(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                              kind="mergesort")
+                .drop_duplicates(["lang", "source"], keep="first"))
+
+    return bucketed_apply(ds, ["lang", "source"], keep_best)
+
+
+SQL_DEDUP_KEEP_BEST = """
+SELECT doc_id, lang, source, n_chars FROM documents
+QUALIFY row_number() OVER (
+    PARTITION BY lang, source ORDER BY n_chars DESC, doc_id) = 1
+"""
+
+
+def q_user_running_total(sf_dir: str):
+    """Running (cumulative) per-user total ordered by (ts, event_id) — the
+    streaming-window shape: users co-shuffle whole into hash buckets, then
+    ONE sort + grouped cumsum kernel per bucket."""
+    from searchengine_ray.stages.relational import bucketed_apply
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def running(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        g["running_value"] = (
+            g.groupby("user_id", sort=False)["value"].cumsum().round(6))
+        return g[["event_id", "user_id", "running_value"]]
+
+    return bucketed_apply(ds, ["user_id"], running)
+
+
+SQL_USER_RUNNING_TOTAL = """
+SELECT event_id, user_id,
+       round(sum(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+           AS running_value
+FROM events
+"""
+
+
+def q_event_value_quantiles(sf_dir: str):
+    """EXACT per-group quantiles (median / p90, linear interpolation — the
+    quantile_cont contract).  Exactness requires each group's values
+    co-located once: groups co-shuffle whole (few groups ⇒ per-group numpy
+    percentile inside the bucket).  The corpus-scale path for many/hot
+    groups is a t-digest/P² sketch pre-aggregate; this operator is the
+    exact form."""
+    from searchengine_ray.stages.relational import bucketed_map_groups
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "value"])
+
+    def quants(g: pd.DataFrame) -> pd.DataFrame:
+        v = g["value"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]],
+            "median_value": [round(float(np.percentile(v, 50)), 6)],
+            "p90_value": [round(float(np.percentile(v, 90)), 6)],
+        })
+
+    return bucketed_map_groups(ds, ["event_type"], quants)
+
+
+SQL_EVENT_VALUE_QUANTILES = """
+SELECT event_type,
+       round(median(value), 6)           AS median_value,
+       round(quantile_cont(value, 0.9), 6) AS p90_value
+FROM events GROUP BY event_type
+"""
+
+
+# --- 19. image-corpus queries over the input-hint table ---------------------
+
+def _image_table_ds(columns=None):
+    from searchengine_ray.sources.image_table import ensure_image_table
+
+    return rd.read_parquet(ensure_image_table(), columns=columns)
+
+
+def q_image_phash_neardup(sf_dir: str):
+    """Banded phash near-dup pairs (hamming ≤ 4) over the image+caption
+    corpus table — the corpus form of the crawl's image near-dup gate
+    (pigeonhole 5-band LSH + exact hamming verify), SQL-gated against the
+    all-pairs ``bit_count(xor(phash, phash))`` oracle.  Reads prune to
+    (image_id, phash): the binary payload never leaves storage."""
+    ds = _image_table_ds(columns=["image_id", "phash"])
+    out = dedup_stage.hash_neardup_pairs(ds, hash_col="phash",
+                                         id_col="image_id", max_hamming=4)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"id_a": "image_a", "id_b": "image_b"})
+
+    return out.map_batches(rename, batch_format="pandas")
+
+
+def q_image_stats(sf_dir: str):
+    """Per-format corpus stats (count, total pixel area, total caption
+    tokens) — integer-exact aggregates, columns pruned so image bytes are
+    never read."""
+    ds = _image_table_ds(columns=["fmt", "w", "h", "caption"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "fmt": df["fmt"],
+            "pixels": df["w"].astype(np.int64) * df["h"].astype(np.int64),
+            "n_tokens": df["caption"].str.split(" ").str.len().astype(np.int64),
+        })
+
+    return pre_aggregate(
+        ds.map_batches(prep, batch_format="pandas"), ["fmt"],
+        {"n_images": (None, "count"), "sum_pixels": ("pixels", "sum"),
+         "sum_caption_tokens": ("n_tokens", "sum")})
+
+
+# the oracle reads the SAME canonical corpus file the pipeline reads —
+# regenerated deterministically on demand (sources/image_table.py)
+from searchengine_ray.sources.image_table import CANONICAL_PATH as _IMG_PATH  # noqa: E402
+
+SQL_IMAGE_PHASH_NEARDUP = f"""
+SELECT a.image_id AS image_a, b.image_id AS image_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+FROM read_parquet('{_IMG_PATH}') a
+JOIN read_parquet('{_IMG_PATH}') b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 4
+"""
+
+SQL_IMAGE_STATS = f"""
+SELECT fmt, count(*) AS n_images,
+       CAST(sum(CAST(w AS BIGINT) * h) AS BIGINT)          AS sum_pixels,
+       CAST(sum(len(string_split(caption, ' '))) AS BIGINT) AS sum_caption_tokens
+FROM read_parquet('{_IMG_PATH}')
+GROUP BY fmt
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -835,6 +1059,13 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "embedding_neardup": q_embedding_neardup,
+    "customers_no_urgent": q_customers_no_urgent,
+    "orders_rollup": q_orders_rollup,
+    "dedup_keep_best": q_dedup_keep_best,
+    "user_running_total": q_user_running_total,
+    "event_value_quantiles": q_event_value_quantiles,
+    "image_phash_neardup": q_image_phash_neardup,
+    "image_stats": q_image_stats,
 }
 
 ORACLE_SQL = {
@@ -863,6 +1094,13 @@ ORACLE_SQL = {
     "text_features": SQL_TEXT_FEATURES,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "customers_no_urgent": SQL_CUSTOMERS_NO_URGENT,
+    "orders_rollup": SQL_ORDERS_ROLLUP,
+    "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
+    "user_running_total": SQL_USER_RUNNING_TOTAL,
+    "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
+    "image_phash_neardup": SQL_IMAGE_PHASH_NEARDUP,
+    "image_stats": SQL_IMAGE_STATS,
     # crawl_bfs (stateful sequential-gate semantics), simhash_pairs (64-bit
     # bitwise majority vote) and image_pipeline (binary codec) are
     # non-SQL-expressible → rows-only checks; their semantics are pinned by

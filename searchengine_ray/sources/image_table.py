@@ -1,0 +1,68 @@
+"""Deterministic image+caption corpus table in the BASELINE.json
+input_hint shape.
+
+Columns exactly ``(image_id: string, bytes: binary, w: int32, h: int32,
+fmt: string, caption: string, phash: int64)``.  Persisted as parquet —
+the input hint names Lance, which does not ship in this environment; the
+format seam is the same one ``sources/storage.py`` documents, and the
+schema is byte-for-byte the hinted one.
+
+The rows derive from the synthetic crawl universe
+(``sources/fixtures.make_store``) so corpus-level image queries exercise
+the same planted ground truth the crawl's content gate is
+conformance-tested on: exact image duplicates (phash hamming 0), lossy
+near-duplicates (hamming ≤ 4 after ±2 pixel noise), caption 3-gram
+near-dups, and a realistic host/format mix.  Everything is a pure
+function of (n_images, seed) — no wall clock, no global RNG — and the
+canonical corpus lives at ONE path so the Ray pipeline and the DuckDB
+oracle (whose SQL embeds the path) read the same file at every test
+scale; ``bench.py`` sizes a separate, larger corpus via ``n_images``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+CANONICAL_PATH = "/tmp/graft_image_table/images.parquet"
+N_CANONICAL = 600
+SEED = 20240817
+
+
+def build_image_table(n_images: int, seed: int = SEED) -> pa.Table:
+    """Materialize the deterministic corpus as one Arrow table.
+
+    ``image_id`` is the page URL (stable, sorted); near-dup planting
+    fractions are make_store defaults (6% image near-dups incl. exact
+    dups, 8% caption near-dups)."""
+    from searchengine_ray.sources.fixtures import make_store
+
+    store = make_store(n_pages=n_images, n_hosts=8, seed=seed,
+                       img_min=24, img_max=64)
+    recs = [store.pages[k] for k in sorted(store.pages)]
+    return pa.table({
+        "image_id": pa.array([r["url"] for r in recs], pa.string()),
+        "bytes": pa.array([r["bytes"] for r in recs], pa.binary()),
+        "w": pa.array([r["w"] for r in recs], pa.int32()),
+        "h": pa.array([r["h"] for r in recs], pa.int32()),
+        "fmt": pa.array([r["fmt"] for r in recs], pa.string()),
+        "caption": pa.array([r["caption"] for r in recs], pa.string()),
+        "phash": pa.array([r["phash"] for r in recs], pa.int64()),
+    })
+
+
+def ensure_image_table(path: str = CANONICAL_PATH,
+                       n_images: int = N_CANONICAL) -> str:
+    """Idempotently materialize the corpus at ``path`` and return it.
+    Atomic (tmp + rename) so concurrent callers (Ray query + DuckDB
+    oracle) can race safely."""
+    if os.path.exists(path):
+        return path
+    tbl = build_image_table(n_images)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path

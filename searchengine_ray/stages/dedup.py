@@ -426,6 +426,61 @@ def simhash_neardup_pairs(ds: Dataset, max_hamming: int = 3,
                           lambda g: g.drop_duplicates(["doc_a", "doc_b"]))
 
 
+def hash_neardup_pairs(
+    ds: Dataset, hash_col: str, id_col: str, max_hamming: int = 4,
+) -> Dataset:
+    """Near-dup pairs over an EXISTING 64-bit signature column (e.g. the
+    ``phash: int64`` of the input-hint image table) within Hamming ≤ t.
+
+    Same pigeonhole shape as ``simhash_neardup_pairs`` — (t+1) bands ⇒
+    exact recall — but the signature is a table column, not computed from
+    text, and ids may be any orderable dtype (URLs).  The band explode is
+    one numpy shift/mask per band over the whole batch (no per-row Python);
+    candidates group per (band_id, band_val) bucket, verify with vectorized
+    hamming, and pairs dedupe across bands in a second co-shuffle.
+    Output: (id_a, id_b, hamming) — sortable, oracle-comparable against
+    ``bit_count(xor(a,b)) <= t`` SQL."""
+    from searchengine_ray.functions.phash import hamming64_pairs
+    from searchengine_ray.stages.relational import bucketed_apply
+
+    num_bands = max_hamming + 1
+    width = 64 // num_bands
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        h = df[hash_col].to_numpy(dtype=np.int64).view(np.uint64)
+        ids = df[id_col].to_numpy()
+        frames = []
+        for b in range(num_bands):
+            lo = b * width
+            hi = 64 if b == num_bands - 1 else lo + width
+            bv = ((h >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1))
+            frames.append(pd.DataFrame({
+                "id": ids,
+                "band_id": np.full(len(df), b, dtype=np.int32),
+                "band_val": bv.view(np.int64),
+                "sig": h.view(np.int64),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
+    bands = ds.map_batches(explode, batch_format="pandas")
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["band_id", "band_val"], suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]]
+        if len(m):
+            ham = hamming64_pairs(m["sig_a"].to_numpy(dtype=np.int64),
+                                  m["sig_b"].to_numpy(dtype=np.int64))
+            m = m.assign(hamming=ham)
+            m = m[m["hamming"] <= max_hamming]
+        else:
+            m = m.assign(hamming=np.array([], dtype=np.int64))
+        return m[["id_a", "id_b", "hamming"]]
+
+    cand = bucketed_apply(bands, ["band_id", "band_val"], pairs_bucket)
+    return bucketed_apply(cand, ["id_a", "id_b"],
+                          lambda g: g.drop_duplicates(["id_a", "id_b"]))
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
