@@ -1030,6 +1030,78 @@ GROUP BY fmt
 """
 
 
+def q_image_multimodal_neardup(sf_dir: str):
+    """Multimodal near-dup pairs over the image+caption corpus: a pair is
+    flagged per CHANNEL — phash hamming ≤ 4 (pixels) and/or caption 3-gram
+    jaccard > 0.65 (text) — the cluster input a joint image-text dedup
+    pass consumes.  Both channels are the banded/bucketed distributed
+    operators (no all-pairs scan); the channel union is one max-merge
+    pre-aggregate on the pair key.  Column pruning per channel: the phash
+    leg never reads captions and vice versa; bytes never leave storage."""
+    ph = dedup_stage.hash_neardup_pairs(
+        _image_table_ds(columns=["image_id", "phash"]),
+        hash_col="phash", id_col="image_id", max_hamming=4)
+    cap = dedup_stage.ngram_jaccard_pairs(
+        _image_table_ds(columns=["image_id", "caption"]),
+        threshold=0.65, text_col="caption", id_col="image_id")
+
+    def tag_ph(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "image_a": df["id_a"], "image_b": df["id_b"],
+            "phash_dup": np.ones(len(df), dtype=np.int64),
+            "caption_dup": np.zeros(len(df), dtype=np.int64)})
+
+    def tag_cap(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "image_a": df["doc_a"], "image_b": df["doc_b"],
+            "phash_dup": np.zeros(len(df), dtype=np.int64),
+            "caption_dup": np.ones(len(df), dtype=np.int64)})
+
+    u = (ph.map_batches(tag_ph, batch_format="pandas")
+         .union(cap.map_batches(tag_cap, batch_format="pandas")))
+    return pre_aggregate(u, ["image_a", "image_b"],
+                         {"phash_dup": ("phash_dup", "max"),
+                          "caption_dup": ("caption_dup", "max")})
+
+
+SQL_IMAGE_MULTIMODAL_NEARDUP = f"""
+WITH imgs AS (SELECT image_id, caption, phash FROM read_parquet('{_IMG_PATH}')),
+toks AS (
+  SELECT image_id,
+         list_filter(regexp_split_to_array(lower(caption), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM imgs),
+sh AS (
+  SELECT DISTINCT image_id,
+         unnest(list_transform(range(0, len(ts), 3),
+                               i -> array_to_string(ts[i+1:i+3], ''))) AS s
+  FROM toks WHERE len(ts) > 0),
+ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64),
+sh2 AS (SELECT sh.image_id, sh.s FROM sh JOIN ok USING (s)),
+sizes AS (SELECT image_id, count(*) AS n FROM sh2 GROUP BY image_id),
+cpairs AS (
+  SELECT a.image_id AS image_a, b.image_id AS image_b, count(*) AS shared
+  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.image_id < b.image_id
+  GROUP BY 1, 2),
+cap AS (
+  SELECT image_a, image_b
+  FROM cpairs
+  JOIN sizes sa ON sa.image_id = image_a
+  JOIN sizes sb ON sb.image_id = image_b
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) > 0.65),
+ph AS (
+  SELECT a.image_id AS image_a, b.image_id AS image_b
+  FROM imgs a JOIN imgs b ON a.image_id < b.image_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 4)
+SELECT coalesce(c.image_a, p.image_a) AS image_a,
+       coalesce(c.image_b, p.image_b) AS image_b,
+       CAST(p.image_a IS NOT NULL AS BIGINT) AS phash_dup,
+       CAST(c.image_a IS NOT NULL AS BIGINT) AS caption_dup
+FROM cap c FULL OUTER JOIN ph p
+  ON c.image_a = p.image_a AND c.image_b = p.image_b
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -1066,6 +1138,7 @@ QUERIES = {
     "event_value_quantiles": q_event_value_quantiles,
     "image_phash_neardup": q_image_phash_neardup,
     "image_stats": q_image_stats,
+    "image_multimodal_neardup": q_image_multimodal_neardup,
 }
 
 ORACLE_SQL = {
@@ -1101,6 +1174,7 @@ ORACLE_SQL = {
     "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
     "image_phash_neardup": SQL_IMAGE_PHASH_NEARDUP,
     "image_stats": SQL_IMAGE_STATS,
+    "image_multimodal_neardup": SQL_IMAGE_MULTIMODAL_NEARDUP,
     # crawl_bfs (stateful sequential-gate semantics), simhash_pairs (64-bit
     # bitwise majority vote) and image_pipeline (binary codec) are
     # non-SQL-expressible → rows-only checks; their semantics are pinned by

@@ -95,7 +95,11 @@ def explode_shingles(
             flat = flat[keep]
             doc_idx = doc_idx[keep]
             lens = np.bincount(doc_idx, minlength=ndocs).astype(np.int64)
-        doc_ids = df[id_col].to_numpy(dtype=np.int64)
+        # ids keep their dtype (int64 doc ids stay int64; string ids — e.g.
+        # image_id URLs — pass through so pair output is joinable back)
+        doc_ids = df[id_col].to_numpy()
+        if doc_ids.dtype.kind in "iu":
+            doc_ids = doc_ids.astype(np.int64, copy=False)
         return pd.DataFrame({"doc_id": doc_ids[doc_idx],
                              "sh": flat,
                              "n": lens[doc_idx]})
@@ -348,8 +352,8 @@ def ngram_jaccard_pairs(
         # its co-occurring (a < b) pairs at once — no per-shingle Python
         m = g.merge(g, on="sh", suffixes=("_a", "_b"))
         m = m[m["doc_id_a"] < m["doc_id_b"]]
-        return pd.DataFrame({"doc_a": m["doc_id_a"].to_numpy(dtype=np.int64),
-                             "doc_b": m["doc_id_b"].to_numpy(dtype=np.int64),
+        return pd.DataFrame({"doc_a": m["doc_id_a"].to_numpy(),
+                             "doc_b": m["doc_id_b"].to_numpy(),
                              "na": m["n_a"].to_numpy(dtype=np.int64),
                              "nb": m["n_b"].to_numpy(dtype=np.int64)})
 
