@@ -26,7 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--checkpoint-dir", required=True)
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="enable per-wave incremental checkpoints (required "
+                         "for --resume / --flat-rss)")
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--pages", type=int, default=2000)
     ap.add_argument("--procedural", action="store_true",
@@ -53,6 +55,8 @@ def main() -> None:
                     help="wave pipelining: overlap the predicted next "
                          "wave's fetch+validate with this wave's gates")
     args = ap.parse_args()
+    if (args.resume or args.flat_rss) and not args.checkpoint_dir:
+        ap.error("--resume/--flat-rss need --checkpoint-dir")
 
     import ray
 
