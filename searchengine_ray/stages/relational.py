@@ -268,6 +268,89 @@ def hash_join(
     return both.groupby("_bucket").map_groups(join_bucket, batch_format="pyarrow")
 
 
+def hash_semi_anti_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    anti: bool = False,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """Distributed SEMI (anti=False) / ANTI (anti=True) join of two LARGE
+    sides on one key — ONE all-to-all total.
+
+    Unlike ``hash_join`` the probe side contributes only key PRESENCE, so:
+    the right side is reduced map-side to per-batch distinct keys (no
+    pre-aggregate shuffle), both sides co-shuffle once on ``hash(key) % B``,
+    and each bucket task computes a vectorized ``isin`` mask over the left
+    rows.  Output schema == left schema.  This replaces the
+    pre_aggregate → hash_join → null-mask chain (3 all-to-alls) with one."""
+    import numpy as np
+    import pyarrow as pa
+
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+
+    l_names = list(left.schema().names)
+
+    def bucket_of(tbl: pa.Table) -> "np.ndarray":
+        h = pd.util.hash_pandas_object(
+            tbl[on].to_pandas(), index=False).to_numpy(dtype=np.uint64)
+        return (h % num_buckets).astype(np.int64)
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        b = b.append_column("_bucket", pa.array(bucket_of(b)))
+        return b.append_column("_side", pa.array(
+            np.zeros(b.num_rows, dtype=np.int8)))
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        # map-side distinct: only unique keys leave the task
+        t = pa.table({on: pc.unique(b[on])})
+        t = t.append_column("_bucket", pa.array(bucket_of(t)))
+        return t.append_column("_side", pa.array(
+            np.ones(t.num_rows, dtype=np.int8)))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.select_columns([on]).map_batches(tag_right, batch_format="pyarrow")
+
+    # widen the (single-column) right side to the left schema so union works
+    # (schema().types yields numpy dtypes for pandas-backed datasets)
+    def _pa_type(t):
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (TypeError, pa.ArrowNotImplementedError):
+            return pa.string()
+
+    l_schema = [(n, _pa_type(t))
+                for n, t in zip(left.schema().names, left.schema().types)]
+
+    def widen_right(b: pa.Table) -> pa.Table:
+        for name, typ in l_schema:
+            if name not in b.column_names:
+                b = b.append_column(name, pa.nulls(b.num_rows, typ))
+        return b.select(l_names + ["_bucket", "_side"])
+
+    rt = rt.map_batches(widen_right, batch_format="pyarrow")
+    both = lt.map_batches(
+        lambda b: b.select(l_names + ["_bucket", "_side"]),
+        batch_format="pyarrow").union(rt)
+
+    def filter_bucket(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        side = t["_side"]
+        lrows = t.filter(pc.equal(side, pa.scalar(0, pa.int8())))
+        rkeys = t.filter(pc.equal(side, pa.scalar(1, pa.int8())))[on]
+        mask = pc.is_in(lrows[on], value_set=pc.unique(rkeys))
+        if anti:
+            mask = pc.invert(mask)
+        return lrows.filter(mask).select(l_names)
+
+    return both.groupby("_bucket").map_groups(
+        filter_bucket, batch_format="pyarrow")
+
+
 def _to_numpy_dtypes(df: pd.DataFrame) -> pd.DataFrame:
     """ArrowDtype columns → the numpy-backed dtypes the rest of the engine
     uses: int without nulls → int64, int with nulls → float64 (NaN), float →
