@@ -965,6 +965,84 @@ FROM events GROUP BY event_type
 """
 
 
+def q_events_sliding_1h(sf_dir: str):
+    """Sliding RANGE window: per event, the count and value-sum of the same
+    user's events in the preceding hour (peers at the same ts included —
+    RANGE ... CURRENT ROW semantics).
+
+    Shape: users co-shuffle whole (``bucketed_apply``); inside each bucket
+    ONE vectorized kernel serves every user at once — rows sort by
+    (user, ts), users densify to small ints, and a composite
+    ``user*span + rel_ts`` key makes two ``np.searchsorted`` calls yield
+    each row's window [lo, hi); counts are ``hi-lo`` and sums come from a
+    cumulative-sum difference.  No per-user loop, no per-row Python —
+    the 10^9-event form of a streaming sliding window."""
+    from searchengine_ray.stages.relational import bucketed_apply
+
+    WIN_US = 3_600_000_000  # 1 hour in microseconds
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def sliding(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64),
+                "cnt_1h": pd.Series([], dtype=np.int64),
+                "sum_value_1h": pd.Series([], dtype=np.float64)})
+        g = g.sort_values(["user_id", "ts"], kind="mergesort")
+        ts = g["ts"].astype("int64").to_numpy()          # epoch microseconds
+        du = pd.factorize(g["user_id"].to_numpy())[0].astype(np.int64)
+        rel = ts - ts.min()
+        # span > max(rel) + WIN guarantees user blocks can't overlap even
+        # after subtracting the window from the smallest rel
+        span = np.int64(rel.max()) + np.int64(WIN_US) + 2
+        key = du * span + rel
+        lo = np.searchsorted(key, du * span + (rel - WIN_US), side="left")
+        hi = np.searchsorted(key, key, side="right")
+        cs = np.concatenate([[0.0], np.cumsum(g["value"].to_numpy(np.float64))])
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(dtype=np.int64),
+            "user_id": g["user_id"].to_numpy(dtype=np.int64),
+            "cnt_1h": (hi - lo).astype(np.int64),
+            "sum_value_1h": np.round(cs[hi] - cs[lo], 6),
+        })
+
+    return bucketed_apply(ds, ["user_id"], sliding)
+
+
+SQL_EVENTS_SLIDING_1H = """
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT)   AS cnt_1h,
+       round(sum(value) OVER w, 6)       AS sum_value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF ANN, gated EXACTLY: with ``nprobe == num_centroids`` the probe
+    set covers every inverted list, so the full centroid-build → per-batch
+    assignment → probe-filter → local-top-k machinery must reproduce the
+    brute-force answer bit-for-bit — the same SQL oracle as
+    ``knn_bruteforce`` gates it.  The approximate scale path
+    (``nprobe < num_centroids``: only the closest lists are scanned) is the
+    production configuration and is recall-tested in tests/test_knn.py."""
+    import pyarrow.parquet as pq
+
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "==", 0)])
+    q = np.asarray(qt["embedding"].to_pylist()[0])
+    out = knn_stage.knn_ivf(ds, q, k=50, num_centroids=8, nprobe=8,
+                            exclude_ids={0})
+    out["cosine"] = out["cosine"].round(6)
+    return (out.sort_values(["cosine", "vec_id"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
 # --- 19. image-corpus queries over the input-hint table ---------------------
 
 def _image_table_ds(columns=None):
@@ -1135,6 +1213,8 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "user_running_total": q_user_running_total,
     "event_value_quantiles": q_event_value_quantiles,
+    "events_sliding_1h": q_events_sliding_1h,
+    "knn_ivf": q_knn_ivf,
     "image_phash_neardup": q_image_phash_neardup,
     "image_stats": q_image_stats,
     "image_multimodal_neardup": q_image_multimodal_neardup,
@@ -1171,6 +1251,8 @@ ORACLE_SQL = {
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "user_running_total": SQL_USER_RUNNING_TOTAL,
     "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
+    "events_sliding_1h": SQL_EVENTS_SLIDING_1H,
+    "knn_ivf": SQL_KNN,
     "image_phash_neardup": SQL_IMAGE_PHASH_NEARDUP,
     "image_stats": SQL_IMAGE_STATS,
     "image_multimodal_neardup": SQL_IMAGE_MULTIMODAL_NEARDUP,
