@@ -34,6 +34,24 @@ def default_num_buckets() -> int:
     return max(64, 2 * cpus)
 
 
+def _hash_bucket(df: pd.DataFrame, keys: Sequence[str], nb: int):
+    """int64 bucket ids in [0, nb) from the row hash of ``keys``.
+
+    The combine and the final mod run on int64 views: some numpy builds
+    (this sandbox's included) execute uint64 array arithmetic (notably
+    ``%`` and array×array multiply) ~50-300× slower than int64.  The top
+    bit is masked off before the mod so the value is nonnegative; that
+    loses 1 of 64 hash bits, irrelevant for bucketing."""
+    import numpy as np
+
+    h = np.zeros(len(df), dtype=np.int64)
+    for k in keys:
+        hk = pd.util.hash_pandas_object(df[k], index=False).to_numpy(
+            dtype=np.uint64).view(np.int64)
+        h = h * np.int64(1000003) + hk  # wraparound combine, same bits
+    return (h & np.int64((1 << 63) - 1)) % nb
+
+
 def pre_aggregate(
     ds: Dataset,
     keys: Sequence[str],
@@ -78,13 +96,7 @@ def pre_aggregate(
     nb = default_num_buckets()
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        h = np.zeros(len(df), dtype=np.uint64)
-        for k in keys:
-            h = h * np.uint64(1000003) + pd.util.hash_pandas_object(
-                df[k], index=False).to_numpy(dtype=np.uint64)
-        df["_bucket"] = (h % np.uint64(nb)).astype("int64")
+        df["_bucket"] = _hash_bucket(df, keys, nb)
         return df
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
@@ -138,13 +150,7 @@ def bucketed_map_groups(
     nb = num_buckets if num_buckets is not None else default_num_buckets()
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        h = np.zeros(len(df), dtype=np.uint64)
-        for k in keys:
-            h = h * np.uint64(1000003) + pd.util.hash_pandas_object(
-                df[k], index=False).to_numpy(dtype=np.uint64)
-        df["_bucket"] = (h % np.uint64(nb)).astype("int64")
+        df["_bucket"] = _hash_bucket(df, keys, nb)
         return df
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -181,13 +187,7 @@ def bucketed_apply(
     nb = num_buckets if num_buckets is not None else default_num_buckets()
 
     def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        h = np.zeros(len(df), dtype=np.uint64)
-        for k in keys:
-            h = h * np.uint64(1000003) + pd.util.hash_pandas_object(
-                df[k], index=False).to_numpy(dtype=np.uint64)
-        df["_bucket"] = (h % np.uint64(nb)).astype("int64")
+        df["_bucket"] = _hash_bucket(df, keys, nb)
         return df
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -223,8 +223,12 @@ def hash_join(
         def fn(b: pa.Table) -> pa.Table:
             h = pd.util.hash_pandas_object(
                 b[on].to_pandas(), index=False
-            ).to_numpy(dtype=np.uint64)
-            b = b.append_column("_bucket", pa.array((h % num_buckets).astype(np.int64)))
+            ).to_numpy(dtype=np.uint64).view(np.int64)
+            # int64 view + top-bit mask: uint64 % is a slow path on some
+            # numpy builds (see _hash_bucket)
+            b = b.append_column(
+                "_bucket",
+                pa.array((h & np.int64((1 << 63) - 1)) % num_buckets))
             return b.append_column("_side", pa.array(np.full(b.num_rows, side, dtype=np.int8)))
 
         return fn
@@ -294,8 +298,9 @@ def hash_semi_anti_join(
 
     def bucket_of(tbl: pa.Table) -> "np.ndarray":
         h = pd.util.hash_pandas_object(
-            tbl[on].to_pandas(), index=False).to_numpy(dtype=np.uint64)
-        return (h % num_buckets).astype(np.int64)
+            tbl[on].to_pandas(), index=False).to_numpy(
+            dtype=np.uint64).view(np.int64)
+        return (h & np.int64((1 << 63) - 1)) % num_buckets
 
     def tag_left(b: pa.Table) -> pa.Table:
         b = b.append_column("_bucket", pa.array(bucket_of(b)))

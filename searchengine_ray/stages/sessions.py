@@ -67,9 +67,14 @@ def asof_join(
 
     def tag(side: int, cols: list[str]):
         def fn(b: pa.Table) -> pa.Table:
+            # int64 view + top-bit mask: uint64 % is a slow path on some
+            # numpy builds (see relational._hash_bucket)
             h = pd.util.hash_pandas_object(
-                b[key].to_pandas(), index=False).to_numpy(dtype=np.uint64)
-            b = b.append_column("_bucket", pa.array((h % num_buckets).astype(np.int64)))
+                b[key].to_pandas(), index=False).to_numpy(
+                dtype=np.uint64).view(np.int64)
+            b = b.append_column(
+                "_bucket",
+                pa.array((h & np.int64((1 << 63) - 1)) % num_buckets))
             return b.append_column("_side", pa.array(np.full(b.num_rows, side, np.int8)))
 
         return fn
