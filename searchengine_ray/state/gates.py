@@ -66,6 +66,9 @@ class HostGateShard:
         # (only tracked when the engine checkpoints — unbounded otherwise)
         self.track_deltas = track_deltas
         self._delta: list[tuple[str, str, str]] = []
+        # per-partition dedup-rate lineage (north-star metric): cumulative
+        # decision counts for this shard's slice of the URL space
+        self.decisions = {"accept": 0, "dup": 0, "trap": 0, "seed": 0}
 
     @staticmethod
     def _cuckoo_key(digest: bytes) -> int:
@@ -80,6 +83,7 @@ class HostGateShard:
                 out.append(False)
                 continue
             self._admit(_host, url_norm, url_hash)
+            self.decisions["seed"] += 1
             out.append(True)
         return out
 
@@ -88,6 +92,7 @@ class HostGateShard:
         pre-sorted by discovery order.  Returns one decision per row:
         'accept' | 'dup' | 'trap'."""
         out = []
+        dec = self.decisions
         for host, url_norm, url_hash in rows:
             digest = bytes.fromhex(url_hash)
             if not self.cuckoo_degraded and not self.cuckoo.contains(
@@ -95,12 +100,15 @@ class HostGateShard:
             ):
                 pass  # definitely new — skip the exact-set lookup
             elif digest in self.seen:
+                dec["dup"] += 1
                 out.append("dup")
                 continue
             if self.trap_index.is_trap(url_norm):
+                dec["trap"] += 1
                 out.append("trap")
                 continue
             self._admit(host, url_norm, url_hash)
+            dec["accept"] += 1
             out.append("accept")
         return out
 
@@ -130,6 +138,7 @@ class HostGateShard:
     def memory_stats(self) -> dict:
         """Per-structure resident-byte estimates — the per-partition lineage
         for the bounded-state invariant (recorded by scripts/run_crawl_job)."""
+        n_cand = sum(self.decisions[k] for k in ("accept", "dup", "trap"))
         return {
             "shard_id": self.shard_id,
             "seen_count": len(self.seen),
@@ -137,6 +146,10 @@ class HostGateShard:
             "seen_segments": len(self.seen.segments),
             "cuckoo_bytes": int(self.cuckoo.table.nbytes),
             "trap_groups": len(self.trap_index.groups),
+            # per-partition dedup-rate lineage (north-star metric)
+            "decisions": dict(self.decisions),
+            "dedup_rate": (round((self.decisions["dup"] + self.decisions["trap"])
+                                 / n_cand, 6) if n_cand else 0.0),
         }
 
     def dump_seen_to(self, path: str) -> int:
