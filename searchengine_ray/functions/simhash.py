@@ -31,12 +31,30 @@ def simhash64_from_hashes(hashes: np.ndarray, weights: np.ndarray | None = None)
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
+# Per-process reusable (chunk × 64) float64 workspace: the bit/contrib
+# matrix for 100k+ features is ~60 MB of fresh temporaries per batch, and
+# first-touch page faults on some hosts run at ~8 MB/s (see
+# functions/minhash.py) — the workspace bounds that to one warm-up per
+# worker process and saves allocator traffic everywhere.
+_WORK: dict = {}
+
+
+def _get_work(width: int) -> np.ndarray:
+    w = _WORK.get("f64")
+    if w is None or w.shape[0] < width:
+        w = np.empty((width, 64), np.float64)
+        _WORK["f64"] = w
+    return w
+
+
 def batch_simhash(hash_arrays: list[np.ndarray],
-                  weight_arrays: list[np.ndarray]) -> np.ndarray:
+                  weight_arrays: list[np.ndarray],
+                  chunk_features: int = 1 << 14) -> np.ndarray:
     """Simhashes for a whole batch of docs in one vectorized pass — same
     values as per-doc ``simhash64_from_hashes``: concatenate every doc's
-    feature hashes, unpack to a (features × 64) ±1 bit matrix, weighted
-    per-doc sums via ``np.add.reduceat``, sign → bits → int64."""
+    feature hashes, unpack to a (features × 64) ±1 bit matrix (doc-aligned
+    chunks written into the reusable workspace), weighted per-doc sums via
+    ``np.add.reduceat``, sign → bits → int64."""
     n_docs = len(hash_arrays)
     out = np.zeros(n_docs, dtype=np.int64)
     lens = np.fromiter((h.size for h in hash_arrays), dtype=np.int64,
@@ -48,14 +66,32 @@ def batch_simhash(hash_arrays: list[np.ndarray],
     cat_w = np.concatenate([weight_arrays[i] for i in nonempty])
     offsets = np.zeros(nonempty.size, dtype=np.int64)
     np.cumsum(lens[nonempty][:-1], out=offsets[1:])
-    # little-endian byte view + bitorder="little" ⇒ column j == bit j
-    bits = np.unpackbits(
-        cat_h.astype("<i8").view(np.uint8).reshape(-1, 8),
-        axis=1, bitorder="little").astype(np.float64)
-    contrib = (2.0 * bits - 1.0) * cat_w[:, None]
-    acc = np.add.reduceat(contrib, offsets, axis=0)  # (docs, 64)
-    packed = np.packbits((acc > 0), axis=1, bitorder="little")
-    out[nonempty] = packed.view("<i8").ravel()
+    # doc-aligned chunks can overshoot by the last doc's feature count
+    work = _get_work(chunk_features + int(lens.max()))
+    start_doc = 0
+    while start_doc < nonempty.size:
+        end_doc = start_doc + 1
+        start_off = offsets[start_doc]
+        while (end_doc < nonempty.size
+               and offsets[end_doc] - start_off < chunk_features):
+            end_doc += 1
+        end_off = (offsets[end_doc] if end_doc < nonempty.size
+                   else cat_h.size)
+        L = end_off - start_off
+        # little-endian byte view + bitorder="little" ⇒ column j == bit j
+        bits_u8 = np.unpackbits(
+            cat_h[start_off:end_off].astype("<i8").view(np.uint8)
+            .reshape(-1, 8), axis=1, bitorder="little")
+        B = work[:L]
+        B[:] = bits_u8          # uint8 → float64 into the workspace
+        B *= 2.0
+        B -= 1.0
+        B *= cat_w[start_off:end_off, None]
+        local_off = offsets[start_doc:end_doc] - start_off
+        acc = np.add.reduceat(B, local_off, axis=0)      # (docs, 64)
+        packed = np.packbits((acc > 0), axis=1, bitorder="little")
+        out[nonempty[start_doc:end_doc]] = packed.view("<i8").ravel()
+        start_doc = end_doc
     return out
 
 
