@@ -83,8 +83,21 @@ def main() -> None:
     # timed sections measure compute/shuffle, not process cold start
     import ray.data as rd
 
-    rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 2).map_batches(
-        lambda b: b).count()
+    def _touch(b):
+        # pre-fault each worker's allocator arena (~64 MB): first-touch page
+        # faults run at ~8 MB/s on some sandbox hosts (BASELINE.md), so a
+        # cold worker would bill several seconds of OS page-zeroing to the
+        # first query that allocates a large temporary in it.  Long-lived
+        # cluster workers are warm; the bench should measure steady state.
+        import numpy as np
+
+        buf = np.empty(8_000_000, dtype=np.float64)
+        buf[:] = 1.0
+        del buf
+        return b
+
+    rd.range(NUM_CPUS * 8, override_num_blocks=NUM_CPUS * 4).map_batches(
+        _touch, num_cpus=1).count()
     import pyarrow.parquet as pq
 
     for t in ("lineitem", "documents", "events", "embeddings", "orders"):
