@@ -55,6 +55,49 @@ def test_anti_64bit_keys_exact(ray_session):
     assert out["k"].dtype == np.int64
 
 
+def test_semi_anti_property_vs_pandas(ray_session):
+    """Randomized equivalence vs the pandas semi/anti reference on keys
+    with heavy duplication and values spanning the int64 range."""
+    rng = np.random.RandomState(11)
+    for trial in range(3):
+        nl = int(rng.randint(1, 400))
+        nr = int(rng.randint(0, 200))
+        keys = rng.randint(-2**63, 2**63 - 1, size=max(nl, 1) // 3 + 2,
+                           dtype=np.int64)
+        left = pd.DataFrame({
+            "k": rng.choice(keys, size=nl),
+            "v": rng.randint(0, 1 << 30, size=nl).astype(np.int64)})
+        right = pd.DataFrame({"k": rng.choice(keys, size=nr)}) if nr else \
+            pd.DataFrame({"k": pd.Series([], dtype="int64")})
+        lds = rd.from_pandas(left).repartition(3)
+        rds = rd.from_pandas(right).repartition(2) if nr else rd.from_pandas(right)
+        rset = set(right["k"].tolist())
+        for anti in (False, True):
+            out = hash_semi_anti_join(lds, rds, on="k", anti=anti).to_pandas()
+            mask = left["k"].isin(rset)
+            exp = left[~mask] if anti else left[mask]
+            got = out.sort_values(["k", "v"]).reset_index(drop=True)
+            expc = exp.sort_values(["k", "v"]).reset_index(drop=True)
+            pd.testing.assert_frame_equal(got, expc), (trial, anti)
+
+
+def test_hash_bucket_key_consistency(ray_session):
+    """Every row of a key must land in the same bucket (the co-shuffle
+    contract all bucketed ops rely on)."""
+    from searchengine_ray.stages.relational import _hash_bucket
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "a": rng.choice([1, 2, 3, -5, 2**62], size=500),
+        "b": rng.choice(["x", "y", "zz"], size=500)})
+    for keys in (["a"], ["b"], ["a", "b"]):
+        df2 = df.copy()
+        df2["_bucket"] = _hash_bucket(df2, keys, 7)
+        assert (df2["_bucket"] >= 0).all() and (df2["_bucket"] < 7).all()
+        n_buckets_per_key = df2.groupby(keys)["_bucket"].nunique()
+        assert (n_buckets_per_key == 1).all()
+
+
 def test_anti_empty_right(ray_session):
     left, lds, rds = _mk({"k": [1, 2], "v": ["a", "b"]}, [])
     rds = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64")}))
