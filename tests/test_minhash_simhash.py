@@ -92,3 +92,55 @@ def test_cosine_topk():
     assert idx[0] == 0
     assert idx[1] == 2
     assert scores[0] >= scores[1]
+
+
+def test_batch_signatures_equals_per_doc_across_chunks():
+    """The chunked, workspace-reusing batch signer must be bit-identical to
+    the per-doc path — including empty docs, docs larger than the chunk
+    width (the chunk-overshoot regression), and repeated calls that reuse
+    the grown workspace."""
+    from searchengine_ray.functions.minhash import batch_signatures
+
+    rng = np.random.RandomState(5)
+    a, b = make_coeffs(128)
+    sizes = [0, 1, 17, 500, 0, 3, 9000, 7, 8192, 8193, 2]
+    arrs = [rng.randint(-2**63, 2**63 - 1, size=n, dtype=np.int64)
+            for n in sizes]
+    for _ in range(2):  # second call reuses the per-process workspace
+        got = batch_signatures(arrs, a, b, chunk_shingles=1 << 10)
+        want = np.stack([minhash_signature(s, a, b) for s in arrs])
+        assert np.array_equal(got, want)
+        assert got.dtype == np.int64
+
+
+def test_affine_matrix_matches_bigint_ground_truth():
+    from searchengine_ray.functions.minhash import _P, _affine_matrix
+
+    rng = np.random.RandomState(9)
+    a, b = make_coeffs(16)
+    xs = np.concatenate([
+        rng.randint(-2**63, 2**63 - 1, size=64, dtype=np.int64),
+        np.array([0, 1, _P - 1, _P, _P + 1, 2**61 - 1, -1, -2**63,
+                  2**63 - 1], dtype=np.int64)])
+    m = _affine_matrix(xs, a, b)
+    M = (1 << 61) - 1
+    for pi in range(16):
+        for si, x in enumerate(xs):
+            x61 = int(x) & M
+            assert int(m[pi, si]) == (int(a[pi]) * x61 + int(b[pi])) % _P
+
+
+def test_batch_simhash_equals_per_doc_across_chunks():
+    from searchengine_ray.functions.simhash import (batch_simhash,
+                                                    simhash64_from_hashes)
+
+    rng = np.random.RandomState(6)
+    arrs, ws = [], []
+    for n in [0, 1, 5, 60, 0, 5000, 3, 200, 1024, 1025]:
+        arrs.append(rng.randint(-2**63, 2**63 - 1, size=n, dtype=np.int64))
+        ws.append(rng.randint(1, 5, size=n).astype(np.float64))
+    for _ in range(2):
+        got = batch_simhash(arrs, ws, chunk_features=1 << 9)
+        want = np.array([simhash64_from_hashes(h, w)
+                         for h, w in zip(arrs, ws)], dtype=np.int64)
+        assert np.array_equal(got, want)
