@@ -940,8 +940,8 @@ def q_event_value_quantiles(sf_dir: str):
     quantile_cont contract).  Exactness requires each group's values
     co-located once: groups co-shuffle whole (few groups ⇒ per-group numpy
     percentile inside the bucket).  The corpus-scale path for many/hot
-    groups is a t-digest/P² sketch pre-aggregate; this operator is the
-    exact form."""
+    groups is the mergeable quantile sketch (``stages/sketches.py``,
+    ``event_value_quantiles_sketch``); this operator is the exact form."""
     from searchengine_ray.stages.relational import bucketed_map_groups
 
     ds = _pq(sf_dir, "events", columns=["event_type", "value"])
@@ -963,6 +963,30 @@ SELECT event_type,
        round(quantile_cont(value, 0.9), 6) AS p90_value
 FROM events GROUP BY event_type
 """
+
+
+def q_event_value_quantiles_sketch(sf_dir: str):
+    """The corpus-scale form of ``event_value_quantiles``: mergeable
+    quantile sketches (``stages/sketches.py``) — the fact table reduces
+    map-side to ≤k centroid rows per (batch, group) and only centroids
+    shuffle, vs the exact operator co-locating every raw value of a group.
+    Approximate (rank error ≤ ~1/k) so there is no value-exact SQL gate;
+    the accuracy bound is pytest-gated against exact percentiles
+    (tests/test_sketches.py) on skewed/tied/bimodal inputs and on this
+    table."""
+    from searchengine_ray.stages.sketches import quantile_sketch_aggregate
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "value"])
+    out = quantile_sketch_aggregate(
+        ds, ["event_type"], "value",
+        {"median_value": 0.5, "p90_value": 0.9}, k=256)
+
+    def tidy(df: pd.DataFrame) -> pd.DataFrame:
+        df["median_value"] = df["median_value"].round(6)
+        df["p90_value"] = df["p90_value"].round(6)
+        return df[["event_type", "median_value", "p90_value"]]
+
+    return out.map_batches(tidy, batch_format="pandas")
 
 
 def q_events_sliding_1h(sf_dir: str):
@@ -1213,6 +1237,7 @@ QUERIES = {
     "dedup_keep_best": q_dedup_keep_best,
     "user_running_total": q_user_running_total,
     "event_value_quantiles": q_event_value_quantiles,
+    "event_value_quantiles_sketch": q_event_value_quantiles_sketch,
     "events_sliding_1h": q_events_sliding_1h,
     "knn_ivf": q_knn_ivf,
     "image_phash_neardup": q_image_phash_neardup,

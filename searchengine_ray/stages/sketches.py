@@ -1,0 +1,118 @@
+"""Mergeable quantile sketch — the many/hot-group scale path for exact
+per-group quantiles (``q_event_value_quantiles`` holds the exact form; its
+docstring names this sketch as the corpus-scale alternative).
+
+Design: a sketch is a sorted array of (value, weight) centroids, capacity
+``k``.  Build: per batch per group, sort the values and compress equal-
+weight runs to ≤ k centroids (weighted means of equal-cumulative-weight
+strips — a uniform-compression t-digest; Dunning & Ertl 2019 describe the
+centroid-merge family, this uses the simplest deterministic strip rule).
+Merge: concatenate centroid lists, re-sort, re-compress — associative and
+deterministic, so partials combine map-side and only O(k) rows per group
+ever shuffle.  Query: midpoint-rank linear interpolation over cumulative
+weights (the same convention as ``numpy.percentile``'s ``linear`` on the
+expanded multiset when every weight is 1 and len ≤ k — exact in that
+regime).
+
+Rank error is bounded by the strip width: a quantile's estimated rank is
+within ~1/k of truth, independent of data size or distribution (values
+inside a strip collapse to their weighted mean).  k=256 → ≤ ~0.4% rank
+error; the accuracy gate in tests/test_sketches.py asserts this against
+exact percentiles on skewed and adversarial inputs.
+
+Scale shape: the fact table never shuffles — per-batch partials are O(k)
+rows per (batch, group); the final merge is a ``bucketed_map_groups`` over
+O(k · partials) centroid rows.  10^9 rows × 10^6 groups stays a
+centroid-row shuffle, where the exact operator would co-locate every raw
+value of a group.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+
+def compress(values: np.ndarray, weights: np.ndarray, k: int):
+    """(sorted values, weights) → ≤ k centroids (sorted values, weights).
+
+    Elements are assigned to k equal-cumulative-weight strips by their
+    midpoint rank; each strip becomes its weighted mean.  Deterministic,
+    fully vectorized."""
+    if values.size <= k:
+        return values, weights
+    cumw = np.cumsum(weights)
+    total = cumw[-1]
+    # strip index by midpoint rank, clipped to [0, k)
+    mid = cumw - weights / 2.0
+    strip = np.minimum((mid * k / total).astype(np.int64), k - 1)
+    wsum = np.bincount(strip, weights=weights, minlength=k)
+    vsum = np.bincount(strip, weights=weights * values, minlength=k)
+    keep = wsum > 0
+    return vsum[keep] / wsum[keep], wsum[keep]
+
+
+def sketch_quantiles(values: np.ndarray, weights: np.ndarray,
+                     qs: Sequence[float]) -> np.ndarray:
+    """Quantiles from a sorted centroid list by midpoint-rank interpolation."""
+    if values.size == 0:
+        return np.full(len(qs), np.nan)
+    cumw = np.cumsum(weights)
+    total = cumw[-1]
+    mid = cumw - weights / 2.0
+    targets = np.asarray(qs, dtype=np.float64) * (total - 1.0) + 0.5
+    return np.interp(targets, mid, values)
+
+
+def quantile_sketch_aggregate(
+    ds: Dataset,
+    keys: Sequence[str],
+    value_col: str,
+    qs: dict[str, float],
+    k: int = 256,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Per-group approximate quantiles via mergeable sketches.
+
+    ``qs``: {output_column: quantile in [0,1]}.  Returns a Dataset with
+    columns [*keys, *qs] — one row per group.  The fact table reduces
+    map-side to O(k) centroid rows per (batch, group); only those shuffle.
+    """
+    keys = list(keys)
+    from searchengine_ray.stages.relational import bucketed_map_groups
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = {kcol: [] for kcol in keys}
+        out["_sk_v"] = []
+        out["_sk_w"] = []
+        for gkey, sub in df.groupby(keys, sort=False):
+            v = np.sort(sub[value_col].to_numpy(np.float64))
+            v, w = compress(v, np.ones_like(v), k)
+            if not isinstance(gkey, tuple):
+                gkey = (gkey,)
+            for kcol, kv in zip(keys, gkey):
+                out[kcol].append(kv)
+            out["_sk_v"].append(v)
+            out["_sk_w"].append(w)
+        return pd.DataFrame(out)
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size)
+
+    def merge_group(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.concatenate([np.asarray(x, dtype=np.float64)
+                            for x in g["_sk_v"]])
+        w = np.concatenate([np.asarray(x, dtype=np.float64)
+                            for x in g["_sk_w"]])
+        order = np.argsort(v, kind="mergesort")
+        v, w = compress(v[order], w[order], k)
+        row = {kcol: [g[kcol].iloc[0]] for kcol in keys}
+        est = sketch_quantiles(v, w, list(qs.values()))
+        for col, e in zip(qs, est):
+            row[col] = [e]
+        return pd.DataFrame(row)
+
+    return bucketed_map_groups(partials, keys, merge_group)

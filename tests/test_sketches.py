@@ -1,0 +1,116 @@
+"""Accuracy gates for the mergeable quantile sketch (stages/sketches.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from searchengine_ray.stages.sketches import (compress, quantile_sketch_aggregate,
+                                              sketch_quantiles)
+
+
+def _within_rank_band(x: np.ndarray, est: float, q: float, eps: float) -> bool:
+    """Standard sketch guarantee: the estimate lies between the true values
+    at ranks q-eps and q+eps (well-defined even on tie plateaus, where a
+    pointwise rank error is not)."""
+    lo = np.percentile(x, max(0.0, q - eps) * 100)
+    hi = np.percentile(x, min(1.0, q + eps) * 100)
+    return lo - 1e-9 <= est <= hi + 1e-9
+
+
+def test_exact_when_uncompressed():
+    rng = np.random.RandomState(0)
+    v = np.sort(rng.randn(200))
+    got = sketch_quantiles(v, np.ones_like(v), [0.0, 0.25, 0.5, 0.9, 1.0])
+    want = np.percentile(v, [0, 25, 50, 90, 100])
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-12)
+
+
+@pytest.mark.parametrize("dist", ["normal", "lognormal", "bimodal", "ties"])
+def test_rank_error_bound_single_sketch(dist):
+    rng = np.random.RandomState(1)
+    n, k = 200_000, 256
+    if dist == "normal":
+        x = rng.randn(n)
+    elif dist == "lognormal":
+        x = rng.lognormal(0, 2, size=n)
+    elif dist == "bimodal":
+        x = np.concatenate([rng.randn(n // 2), rng.randn(n // 2) + 50])
+    else:
+        x = rng.randint(0, 20, size=n).astype(np.float64)
+    v = np.sort(x)
+    cv, cw = compress(v, np.ones_like(v), k)
+    assert cv.size <= k
+    truth = np.sort(x)
+    for q in (0.01, 0.1, 0.5, 0.9, 0.99):
+        est = sketch_quantiles(cv, cw, [q])[0]
+        assert _within_rank_band(truth, est, q, 2.0 / k), (dist, q)
+
+
+def test_merge_matches_single_pass_bound():
+    """Merging many partial sketches must keep the rank-error bound."""
+    rng = np.random.RandomState(2)
+    parts = [np.sort(rng.lognormal(0, 1.5, size=5_000)) for _ in range(40)]
+    k = 256
+    cvs, cws = [], []
+    for p in parts:
+        cv, cw = compress(p, np.ones_like(p), k)
+        cvs.append(cv)
+        cws.append(cw)
+    v = np.concatenate(cvs)
+    w = np.concatenate(cws)
+    o = np.argsort(v, kind="mergesort")
+    mv, mw = compress(v[o], w[o], k)
+    truth = np.sort(np.concatenate(parts))
+    for q in (0.05, 0.5, 0.95):
+        est = sketch_quantiles(mv, mw, [q])[0]
+        assert _within_rank_band(truth, est, q, 4.0 / k), q
+
+
+def test_distributed_sketch_vs_exact(ray_session):
+    rng = np.random.RandomState(3)
+    n = 60_000
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], size=n,
+                        p=[0.8, 0.15, 0.05]),  # skewed groups
+        "x": rng.lognormal(0, 2, size=n)})
+    ds = rd.from_pandas(df).repartition(8)
+    out = quantile_sketch_aggregate(
+        ds, ["g"], "x", {"p50": 0.5, "p90": 0.9, "p99": 0.99},
+        k=256).to_pandas().set_index("g")
+    for g, sub in df.groupby("g"):
+        truth = np.sort(sub["x"].to_numpy())
+        for col, q in (("p50", 0.5), ("p90", 0.9), ("p99", 0.99)):
+            est = out.loc[g, col]
+            assert _within_rank_band(truth, est, q, 4.0 / 256), (g, col)
+
+
+def test_query_entry_vs_exact_on_events(ray_session):
+    """The queries() entry stays inside the rank band vs exact percentiles
+    on the real events table."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.queries import q_event_value_quantiles_sketch
+
+    sf = "/root/testdata/sf0.001"
+    out = q_event_value_quantiles_sketch(sf).to_pandas().set_index("event_type")
+    raw = pq.read_table(f"{sf}/events.parquet",
+                        columns=["event_type", "value"]).to_pandas()
+    for g, sub in raw.groupby("event_type"):
+        x = sub["value"].to_numpy(np.float64)
+        assert _within_rank_band(x, out.loc[g, "median_value"], 0.5, 4.0 / 256)
+        assert _within_rank_band(x, out.loc[g, "p90_value"], 0.9, 4.0 / 256)
+
+
+def test_distributed_exact_small_groups(ray_session):
+    """Groups smaller than k never compress — results equal np.percentile
+    exactly even through the partial/merge machinery."""
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame({"g": np.repeat(["u", "v"], 100),
+                       "x": rng.randn(200)})
+    ds = rd.from_pandas(df).repartition(4)
+    out = quantile_sketch_aggregate(
+        ds, ["g"], "x", {"med": 0.5}, k=1024).to_pandas().set_index("g")
+    for g, sub in df.groupby("g"):
+        np.testing.assert_allclose(out.loc[g, "med"],
+                                   np.percentile(sub["x"], 50), atol=1e-12)
