@@ -521,12 +521,18 @@ def embedding_neardup_pairs(
     planes_ref = ray.put(planes)
     weights = (1 << np.arange(bits_per_band)).astype(np.int64)
 
+    work: dict = {}  # per-worker-process reusable projection buffer
+
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         emb = np.stack([np.asarray(e, dtype=np.float64) for e in df[emb_col]])
         pl = ray.get(planes_ref)  # plasma-local, zero-copy numpy
-        proj = np.einsum("nd,bdk->nbk", emb, pl) > 0  # (N, bands, bits)
-        keys = (proj.astype(np.int64) * weights).sum(axis=2)  # (N, bands)
         n = len(df)
+        buf = work.get("proj")
+        if buf is None or buf.shape[0] < n:
+            buf = np.empty((n, num_bands, bits_per_band), np.float64)
+            work["proj"] = buf
+        proj = np.einsum("nd,bdk->nbk", emb, pl, out=buf[:n]) > 0
+        keys = (proj.astype(np.int64) * weights).sum(axis=2)  # (N, bands)
         return pd.DataFrame(
             {"vec_id": np.repeat(df[id_col].to_numpy(), num_bands),
              "band_id": np.tile(np.arange(num_bands, dtype=np.int32), n),
