@@ -80,7 +80,14 @@ def quantile_sketch_aggregate(
     ``qs``: {output_column: quantile in [0,1]}.  Returns a Dataset with
     columns [*keys, *qs] — one row per group.  The fact table reduces
     map-side to O(k) centroid rows per (batch, group); only those shuffle.
-    """
+
+    Partitioning note: the per-batch build iterates groups in Python
+    (each group's sort+compress is vectorized), which is the right shape
+    while groups-per-batch ≪ rows-per-batch; if group count rivals row
+    count the sketches degenerate to raw values anyway (n ≤ k ⇒ no
+    compression) and exact ``bucketed_apply`` quantiles are the better
+    operator.  The merge side shuffles only centroid rows, so many groups
+    cost bucket tasks, not memory."""
     keys = list(keys)
     from searchengine_ray.stages.relational import bucketed_map_groups
 

@@ -85,6 +85,20 @@ def test_distributed_sketch_vs_exact(ray_session):
             assert _within_rank_band(truth, est, q, 4.0 / 256), (g, col)
 
 
+def test_distributed_many_groups(ray_session):
+    rng = np.random.RandomState(8)
+    n, ngroups = 40_000, 500
+    df = pd.DataFrame({"g": rng.randint(0, ngroups, size=n),
+                       "x": rng.lognormal(0, 1, size=n)})
+    ds = rd.from_pandas(df).repartition(8)
+    out = quantile_sketch_aggregate(
+        ds, ["g"], "x", {"p50": 0.5}, k=128).to_pandas().set_index("g")
+    assert len(out) == df["g"].nunique()
+    for g in [0, 7, 123, 499]:
+        x = df[df["g"] == g]["x"].to_numpy(np.float64)
+        assert _within_rank_band(x, out.loc[g, "p50"], 0.5, 4.0 / 128)
+
+
 def test_query_entry_vs_exact_on_events(ray_session):
     """The queries() entry stays inside the rank band vs exact percentiles
     on the real events table."""
