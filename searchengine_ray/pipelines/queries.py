@@ -746,11 +746,44 @@ WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) > 0.65
 """
 
 
-# --- 16. simhash near-dup pairs (rows-only check) ----------------------------
+# --- 16. simhash near-dup pairs (SQL-checked via scratch signature table) ----
+
+# the engine materializes its simhash column here; the oracle SQL computes
+# the PAIR semantics (bit_count(xor) <= t over all pairs) from the same
+# table, so the banded pipeline's candidate generation + verify is
+# oracle-gated while the 64-bit majority-vote hash itself stays engine-side
+# (pinned separately by the brute-force pytest oracle and golden tests)
+_SIMHASH_SCRATCH = "/tmp/graft_scratch/simhash_docs"
+
 
 def q_simhash_pairs(sf_dir: str):
+    """SimHash near-dup pairs (hamming ≤ 3).  The signature column is
+    written once to the scratch table (read by the oracle SQL), then the
+    pairs come from the vectorized banded operator over that table —
+    identical machinery to ``image_phash_neardup``."""
+    import shutil
+
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
-    return dedup_stage.simhash_neardup_pairs(ds, max_hamming=3)
+    hashed = dedup_stage.add_simhash(ds).select_columns(["doc_id", "simhash"])
+    shutil.rmtree(_SIMHASH_SCRATCH, ignore_errors=True)
+    hashed.write_parquet(_SIMHASH_SCRATCH)
+    sigs = rd.read_parquet(_SIMHASH_SCRATCH)
+    out = dedup_stage.hash_neardup_pairs(sigs, hash_col="simhash",
+                                         id_col="doc_id", max_hamming=3)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"id_a": "doc_a", "id_b": "doc_b"})
+
+    return out.map_batches(rename, batch_format="pandas")
+
+
+SQL_SIMHASH_PAIRS = f"""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM read_parquet('{_SIMHASH_SCRATCH}/*.parquet') a
+JOIN read_parquet('{_SIMHASH_SCRATCH}/*.parquet') b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 # --- 16b. multimodal image stages (rows-only check) --------------------------
@@ -1278,11 +1311,11 @@ ORACLE_SQL = {
     "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
     "events_sliding_1h": SQL_EVENTS_SLIDING_1H,
     "knn_ivf": SQL_KNN,
+    "simhash_pairs": SQL_SIMHASH_PAIRS,
     "image_phash_neardup": SQL_IMAGE_PHASH_NEARDUP,
     "image_stats": SQL_IMAGE_STATS,
     "image_multimodal_neardup": SQL_IMAGE_MULTIMODAL_NEARDUP,
-    # crawl_bfs (stateful sequential-gate semantics), simhash_pairs (64-bit
-    # bitwise majority vote) and image_pipeline (binary codec) are
-    # non-SQL-expressible → rows-only checks; their semantics are pinned by
-    # the pytest conformance suites instead
+    # crawl_bfs (stateful sequential-gate semantics) and image_pipeline
+    # (binary codec) are non-SQL-expressible → rows-only checks; their
+    # semantics are pinned by the pytest conformance suites instead
 }

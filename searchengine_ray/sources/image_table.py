@@ -26,9 +26,14 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-CANONICAL_PATH = "/tmp/graft_image_table/images.parquet"
 N_CANONICAL = 600
 SEED = 20240817
+# bump when the generator (make_store planting logic / schema) changes:
+# the token is baked into the canonical filename so a stale corpus from an
+# older code revision can never silently feed the pipeline or the oracle
+GEN_VERSION = 1
+CANONICAL_PATH = (f"/tmp/graft_image_table/"
+                  f"images_v{GEN_VERSION}_n{N_CANONICAL}_s{SEED}.parquet")
 
 
 def build_image_table(n_images: int, seed: int = SEED) -> pa.Table:
@@ -59,7 +64,11 @@ def ensure_image_table(path: str = CANONICAL_PATH,
     Atomic (tmp + rename) so concurrent callers (Ray query + DuckDB
     oracle) can race safely."""
     if os.path.exists(path):
-        return path
+        # the canonical filename carries (version, n, seed); for explicit
+        # paths (e.g. bench corpora) validate row count so a stale file from
+        # a different size request is rebuilt, not silently reused
+        if pq.read_metadata(path).num_rows == n_images:
+            return path
     tbl = build_image_table(n_images)
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = f"{path}.tmp.{os.getpid()}"

@@ -17,7 +17,6 @@ from ray.data import Dataset
 from searchengine_ray.functions.minhash import (
     band_digests, batch_signatures, make_coeffs, minhash_signature)
 from searchengine_ray.functions.ngrams import shingle_hashes, stable_hash64
-from searchengine_ray.functions.phash import phash_bands
 from searchengine_ray.stages.text import simple_tokens
 
 
@@ -396,38 +395,20 @@ def add_simhash(ds: Dataset, text_col: str = "text") -> Dataset:
 def simhash_neardup_pairs(ds: Dataset, max_hamming: int = 3,
                           text_col: str = "text", id_col: str = "doc_id") -> Dataset:
     """Pairs within Hamming ≤ t via pigeonhole banding ((t+1) bands ⇒ exact
-    recall) + per-bucket verification."""
-    num_bands = max_hamming + 1
+    recall) + per-bucket verification.
+
+    The banding/verify machinery is exactly ``hash_neardup_pairs`` over the
+    computed ``simhash`` column — the same (t+1)-band pigeonhole split, one
+    numpy shift/mask per band over the whole batch (no per-row Python
+    explode).  Output: (doc_a, doc_b, hamming)."""
     hashed = add_simhash(ds, text_col=text_col).select_columns([id_col, "simhash"])
+    pairs = hash_neardup_pairs(hashed, hash_col="simhash", id_col=id_col,
+                               max_hamming=max_hamming)
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        ids, bands, vals, hs = [], [], [], []
-        for i, h in zip(df[id_col].to_numpy(), df["simhash"].to_numpy()):
-            for band_id, bv in phash_bands(int(h), num_bands):
-                ids.append(i); bands.append(band_id); vals.append(bv); hs.append(h)
-        return pd.DataFrame({"doc_id": np.array(ids, np.int64),
-                             "band_id": np.array(bands, np.int32),
-                             "band_val": np.array(vals, np.int64),
-                             "simhash": np.array(hs, np.int64)})
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"id_a": "doc_a", "id_b": "doc_b"})
 
-    bands = hashed.map_batches(explode, batch_format="pandas")
-
-    from searchengine_ray.functions.phash import hamming64_pairs
-    from searchengine_ray.stages.relational import bucketed_apply
-
-    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.merge(g, on=["band_id", "band_val"], suffixes=("_a", "_b"))
-        m = m[m["doc_id_a"] < m["doc_id_b"]]
-        if len(m):
-            ham = hamming64_pairs(m["simhash_a"].to_numpy(),
-                                  m["simhash_b"].to_numpy())
-            m = m[ham <= max_hamming]
-        return pd.DataFrame({"doc_a": m["doc_id_a"].to_numpy(dtype=np.int64),
-                             "doc_b": m["doc_id_b"].to_numpy(dtype=np.int64)})
-
-    cand = bucketed_apply(bands, ["band_id", "band_val"], pairs_bucket)
-    return bucketed_apply(cand, ["doc_a", "doc_b"],
-                          lambda g: g.drop_duplicates(["doc_a", "doc_b"]))
+    return pairs.map_batches(rename, batch_format="pandas")
 
 
 def hash_neardup_pairs(

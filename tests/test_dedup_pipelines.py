@@ -113,6 +113,12 @@ def test_simhash_pairs_match_brute_force(ray_session):
     out = simhash_neardup_pairs(ds, max_hamming=max_ham).to_pandas()
     got = sorted(zip(out["doc_a"].astype(int), out["doc_b"].astype(int)))
     assert got == want
+    # the emitted hamming values must match the brute-force distances too
+    brute_ham = dict(zip(zip(ia[close].tolist(), ib[close].tolist()),
+                         hamming64_pairs(sh[ia], sh[ib])[close].tolist()))
+    for a, b, h in zip(out["doc_a"].astype(int), out["doc_b"].astype(int),
+                       out["hamming"].astype(int)):
+        assert brute_ham[(a, b)] == h
 
 
 def test_tfidf_join_path_matches_broadcast(ray_session):
