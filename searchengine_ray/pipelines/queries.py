@@ -814,6 +814,103 @@ def q_image_pipeline(sf_dir: str):
     return out.select_columns(["image_id", "w", "h", "fmt", "phash"])
 
 
+# --- 16c. near-dup cluster resolution (pairs → components → survivors) -------
+
+def q_neardup_clusters(sf_dir: str):
+    """Distributed connected components over the n-gram-jaccard pair graph:
+    (doc_id, cluster_id) for every doc in any near-dup pair, cluster_id =
+    min member id.  Min-label propagation + pointer jumping — O(log n)
+    rounds of two small all-to-alls each; nothing doc-scaled on the driver
+    (stages/clusters.py).  The oracle is a DuckDB recursive CTE computing
+    the transitive closure of the SAME pair SQL."""
+    from searchengine_ray.stages.clusters import connected_components
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = dedup_stage.ngram_jaccard_pairs(ds, threshold=0.65)
+    comps = connected_components(pairs)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["node"].astype(np.int64),
+                             "cluster_id": df["cluster_id"].astype(np.int64)})
+
+    return comps.map_batches(rename, batch_format="pandas")
+
+
+# the recursive closure rides on the same capped pair CTEs as
+# SQL_NGRAM_JACCARD (WITH RECURSIVE prefixes the whole CTE list; only
+# `r` recurses)
+_SQL_JPAIRS_BODY = (SQL_NGRAM_JACCARD.replace("\nWITH ", "", 1)
+                    .split("SELECT doc_a,")[0].rstrip())
+
+SQL_NEARDUP_CLUSTERS = ("WITH RECURSIVE " + _SQL_JPAIRS_BODY + """,
+jp AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) > 0.65),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+          UNION ALL SELECT doc_b, doc_a FROM jp),
+r(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lab FROM edges e JOIN r ON r.node = e.u)
+SELECT node AS doc_id, min(lab) AS cluster_id FROM r GROUP BY node
+""")
+
+
+def q_neardup_survivors(sf_dir: str):
+    """Keep-best survivor per near-dup cluster over the FULL corpus
+    (singletons survive as their own cluster): longest doc wins, ties to
+    the smallest doc_id — the operator a training-data dedup pass actually
+    consumes.  attach = one co-shuffled left join (components are
+    duplicate-scale, never broadcast); survivors = one vectorized
+    sort + drop_duplicates + size merge per cluster bucket."""
+    from searchengine_ray.stages.clusters import (
+        cluster_survivors, connected_components)
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    pairs = dedup_stage.ngram_jaccard_pairs(docs, threshold=0.65)
+    comps = connected_components(pairs)
+    surv = cluster_survivors(docs.select_columns(["doc_id", "n_chars"]),
+                             comps, "doc_id", better=[("n_chars", False)])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "cluster_id": df["cluster_id"].astype(np.int64),
+            "n_chars": df["n_chars"].astype(np.int64),
+            "n_members": df["n_members"].astype(np.int64)})
+
+    return surv.map_batches(finish, batch_format="pandas")
+
+
+SQL_NEARDUP_SURVIVORS = ("WITH RECURSIVE " + _SQL_JPAIRS_BODY + """,
+jp AS (
+  SELECT doc_a, doc_b FROM pairs
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) > 0.65),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM jp
+          UNION ALL SELECT doc_b, doc_a FROM jp),
+r(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lab FROM edges e JOIN r ON r.node = e.u),
+comp AS (SELECT node, min(lab) AS cluster_id FROM r GROUP BY node),
+lab AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.node)
+SELECT doc_id, cluster_id, n_chars,
+       CAST(n_members AS BIGINT) AS n_members
+FROM (SELECT doc_id, cluster_id, n_chars,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM lab)
+WHERE rn = 1
+""")
+
+
 # --- 17. embedding near-dup pairs (rows-only check) --------------------------
 
 def q_embedding_neardup(sf_dir: str):
@@ -1264,6 +1361,8 @@ QUERIES = {
     "image_pipeline": q_image_pipeline,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "neardup_clusters": q_neardup_clusters,
+    "neardup_survivors": q_neardup_survivors,
     "embedding_neardup": q_embedding_neardup,
     "customers_no_urgent": q_customers_no_urgent,
     "orders_rollup": q_orders_rollup,
@@ -1312,6 +1411,8 @@ ORACLE_SQL = {
     "events_sliding_1h": SQL_EVENTS_SLIDING_1H,
     "knn_ivf": SQL_KNN,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "neardup_clusters": SQL_NEARDUP_CLUSTERS,
+    "neardup_survivors": SQL_NEARDUP_SURVIVORS,
     "image_phash_neardup": SQL_IMAGE_PHASH_NEARDUP,
     "image_stats": SQL_IMAGE_STATS,
     "image_multimodal_neardup": SQL_IMAGE_MULTIMODAL_NEARDUP,
