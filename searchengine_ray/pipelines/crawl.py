@@ -1464,7 +1464,7 @@ class CrawlEngine:
             host_state = storage.read_json(
                 os.path.join(sd, "hostgate_deltas.json"))
             ray.get([
-                g.restore_replay.remote(s["rows"])
+                g.restore_replay.remote(s["rows"], s.get("decisions"))
                 for g, s in zip(self.gates, host_state["shards"])
             ])
             delta_tbls = []

@@ -80,18 +80,13 @@ GROUP BY l_returnflag, l_linestatus
 # --- 2. top-k orders (O2/O3 sort+limit) ------------------------------------
 
 def q_top_orders(sf_dir: str):
-    """Global top-k: per-batch nsmallest-style local top-k, then a tiny
-    driver-side merge — no global sort of the full table."""
+    """Global top-k: per-batch local top-k, one coalesced intermediate
+    reduce, then an O(k × fanin) driver merge — no global sort of the full
+    table and no k×num_blocks driver pull (``global_topk``)."""
+    from searchengine_ray.stages.relational import global_topk
+
     ds = _pq(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["o_totalprice", "o_orderkey"],
-                              ascending=[False, True]).head(10)
-
-    parts = ds.map_batches(local_topk, batch_format="pandas").to_pandas()
-    return (parts.sort_values(["o_totalprice", "o_orderkey"],
-                              ascending=[False, True]).head(10)
-            .reset_index(drop=True))
+    return global_topk(ds, ["o_totalprice", "o_orderkey"], [False, True], 10)
 
 
 SQL_TOP_ORDERS = """
@@ -401,18 +396,12 @@ WHERE token <> '' GROUP BY token
 # --- 9. tf-idf top-100 postings (A3/O2/O3) ---------------------------------
 
 def q_tfidf_top(sf_dir: str):
+    from searchengine_ray.stages.relational import global_topk
+
     ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
     postings = text_stage.tfidf_postings(ds, mode="simple", round_to=6)
-
-    def local_topk(df: pd.DataFrame) -> pd.DataFrame:
-        return df.sort_values(["tf_idf", "doc_id", "token"],
-                              ascending=[False, True, True]).head(100)
-
-    parts = postings.select_columns(["doc_id", "token", "tf_idf"]).map_batches(
-        local_topk, batch_format="pandas").to_pandas()
-    return (parts.sort_values(["tf_idf", "doc_id", "token"],
-                              ascending=[False, True, True]).head(100)
-            .reset_index(drop=True))
+    return global_topk(postings.select_columns(["doc_id", "token", "tf_idf"]),
+                       ["tf_idf", "doc_id", "token"], [False, True, True], 100)
 
 
 SQL_TFIDF_TOP = """
@@ -786,32 +775,48 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
-# --- 16b. multimodal image stages (rows-only check) --------------------------
+# --- 16b. multimodal image stages (SQL-checked per-row invariant gate) -------
 
 def q_image_pipeline(sf_dir: str):
-    """Decode → resize → feature-extract actor-pool stages over the
-    deterministic image+caption payload table (fixture F1 shape)."""
-    import pyarrow as pa2
+    """validate → resize → feature-extract actor-pool stages over the
+    image+caption corpus table, gated on the input-hint PER-ROW INVARIANT:
+    decoded pixels equal the generator's originals exactly for lossless
+    formats and reach PSNR ≥ 40 dB for the lossy codec; captions match
+    exactly.  The oracle reads the generator-ground-truth golden table and
+    expects every flag TRUE with intact metadata — a hash match therefore
+    proves the engine decoded every row correctly (non-circular: the
+    golden pixels predate the codec), resized to the requested edge, and
+    kept the feature stage's phash self-consistent."""
+    from searchengine_ray.sources.image_table import (
+        ensure_golden_table, ensure_image_table)
+    from searchengine_ray.stages.images import (
+        ImageFeatures, ResizeImages, ValidateImages)
 
-    from searchengine_ray.sources.fixtures import make_store
-    from searchengine_ray.stages.images import ImageFeatures, ResizeImages
-
-    store = make_store(n_pages=120, seed=42)
-    recs = list(store.pages.values())
-    tbl = pa2.table({
-        "image_id": pa2.array([r["url"] for r in recs]),
-        "bytes": pa2.array([r["bytes"] for r in recs], pa2.binary()),
-        "w": pa2.array([r["w"] for r in recs], pa2.int32()),
-        "h": pa2.array([r["h"] for r in recs], pa2.int32()),
-        "fmt": pa2.array([r["fmt"] for r in recs]),
-        "phash": pa2.array([r["phash"] for r in recs], pa2.int64()),
-    })
-    ds = rd.from_arrow(tbl)
-    out = ds.map_batches(ResizeImages, fn_constructor_kwargs={"edge": 16},
+    corpus = ensure_image_table()
+    golden = ensure_golden_table()
+    ds = rd.read_parquet(corpus)
+    out = ds.map_batches(ValidateImages,
+                         fn_constructor_kwargs={"golden_path": golden},
                          batch_format="pyarrow", batch_size=64, concurrency=2)
+    out = out.map_batches(ResizeImages, fn_constructor_kwargs={"edge": 16},
+                          batch_format="pyarrow", batch_size=64, concurrency=2)
     out = out.map_batches(ImageFeatures, batch_format="pyarrow",
                           batch_size=64, concurrency=2)
-    return out.select_columns(["image_id", "w", "h", "fmt", "phash"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "image_id": t["image_id"],
+            "fmt": t["fmt"],
+            "w": t["w0"], "h": t["h0"],
+            "decode_ok": t["decode_ok"],
+            "pixels_ok": t["pixels_ok"],
+            "caption_ok": t["caption_ok"],
+            "resized_edge": pc.cast(t["w"], pa.int64()),
+            "phash_consistent": pc.equal(t["phash_recomputed"], t["phash"]),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 # --- 16c. near-dup cluster resolution (pairs → components → survivors) -------
@@ -1125,44 +1130,18 @@ def q_events_sliding_1h(sf_dir: str):
     RANGE ... CURRENT ROW semantics).
 
     Shape: users co-shuffle whole (``bucketed_apply``); inside each bucket
-    ONE vectorized kernel serves every user at once — rows sort by
-    (user, ts), users densify to small ints, and a composite
-    ``user*span + rel_ts`` key makes two ``np.searchsorted`` calls yield
-    each row's window [lo, hi); counts are ``hi-lo`` and sums come from a
-    cumulative-sum difference.  No per-user loop, no per-row Python —
-    the 10^9-event form of a streaming sliding window."""
+    ONE vectorized kernel serves every user at once
+    (``stages/sessions.sliding_window_kernel`` — composite-key double
+    searchsorted, with an overflow-safe per-user-block fallback).  No
+    per-row Python — the 10^9-event form of a streaming sliding window."""
     from searchengine_ray.stages.relational import bucketed_apply
+    from searchengine_ray.stages.sessions import sliding_window_kernel
 
     WIN_US = 3_600_000_000  # 1 hour in microseconds
 
     ds = _pq(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
-
-    def sliding(g: pd.DataFrame) -> pd.DataFrame:
-        if not len(g):
-            return pd.DataFrame({
-                "event_id": pd.Series([], dtype=np.int64),
-                "user_id": pd.Series([], dtype=np.int64),
-                "cnt_1h": pd.Series([], dtype=np.int64),
-                "sum_value_1h": pd.Series([], dtype=np.float64)})
-        g = g.sort_values(["user_id", "ts"], kind="mergesort")
-        ts = g["ts"].astype("int64").to_numpy()          # epoch microseconds
-        du = pd.factorize(g["user_id"].to_numpy())[0].astype(np.int64)
-        rel = ts - ts.min()
-        # span > max(rel) + WIN guarantees user blocks can't overlap even
-        # after subtracting the window from the smallest rel
-        span = np.int64(rel.max()) + np.int64(WIN_US) + 2
-        key = du * span + rel
-        lo = np.searchsorted(key, du * span + (rel - WIN_US), side="left")
-        hi = np.searchsorted(key, key, side="right")
-        cs = np.concatenate([[0.0], np.cumsum(g["value"].to_numpy(np.float64))])
-        return pd.DataFrame({
-            "event_id": g["event_id"].to_numpy(dtype=np.int64),
-            "user_id": g["user_id"].to_numpy(dtype=np.int64),
-            "cnt_1h": (hi - lo).astype(np.int64),
-            "sum_value_1h": np.round(cs[hi] - cs[lo], 6),
-        })
-
-    return bucketed_apply(ds, ["user_id"], sliding)
+    return bucketed_apply(ds, ["user_id"],
+                          lambda g: sliding_window_kernel(g, WIN_US))
 
 
 SQL_EVENTS_SLIDING_1H = """
@@ -1242,7 +1221,15 @@ def q_image_stats(sf_dir: str):
 
 # the oracle reads the SAME canonical corpus file the pipeline reads —
 # regenerated deterministically on demand (sources/image_table.py)
-from searchengine_ray.sources.image_table import CANONICAL_PATH as _IMG_PATH  # noqa: E402
+from searchengine_ray.sources.image_table import (  # noqa: E402
+    CANONICAL_PATH as _IMG_PATH, GOLDEN_PATH as _GOLDEN_PATH)
+
+SQL_IMAGE_PIPELINE = f"""
+SELECT image_id, fmt, w, h,
+       TRUE AS decode_ok, TRUE AS pixels_ok, TRUE AS caption_ok,
+       CAST(16 AS BIGINT) AS resized_edge, TRUE AS phash_consistent
+FROM read_parquet('{_GOLDEN_PATH}')
+"""
 
 SQL_IMAGE_PHASH_NEARDUP = f"""
 SELECT a.image_id AS image_a, b.image_id AS image_b,
@@ -1413,10 +1400,11 @@ ORACLE_SQL = {
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "neardup_survivors": SQL_NEARDUP_SURVIVORS,
+    "image_pipeline": SQL_IMAGE_PIPELINE,
     "image_phash_neardup": SQL_IMAGE_PHASH_NEARDUP,
     "image_stats": SQL_IMAGE_STATS,
     "image_multimodal_neardup": SQL_IMAGE_MULTIMODAL_NEARDUP,
-    # crawl_bfs (stateful sequential-gate semantics) and image_pipeline
-    # (binary codec) are non-SQL-expressible → rows-only checks; their
-    # semantics are pinned by the pytest conformance suites instead
+    # crawl_bfs (stateful sequential-gate semantics) is the one remaining
+    # non-SQL-expressible entry → rows-only check; its semantics are pinned
+    # by the crawl conformance suite (tests/test_crawl.py incl. fuzz)
 }

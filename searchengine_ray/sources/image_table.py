@@ -58,6 +58,47 @@ def build_image_table(n_images: int, seed: int = SEED) -> pa.Table:
     })
 
 
+GOLDEN_PATH = (f"/tmp/graft_image_table/"
+               f"golden_v{GEN_VERSION}_n{N_CANONICAL}_s{SEED}.parquet")
+
+
+def build_golden_table(n_images: int, seed: int = SEED) -> pa.Table:
+    """Generator GROUND TRUTH for the per-row invariant gate
+    (BASELINE.json input_hint: decoded-pixel allclose / PSNR≥40dB for
+    lossy + caption equality): the ORIGINAL pixel arrays the generator
+    encoded, before any codec touched them.  Same (n, seed, params) as
+    ``build_image_table`` so rows align 1:1 with the corpus file."""
+    from searchengine_ray.sources.fixtures import make_store
+
+    store = make_store(n_pages=n_images, n_hosts=8, seed=seed,
+                       img_min=24, img_max=64)
+    keys = sorted(store.pages)
+    recs = [store.pages[k] for k in keys]
+    return pa.table({
+        "image_id": pa.array([r["url"] for r in recs], pa.string()),
+        "w": pa.array([r["w"] for r in recs], pa.int32()),
+        "h": pa.array([r["h"] for r in recs], pa.int32()),
+        "fmt": pa.array([r["fmt"] for r in recs], pa.string()),
+        "caption": pa.array([r["caption"] for r in recs], pa.string()),
+        # raw uint8 h×w×3 row-major — the pre-encode pixels
+        "pixels": pa.array([store.originals[k].tobytes() for k in keys],
+                           pa.binary()),
+    })
+
+
+def ensure_golden_table(path: str = GOLDEN_PATH,
+                        n_images: int = N_CANONICAL) -> str:
+    """Idempotent, atomic — see ``ensure_image_table``."""
+    if os.path.exists(path) and pq.read_metadata(path).num_rows == n_images:
+        return path
+    tbl = build_golden_table(n_images)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.tmp.{os.getpid()}"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def ensure_image_table(path: str = CANONICAL_PATH,
                        n_images: int = N_CANONICAL) -> str:
     """Idempotently materialize the corpus at ``path`` and return it.

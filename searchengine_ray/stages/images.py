@@ -105,6 +105,70 @@ class ImageFeatures:
                 .append_column("phash_recomputed", pa.array(phs, pa.int64())))
 
 
+class ValidateImages:
+    """Per-row INVARIANT gate vs generator ground truth (the input-hint
+    contract): decoded pixels must equal the original exactly for lossless
+    formats and reach PSNR ≥ ``min_psnr_db`` for lossy ones; the caption
+    must match exactly.  Emits (w0, h0, decode_ok, pixels_ok, caption_ok)
+    alongside the input columns.
+
+    Actor-pool shape: the golden table loads ONCE per actor in
+    ``__init__``.  At test scale it is a per-actor dict; at 100 TB the
+    same comparison runs as a co-shuffled join on image_id instead of a
+    replica (the validate kernel is unchanged)."""
+
+    LOSSLESS = {"png"}
+
+    def __init__(self, golden_path: str, min_psnr_db: float = 40.0):
+        import pyarrow.parquet as pq
+
+        self.min_psnr = min_psnr_db
+        t = pq.read_table(golden_path)
+        self.golden = {
+            i: (p, w, h, c)
+            for i, p, w, h, c in zip(t["image_id"].to_pylist(),
+                                     t["pixels"].to_pylist(),
+                                     t["w"].to_pylist(), t["h"].to_pylist(),
+                                     t["caption"].to_pylist())
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch["image_id"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        fmts = batch["fmt"].to_pylist()
+        caps = batch["caption"].to_pylist()
+        d_ok, p_ok, c_ok, w0, h0 = [], [], [], [], []
+        for i, blob, fmt, cap in zip(ids, blobs, fmts, caps):
+            raw, w, h, gold_cap = self.golden[i]
+            w0.append(w)
+            h0.append(h)
+            c_ok.append(cap == gold_cap)
+            orig = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3)
+            try:
+                px = decode(blob, fmt)
+                d_ok.append(px.shape == orig.shape)
+            except Exception:
+                d_ok.append(False)
+                p_ok.append(False)
+                continue
+            if px.shape != orig.shape:
+                p_ok.append(False)
+            elif fmt in self.LOSSLESS:
+                p_ok.append(bool(np.array_equal(px, orig)))
+            else:
+                mse = float(np.mean((px.astype(np.float64)
+                                     - orig.astype(np.float64)) ** 2))
+                psnr = float("inf") if mse == 0 else \
+                    10.0 * np.log10(255.0 ** 2 / mse)
+                p_ok.append(psnr >= self.min_psnr)
+        return (batch
+                .append_column("w0", pa.array(w0, pa.int32()))
+                .append_column("h0", pa.array(h0, pa.int32()))
+                .append_column("decode_ok", pa.array(d_ok, pa.bool_()))
+                .append_column("pixels_ok", pa.array(p_ok, pa.bool_()))
+                .append_column("caption_ok", pa.array(c_ok, pa.bool_())))
+
+
 class DecodeAudio:
     """STUB audio decode stage (no audio codec in this environment).
 

@@ -4,12 +4,21 @@
   against a broadcast query matrix, per-batch local top-k, tiny global
   merge.  The all-data path never leaves the batch tasks; only k rows per
   batch reach the driver-side merge.
-- ``knn_ivf``: IVF-style scale path — k-means-lite coarse centroids
-  (sampled, deterministic), per-batch assignment to nearest centroid,
-  probe the ``nprobe`` closest centroid buckets only.
+- ``build_ivf_index`` / ``ivf_probe``: the IVF scale path, PERSISTED —
+  the centroid assignment is written ONCE as a hive-partitioned parquet
+  layout (one directory per inverted list) and every query reads only its
+  ``nprobe`` closest list directories.  This is the "write once, probe
+  many" shape the reference's pickled index implements single-process
+  (retrieve_query.py:18-35): a query never rescans the corpus, and the
+  partition pruning happens at the storage layer (directory selection),
+  not as a filter over a full read.
+- ``knn_ivf``: convenience build+probe for one-shot use (the SQL-gated
+  query path); production callers build once and probe many times.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 import pandas as pd
@@ -48,15 +57,29 @@ def knn_bruteforce(
         emb = np.stack([np.asarray(e, dtype=np.float64) for e in sub[emb_col]])
         return _batch_topk(emb, sub[id_col].to_numpy(), qv, k)
 
-    partials = ds.map_batches(local_topk, batch_format="pandas", batch_size=4096).to_pandas()
-    out = partials.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
-    return out.reset_index(drop=True)
+    # two-level merge: the driver sees O(k × fanin) rows, not k per batch
+    from searchengine_ray.stages.relational import global_topk
+
+    partials = ds.map_batches(local_topk, batch_format="pandas", batch_size=4096)
+    return global_topk(partials, ["cosine", "vec_id"], [False, True], k)
 
 
-def build_centroids(ds: Dataset, num_centroids: int = 16, sample_frac: float = 0.1,
-                    emb_col: str = "embedding", iters: int = 5, seed: int = 5) -> np.ndarray:
-    """Deterministic k-means over a sample (driver-side; the sample is small)."""
-    sample = ds.random_sample(sample_frac, seed=seed).to_pandas()
+DEFAULT_MAX_SAMPLE = 4096
+
+
+def build_centroids(ds: Dataset, num_centroids: int = 16,
+                    max_sample: int = DEFAULT_MAX_SAMPLE,
+                    emb_col: str = "embedding", iters: int = 5,
+                    seed: int = 5) -> np.ndarray:
+    """Deterministic k-means over a COUNT-capped sample.
+
+    The sample fraction derives from ``max_sample / count`` (count is
+    parquet-metadata-cheap) and a ``limit`` hard-caps the driver pull, so
+    the driver never holds more than ``max_sample`` vectors regardless of
+    corpus size — a fixed fraction would be an OOM at 100 TB."""
+    n = ds.count()
+    frac = min(1.0, max_sample / max(n, 1))
+    sample = ds.random_sample(frac, seed=seed).limit(max_sample).to_pandas()
     x = np.stack([np.asarray(e, dtype=np.float64) for e in sample[emb_col]])
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(x.shape[0], size=min(num_centroids, x.shape[0]), replace=False)]
@@ -70,28 +93,84 @@ def build_centroids(ds: Dataset, num_centroids: int = 16, sample_frac: float = 0
     return cent
 
 
+def _assign_lists(cent_ref, emb_col: str):
+    """Per-batch nearest-centroid assignment via the matmul identity
+    argmin ||x-c||² = argmin (||c||² - 2 x·c) — no n×k×dim temporary."""
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)  # plasma-local, zero-copy
+        emb = np.stack([np.asarray(e, dtype=np.float64) for e in df[emb_col]])
+        scores = (c * c).sum(1)[None, :] - 2.0 * (emb @ c.T)
+        df["list_id"] = scores.argmin(1).astype(np.int64)
+        return df
+
+    return assign
+
+
+def build_ivf_index(
+    ds: Dataset, path: str, num_centroids: int = 16,
+    emb_col: str = "embedding", max_sample: int = DEFAULT_MAX_SAMPLE,
+    seed: int = 5,
+) -> str:
+    """Write the IVF layout: rows land in hive-partitioned parquet
+    directories ``{path}/list_id=<c>/`` (their nearest centroid's inverted
+    list); centroids persist alongside as ``_centroids.npy``.  One full
+    pass over the corpus, done once — queries then read only the probed
+    list directories."""
+    import shutil
+
+    cent = build_centroids(ds, num_centroids, max_sample, emb_col, seed=seed)
+    shutil.rmtree(path, ignore_errors=True)
+    cent_ref = ray.put(cent)
+    (ds.map_batches(_assign_lists(cent_ref, emb_col), batch_format="pandas")
+       .write_parquet(path, partition_cols=["list_id"]))
+    os.makedirs(path, exist_ok=True)  # an all-empty write creates no dir
+    np.save(os.path.join(path, "_centroids.npy"), cent)
+    return path
+
+
+def ivf_probe(
+    path: str, query: np.ndarray, k: int = 10, nprobe: int = 4,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    exclude_ids: set | None = None,
+) -> pd.DataFrame:
+    """Top-k over ONLY the ``nprobe`` inverted lists closest to the query:
+    the read plan enumerates those partition directories, so corpus I/O is
+    O(corpus × nprobe / num_centroids) per query, not a full scan."""
+    import ray.data as rd
+
+    cent = np.load(os.path.join(path, "_centroids.npy"))
+    q = np.asarray(query, dtype=np.float64)
+    order = np.argsort(((cent - q) ** 2).sum(1))[:nprobe]
+    dirs = [os.path.join(path, f"list_id={int(c)}") for c in order]
+    dirs = [d for d in dirs if os.path.isdir(d)]  # empty lists write no dir
+    # read_parquet wants FILES when given a list — enumerate the probed
+    # list directories (local-fs equivalent of a partition-pruned manifest)
+    files = [os.path.join(d, f) for d in dirs
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    if not files:
+        return pd.DataFrame({"vec_id": pd.Series([], dtype=np.int64),
+                             "cosine": pd.Series([], dtype=np.float64)})
+    survivors = rd.read_parquet(files, columns=[id_col, emb_col])
+    return knn_bruteforce(survivors, q, k, id_col, emb_col, exclude_ids)
+
+
 def knn_ivf(
     ds: Dataset, query: np.ndarray, k: int = 10, num_centroids: int = 16,
     nprobe: int = 4, id_col: str = "vec_id", emb_col: str = "embedding",
     exclude_ids: set | None = None, seed: int = 5,
+    index_path: str | None = None,
 ) -> pd.DataFrame:
-    """IVF-bucketed ANN: assign rows to nearest centroid inside map_batches,
-    keep only rows in the ``nprobe`` centroids closest to the query, then
-    exact top-k on the survivors.  At scale the assignment would be a
-    persisted partitioning (write once, probe many)."""
-    cent = build_centroids(ds, num_centroids, emb_col=emb_col, seed=seed)
-    q = np.asarray(query, dtype=np.float64)
-    probe = set(np.argsort(((cent - q) ** 2).sum(1))[:nprobe].tolist())
-    cent_ref = ray.put(cent)
-    probe_ref = ray.put(probe)
+    """Build-once + probe in one call.  ``index_path`` defaults to a fresh
+    scratch dir; pass an existing built path to skip the build (the
+    many-queries production shape — see ``build_ivf_index``)."""
+    import tempfile
 
-    def probe_filter(df: pd.DataFrame) -> pd.DataFrame:
-        c = ray.get(cent_ref)
-        p = ray.get(probe_ref)
-        emb = np.stack([np.asarray(e, dtype=np.float64) for e in df[emb_col]])
-        d = ((emb[:, None, :] - c[None, :, :]) ** 2).sum(-1)
-        mask = np.isin(d.argmin(1), list(p))
-        return df[mask]
-
-    survivors = ds.map_batches(probe_filter, batch_format="pandas", batch_size=4096)
-    return knn_bruteforce(survivors, q, k, id_col, emb_col, exclude_ids)
+    if index_path is None or not os.path.exists(
+            os.path.join(index_path, "_centroids.npy")):
+        if index_path is None:
+            index_path = tempfile.mkdtemp(prefix="sr_ivf_")
+        build_ivf_index(ds, index_path, num_centroids, emb_col,
+                        seed=seed)
+    return ivf_probe(index_path, query, k, nprobe, id_col, emb_col,
+                     exclude_ids)

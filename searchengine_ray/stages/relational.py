@@ -287,7 +287,14 @@ def hash_semi_anti_join(
     pre-aggregate shuffle), both sides co-shuffle once on ``hash(key) % B``,
     and each bucket task computes a vectorized ``isin`` mask over the left
     rows.  Output schema == left schema.  This replaces the
-    pre_aggregate → hash_join → null-mask chain (3 all-to-alls) with one."""
+    pre_aggregate → hash_join → null-mask chain (3 all-to-alls) with one.
+
+    NULL keys follow NOT EXISTS semantics (pinned by test): a null key
+    matches nothing — semi drops null-key left rows, anti KEEPS them, and
+    null right keys are ignored.  This diverges from SQL ``NOT IN``, where
+    one null in the subquery empties the whole anti result; callers whose
+    oracle is NOT IN must guarantee non-null probe keys (the one in-repo
+    caller filters on a non-null literal)."""
     import numpy as np
     import pyarrow as pa
 
@@ -347,7 +354,11 @@ def hash_semi_anti_join(
         side = t["_side"]
         lrows = t.filter(pc.equal(side, pa.scalar(0, pa.int8())))
         rkeys = t.filter(pc.equal(side, pa.scalar(1, pa.int8())))[on]
-        mask = pc.is_in(lrows[on], value_set=pc.unique(rkeys))
+        # NOT EXISTS null semantics: null right keys never match; null left
+        # keys match nothing (fill_null(False) → semi drops, anti keeps)
+        mask = pc.is_in(lrows[on],
+                        value_set=pc.unique(rkeys.combine_chunks().drop_null()))
+        mask = pc.fill_null(mask, False)
         if anti:
             mask = pc.invert(mask)
         return lrows.filter(mask).select(l_names)
@@ -378,6 +389,34 @@ def _to_numpy_dtypes(df: pd.DataFrame) -> pd.DataFrame:
         else:
             out[c] = s.astype("object")
     return pd.DataFrame(out, index=df.index)
+
+
+def global_topk(
+    ds: Dataset,
+    by: Sequence[str],
+    ascending: Sequence[bool],
+    k: int,
+    fanin: int = 32,
+) -> pd.DataFrame:
+    """Global top-k with a TWO-LEVEL merge.
+
+    Level 1: every batch prunes to its local top-k.  Level 2: the partials
+    coalesce (``repartition`` without shuffle — block moves, no all-to-all)
+    into ≤``fanin`` blocks whose tasks prune again.  The driver then merges
+    O(k × fanin) rows — at 10^6 input blocks with k=100 a single-level
+    merge would pull 10^8 rows to the driver; this pulls ~3200."""
+    by = list(by)
+    asc = list(ascending)
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(by, ascending=asc, kind="mergesort").head(k)
+
+    parts = (ds.map_batches(local, batch_format="pandas")
+             .repartition(fanin)
+             .map_batches(local, batch_format="pandas", batch_size=None))
+    out = parts.to_pandas()
+    return (out.sort_values(by, ascending=asc, kind="mergesort").head(k)
+            .reset_index(drop=True))
 
 
 def broadcast_semi_filter(

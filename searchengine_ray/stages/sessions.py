@@ -136,3 +136,52 @@ def tumbling_window_agg(
         partial, [key_col, "day"],
         {"n_events": ("n_events", "sum"), "sum_value": ("sum_value", "sum")},
     )
+
+
+def sliding_window_kernel(g: pd.DataFrame, win_us: int) -> pd.DataFrame:
+    """One-bucket kernel of the sliding RANGE window (count + value sum of
+    each user's events in the preceding ``win_us``, peers at the same ts
+    included — RANGE ... CURRENT ROW semantics).
+
+    Vectorized form: rows sort by (user, ts), users densify to small ints,
+    and a composite ``user*span + rel_ts`` key makes two ``np.searchsorted``
+    calls yield every row's window [lo, hi) at once.  The composite key
+    needs ``n_users × span < 2^63``; when a bucket's user count × ts span
+    would overflow (≈3e5 users over a multi-year microsecond range), the
+    kernel falls back to per-user-block searchsorted — same output,
+    one small Python loop per DISTINCT user in the bucket."""
+    if not len(g):
+        return pd.DataFrame({
+            "event_id": pd.Series([], dtype=np.int64),
+            "user_id": pd.Series([], dtype=np.int64),
+            "cnt_1h": pd.Series([], dtype=np.int64),
+            "sum_value_1h": pd.Series([], dtype=np.float64)})
+    g = g.sort_values(["user_id", "ts"], kind="mergesort")
+    ts = g["ts"].astype("int64").to_numpy()          # epoch microseconds
+    du = pd.factorize(g["user_id"].to_numpy())[0].astype(np.int64)
+    rel = ts - ts.min()
+    # span > max(rel) + WIN guarantees user blocks can't overlap even
+    # after subtracting the window from the smallest rel
+    span = int(rel.max()) + int(win_us) + 2
+    n_users = int(du.max()) + 1
+    if n_users * span < 2 ** 63:
+        key = du * np.int64(span) + rel
+        lo = np.searchsorted(key, du * np.int64(span) + (rel - win_us),
+                             side="left")
+        hi = np.searchsorted(key, key, side="right")
+    else:
+        lo = np.empty(len(g), dtype=np.int64)
+        hi = np.empty(len(g), dtype=np.int64)
+        starts = np.flatnonzero(np.r_[True, du[1:] != du[:-1]])
+        ends = np.r_[starts[1:], len(du)]
+        for s, e in zip(starts, ends):
+            seg = rel[s:e]
+            lo[s:e] = s + np.searchsorted(seg, seg - win_us, side="left")
+            hi[s:e] = s + np.searchsorted(seg, seg, side="right")
+    cs = np.concatenate([[0.0], np.cumsum(g["value"].to_numpy(np.float64))])
+    return pd.DataFrame({
+        "event_id": g["event_id"].to_numpy(dtype=np.int64),
+        "user_id": g["user_id"].to_numpy(dtype=np.int64),
+        "cnt_1h": (hi - lo).astype(np.int64),
+        "sum_value_1h": np.round(cs[hi] - cs[lo], 6),
+    })

@@ -172,16 +172,24 @@ class HostGateShard:
         return [bytes.fromhex(h) in self.seen for h in url_hashes]
 
     def dump_delta(self) -> dict:
-        """Admits since the last dump_delta — the O(wave) checkpoint unit."""
-        d = {"shard_id": self.shard_id, "rows": [list(r) for r in self._delta]}
+        """Admits since the last dump_delta — the O(wave) checkpoint unit.
+        Carries the CUMULATIVE decision counters (O(1)) so resumed crawls
+        keep the full dedup-rate lineage, not a since-resume view."""
+        d = {"shard_id": self.shard_id, "rows": [list(r) for r in self._delta],
+             "decisions": dict(self.decisions)}
         self._delta = []
         return d
 
-    def restore_replay(self, rows: list) -> None:
+    def restore_replay(self, rows: list, decisions: dict | None = None) -> None:
         """Replay checkpointed admit deltas IN ORDER — rebuilds seen set,
-        cuckoo and trap index exactly (same _admit path)."""
+        cuckoo and trap index exactly (same _admit path).  ``decisions``:
+        the cumulative counter snapshot from the same delta; deltas replay
+        in wave order so the last snapshot wins (old checkpoints without it
+        fall back to since-resume counters)."""
         for host, url_norm, url_hash in rows:
             self._admit(host, url_norm, url_hash)
+        if decisions is not None:
+            self.decisions = dict(decisions)
         self._delta = []
 
 class ContentGateCore:

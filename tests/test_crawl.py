@@ -569,3 +569,33 @@ def test_fixture_payload_invariants(store):
             assert psnr(orig, px) >= 40.0
         assert phash64(px) == rec["phash"]
         assert isinstance(rec["caption"], str) and rec["caption"]
+
+
+def test_resume_restores_decision_counters(ray_session, store, tmp_path):
+    """The per-partition dedup-rate lineage (gate decision counters) must
+    survive a checkpoint/resume: a resumed crawl's final counters equal a
+    straight-through run's — not a since-resume view (dump_delta carries
+    the cumulative snapshot; restore_replay applies the last one)."""
+    import ray as _ray
+
+    from searchengine_ray.pipelines.crawl import CrawlEngine
+
+    def counters(eng):
+        stats = _ray.get([g.memory_stats.remote() for g in eng.gates])
+        return [s["decisions"] for s in stats]
+
+    eng_full = CrawlEngine(store, _config(store))
+    eng_full.run()
+    full_dec = counters(eng_full)
+    eng_full.shutdown()
+    assert sum(d["accept"] + d["dup"] + d["trap"] for d in full_dec) > 0
+
+    ckpt = str(tmp_path / "ckpt_dec")
+    eng = CrawlEngine(store, _config(store, checkpoint_dir=ckpt, max_waves=2))
+    eng.run()
+    eng.shutdown()
+    eng2 = CrawlEngine.resume(store, _config(store, checkpoint_dir=ckpt))
+    eng2.run()
+    res_dec = counters(eng2)
+    eng2.shutdown()
+    assert res_dec == full_dec

@@ -48,3 +48,48 @@ def test_centroids_deterministic(emb_ds):
     c1 = build_centroids(emb_ds, num_centroids=8, seed=5)
     c2 = build_centroids(emb_ds, num_centroids=8, seed=5)
     np.testing.assert_allclose(c1, c2)
+
+
+def test_persisted_index_probes_only_nprobe_partitions(emb_ds, tmp_path):
+    """The scale contract: build once, then every probe's read plan touches
+    ONLY the nprobe chosen list directories — never the rest of the
+    corpus — and a second probe reuses the layout without rebuilding."""
+    import os
+
+    import ray.data as rd
+
+    from searchengine_ray.stages.knn import build_ivf_index, ivf_probe
+
+    path = str(tmp_path / "ivf")
+    build_ivf_index(emb_ds, path, num_centroids=8)
+    n_lists = len([d for d in os.listdir(path) if d.startswith("list_id=")])
+    assert n_lists == 8  # clustered fixture: every list non-empty
+
+    q = np.array(emb_ds.take(1)[0]["embedding"])
+    cent = np.load(os.path.join(path, "_centroids.npy"))
+    order = np.argsort(((cent - q) ** 2).sum(1))[:2]
+    probe_dirs = {f"list_id={int(c)}" for c in order}
+
+    # the probe's survivors dataset reads only those directories
+    files = [os.path.join(path, d, f) for d in sorted(probe_dirs)
+             for f in os.listdir(os.path.join(path, d))
+             if f.endswith(".parquet")]
+    surv = rd.read_parquet(files)
+    read_parts = {p.split("/")[-2] for p in surv.input_files()}
+    assert read_parts == probe_dirs
+
+    # row coverage: the probed read is a strict subset of the corpus
+    assert surv.count() < emb_ds.count()
+
+    # probe twice off the same layout (no rebuild): identical results
+    r1 = ivf_probe(path, q, k=10, nprobe=2, exclude_ids={0})
+    r2 = ivf_probe(path, q, k=10, nprobe=2, exclude_ids={0})
+    assert r1["vec_id"].tolist() == r2["vec_id"].tolist()
+    exact = set(knn_bruteforce(emb_ds, q, k=10, exclude_ids={0})["vec_id"])
+    assert len(exact & set(r1["vec_id"])) >= 8
+
+
+def test_centroid_sample_is_count_capped(emb_ds):
+    """max_sample bounds the driver pull regardless of corpus size."""
+    c = build_centroids(emb_ds, num_centroids=4, max_sample=50, seed=5)
+    assert c.shape == (4, 16)

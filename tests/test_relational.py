@@ -103,3 +103,25 @@ def test_anti_empty_right(ray_session):
     rds = rd.from_pandas(pd.DataFrame({"k": pd.Series([], dtype="int64")}))
     out = hash_semi_anti_join(lds, rds, on="k", anti=True).to_pandas()
     assert len(out) == 2
+
+
+def test_semi_anti_null_keys_not_exists_semantics(ray_session):
+    """Pinned NULL-key contract (NOT EXISTS semantics): a null key matches
+    nothing — semi drops null-key left rows, anti KEEPS them; null right
+    keys are ignored (they never empty the anti result the way SQL NOT IN
+    would)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    left = pd.DataFrame({"k": pd.array([1, 2, None, 4], dtype="Int64"),
+                         "v": ["a", "b", "c", "d"]})
+    right = pd.DataFrame({"k": pd.array([2, None, None], dtype="Int64")})
+    lds = rd.from_pandas(left).repartition(2)
+    rds = rd.from_pandas(right).repartition(2)
+
+    semi = hash_semi_anti_join(lds, rds, on="k").to_pandas()
+    assert sorted(semi["v"]) == ["b"]
+
+    anti = hash_semi_anti_join(lds, rds, on="k", anti=True).to_pandas()
+    assert sorted(anti["v"]) == ["a", "c", "d"]

@@ -1,0 +1,64 @@
+"""Windowed-operator kernels: the sliding RANGE window's overflow fallback
+must be bit-identical to the vectorized composite-key path, and both must
+match a brute-force per-row reference."""
+
+import numpy as np
+import pandas as pd
+
+from searchengine_ray.stages.sessions import sliding_window_kernel
+
+WIN = 3_600_000_000  # 1h in µs
+
+
+def _brute(df, win):
+    rows = []
+    for _, r in df.iterrows():
+        m = ((df["user_id"] == r["user_id"])
+             & (df["ts"] >= r["ts"] - win) & (df["ts"] <= r["ts"]))
+        rows.append((r["event_id"], r["user_id"], int(m.sum()),
+                     round(float(df.loc[m, "value"].sum()), 6)))
+    return pd.DataFrame(rows, columns=["event_id", "user_id", "cnt_1h",
+                                       "sum_value_1h"])
+
+
+def _mkdf(n_users, span_us, seed=9):
+    rng = np.random.RandomState(seed)
+    n = n_users * 4
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": np.repeat(np.arange(n_users, dtype=np.int64), 4),
+        "ts": rng.randint(0, span_us, size=n).astype(np.int64),
+        "value": rng.rand(n).round(3),
+    })
+
+
+def test_sliding_kernel_matches_brute_force():
+    df = _mkdf(n_users=20, span_us=8 * WIN)
+    got = sliding_window_kernel(df, WIN).sort_values("event_id").reset_index(drop=True)
+    want = _brute(df, WIN).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_sliding_kernel_overflow_fallback_identical():
+    """A ts span of ~2^55 µs with 300 users forces n_users×span ≥ 2^63 —
+    the composite key WOULD overflow; the kernel must take the per-user
+    fallback and produce exactly what the vectorized path produces on an
+    equivalent rescaled input."""
+    span = 2 ** 55
+    df = _mkdf(n_users=300, span_us=span, seed=4)
+    assert (int(df["user_id"].max()) + 1) * (span + WIN + 2) >= 2 ** 63
+    got = sliding_window_kernel(df, WIN).sort_values("event_id").reset_index(drop=True)
+
+    # rescaled twin: same per-user orderings and window relations, built by
+    # rank-preserving compression of each user's ts gaps (clip to ≤ 2·WIN:
+    # any gap > WIN behaves identically however large it is)
+    small = df.sort_values(["user_id", "ts"]).copy()
+    new_ts = np.empty(len(small), dtype=np.int64)
+    for u, idx in small.groupby("user_id").indices.items():
+        t = small["ts"].to_numpy()[idx]
+        gaps = np.diff(t, prepend=t[0]).clip(max=2 * WIN)
+        new_ts[idx] = np.cumsum(gaps)
+    small["ts"] = new_ts
+    assert (int(small["user_id"].max()) + 1) * (int(new_ts.max()) + WIN + 2) < 2 ** 63
+    want = sliding_window_kernel(small, WIN).sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
