@@ -511,7 +511,7 @@ def resolve_wave_split(
     never admit, so they cannot influence the walk); clean → accept.
     Interacting pages replay sequentially in wave-processing (rank) order —
     the same closure argument as ``resolve_wave``."""
-    from searchengine_ray.state.gates import ContentGateCore
+    from searchengine_ray.state.gates import WaveGate
 
     decision: dict[int, str] = {}
     walk_seqs = set(walk_tbl["seq"].to_pylist()) if walk_tbl is not None else set()
@@ -535,17 +535,17 @@ def resolve_wave_split(
         w_sh = walk_tbl["shingles"].to_pylist()
         w_ph = walk_tbl["phash"].to_pylist()
         order = sorted(range(len(w_seqs)), key=lambda i: rank_of[int(w_seqs[i])])
-        local = ContentGateCore(max_sim, max_hamming)
+        local = WaveGate(max_sim, max_hamming)
         for i in order:
             sq = int(w_seqs[i])
             sset = frozenset(w_sh[i])
-            if flags_t[sq] or local._text_dup(sset):
+            if flags_t[sq] or local.text_dup(sset):
                 decision[sq] = "text_dup"
                 continue
-            if flags_i[sq] or local._image_dup(int(w_ph[i])):
+            if flags_i[sq] or local.image_dup(int(w_ph[i])):
                 decision[sq] = "image_dup"
                 continue
-            local._admit(sq, sset, int(w_ph[i]))
+            local.admit(sq, sset, int(w_ph[i]))
             decision[sq] = "accept"
     return decision
 
@@ -577,7 +577,7 @@ def resolve_wave(
     vectorized XOR-popcount — no per-page python in the common path."""
     import pyarrow.compute as pc
 
-    from searchengine_ray.state.gates import ContentGateCore
+    from searchengine_ray.state.gates import WaveGate
 
     n = live_tbl.num_rows
     if n == 0:
@@ -657,16 +657,16 @@ def resolve_wave(
     if walk.any():
         idxs = np.flatnonzero(walk)
         shingle_lists = {int(i): sh_combined[int(i)].as_py() for i in idxs}
-        local = ContentGateCore(max_sim, max_hamming)
+        local = WaveGate(max_sim, max_hamming)
         for i in idxs:
             i = int(i)
             sset = frozenset(shingle_lists[i])
-            if store_text[i] or local._text_dup(sset):
+            if store_text[i] or local.text_dup(sset):
                 out[i] = "text_dup"
                 continue
-            if store_image[i] or local._image_dup(int(ph[i])):
+            if store_image[i] or local.image_dup(int(ph[i])):
                 out[i] = "image_dup"
                 continue
-            local._admit(i, sset, int(ph[i]))
+            local.admit(i, sset, int(ph[i]))
             out[i] = "accept"
     return out.tolist()

@@ -192,13 +192,15 @@ class HostGateShard:
             self.decisions = dict(decisions)
         self._delta = []
 
-class ContentGateCore:
-    """Sequential content near-dup gate (caption shingles + image phash) —
-    plain class so both the actor and the driver-side wave resolver
-    (stages/content_probe.resolve_wave) share one implementation.
-
-    The inverted shingle index and numpy-scanned phash-band buckets keep
-    each decision O(candidates) instead of O(history)."""
+class WaveGate:
+    """Sequential content near-dup gate over ONE wave's rows — dict-backed,
+    TRANSIENT, bounded by the wave and never the corpus.  The reference's
+    sequential loop semantics (ngrams.py:88-101) for the intra-wave part:
+    an inverted shingle index + phash-band buckets keep each decision
+    O(candidates).  The cross-wave store of record is the numpy-segment
+    ``ContentGateCore``; the driver-side wave resolvers
+    (stages/content_probe.resolve_wave / resolve_wave_split) use this class
+    directly for their (typically tiny) interacting subsets."""
 
     def __init__(self, max_similarity: float = 0.65, max_hamming: int = 4):
         self.max_similarity = max_similarity
@@ -211,33 +213,7 @@ class ContentGateCore:
         # scan per probe — existence of a close hash is all the gate needs
         self.phash_bands: dict[tuple[int, int], list[int]] = defaultdict(list)
 
-    def process(self, rows: list[tuple[int, list[int], int]]) -> list[str]:
-        """rows: (seq, shingle_hashes, phash) sorted by seq.  Returns
-        'accept' | 'text_dup' | 'image_dup' per row."""
-        out = []
-        for seq, shingles, ph in rows:
-            sset = frozenset(shingles)
-            if self._text_dup(sset):
-                out.append("text_dup")
-                continue
-            if self._image_dup(ph):
-                out.append("image_dup")
-                continue
-            self._admit(seq, sset, ph)
-            out.append("accept")
-        return out
-
-    def process_table(self, fp_table) -> list[str]:
-        """Arrow-table variant of ``process`` (zero-copy through the object
-        store; column-wise to_pylist is ~10× cheaper than pandas list-column
-        conversion on the caller side).  Columns: seq, shingles, phash —
-        already sorted by seq."""
-        seqs = fp_table["seq"].to_pylist()
-        shingles = fp_table["shingles"].to_pylist()
-        phashes = fp_table["phash"].to_pylist()
-        return self.process(list(zip(seqs, shingles, phashes)))
-
-    def _text_dup(self, sset: frozenset[int]) -> bool:
+    def text_dup(self, sset: frozenset[int]) -> bool:
         if not sset:
             return False
         cand: set[int] = set()
@@ -251,7 +227,7 @@ class ContentGateCore:
                 return True
         return False
 
-    def _image_dup(self, ph: int) -> bool:
+    def image_dup(self, ph: int) -> bool:
         import numpy as np
 
         from searchengine_ray.functions.phash import hamming64_vec
@@ -270,7 +246,7 @@ class ContentGateCore:
                     return True
         return False
 
-    def _admit(self, seq: int, sset: frozenset[int], ph: int) -> None:
+    def admit(self, seq: int, sset: frozenset[int], ph: int) -> None:
         self.page_shingles[seq] = sset
         for sh in sset:
             self.shingle_index[sh].append(seq)
@@ -278,51 +254,106 @@ class ContentGateCore:
         for band in phash_bands(ph, self.num_bands):
             self.phash_bands[band].append(ph)
 
-    def accepted_count(self) -> int:
-        return len(self.page_shingles)
 
-    # ---- parallel pre-filter support (exact; see pipelines/crawl.py) -----
-    def export_table(self):
-        """Snapshot of the accepted-fingerprint store as an Arrow table —
-        broadcast to probe tasks.  At 10^10 scale this becomes a sharded
-        probe-actor tier instead of a broadcast; the wave protocol is
-        unchanged."""
+class ContentGateCore:
+    """Cross-wave content near-dup STORE OF RECORD (caption shingles +
+    image phash) — the broadcast/checkpoint-mode counterpart of the probe
+    tier, now with the same numpy memory discipline: resident state is one
+    ``StoreIndex`` of compact sorted-array segments (~150 B/page — the
+    shape measured on the probe replicas), never per-page Python
+    dict/frozenset structures (r3 'What's missing' #5).
+
+    A ``process`` call decomposes exactly like the wave resolvers: the
+    store part of every verdict probes the index BATCH-vectorized (store
+    state cannot change mid-call — all intra-call admits land in a
+    transient ``WaveGate`` overlay), then a sequential overlay walk
+    resolves intra-call interactions.  Verdicts are identical to the
+    one-row-at-a-time sequential gate (same argument as resolve_wave;
+    pinned by the crawl conformance suite on the inline path).
+
+    Shingle lists are DISTINCT by construction (``shingle_hashes`` yields
+    sets) — set sizes for the Jaccard test come from list lengths."""
+
+    def __init__(self, max_similarity: float = 0.65, max_hamming: int = 4):
+        from searchengine_ray.stages.content_probe import StoreIndex
+
+        self.max_similarity = max_similarity
+        self.max_hamming = max_hamming
+        self.num_bands = max_hamming + 1
+        self.index = StoreIndex(max_hamming)
+        self._n = 0
+
+    def process(self, rows: list[tuple[int, list[int], int]]) -> list[str]:
+        """rows: (seq, shingle_hashes, phash) sorted by seq.  Returns
+        'accept' | 'text_dup' | 'image_dup' per row."""
+        import numpy as np
         import pyarrow as pa
 
-        seqs = sorted(self.page_shingles)
-        return pa.table({
-            "seq": pa.array(seqs, pa.int64()),
-            "shingles": pa.array(
-                [sorted(self.page_shingles[s]) for s in seqs], pa.list_(pa.int64())
-            ),
-            "phash": pa.array([self.page_phash[s] for s in seqs], pa.int64()),
-        })
+        from searchengine_ray.stages.content_probe import _flatten_live
+
+        n = len(rows)
+        if not n:
+            return []
+        shingle_lists = [r[1] for r in rows]
+        phashes = [int(r[2]) for r in rows]
+        flat, offsets, ph = _flatten_live(
+            shingle_lists, phashes, np.arange(n, dtype=np.int64))
+        store_text = self.index.text_dup_batch(flat, offsets,
+                                               self.max_similarity)
+        store_image = self.index.image_dup_batch(ph)
+
+        ov = WaveGate(self.max_similarity, self.max_hamming)
+        out: list[str] = []
+        admitted: list[int] = []
+        for i, (seq, shingles, phv) in enumerate(rows):
+            sset = frozenset(shingles)
+            if store_text[i] or ov.text_dup(sset):
+                out.append("text_dup")
+                continue
+            if store_image[i] or ov.image_dup(int(phv)):
+                out.append("image_dup")
+                continue
+            ov.admit(int(seq), sset, int(phv))
+            admitted.append(i)
+            out.append("accept")
+        if admitted:
+            tbl = pa.table({
+                "seq": pa.array([int(rows[i][0]) for i in admitted], pa.int64()),
+                "shingles": pa.array([list(rows[i][1]) for i in admitted],
+                                     pa.list_(pa.int64())),
+                "phash": pa.array([int(rows[i][2]) for i in admitted],
+                                  pa.int64()),
+            })
+            self.index.add_table(tbl)
+            self._n += len(admitted)
+        return out
+
+    def process_table(self, fp_table) -> list[str]:
+        """Arrow-table variant of ``process`` (zero-copy through the object
+        store; column-wise to_pylist is ~10× cheaper than pandas list-column
+        conversion on the caller side).  Columns: seq, shingles, phash —
+        already sorted by seq."""
+        seqs = fp_table["seq"].to_pylist()
+        shingles = fp_table["shingles"].to_pylist()
+        phashes = fp_table["phash"].to_pylist()
+        return self.process(list(zip(seqs, shingles, phashes)))
 
     def bulk_admit(self, fp_table) -> int:
         """Insert pre-resolved accepted pages (order-independent once the
-        wave's decisions are fixed)."""
-        n = 0
-        for seq, sh, ph in zip(
-            fp_table["seq"].to_pylist(),
-            fp_table["shingles"].to_pylist(),
-            fp_table["phash"].to_pylist(),
-        ):
-            self._admit(seq, frozenset(sh), ph)
-            n += 1
-        return n
+        wave's decisions are fixed) — one compact segment per delta table,
+        no per-row Python."""
+        self.index.add_table(fp_table)
+        self._n += fp_table.num_rows
+        return fp_table.num_rows
 
-    def dump(self) -> dict:
-        return {
-            "pages": [
-                (seq, sorted(sh), self.page_phash[seq])
-                for seq, sh in sorted(self.page_shingles.items())
-            ]
-        }
+    def accepted_count(self) -> int:
+        return self._n
 
-    def restore(self, state: dict) -> None:
-        self.__init__(self.max_similarity, self.max_hamming)
-        for seq, shingles, ph in state["pages"]:
-            self._admit(seq, frozenset(shingles), ph)
+    def memory_stats(self) -> dict:
+        """Resident-byte lineage — same shape as the probe shards'."""
+        return {"accepted": self._n,
+                "index_bytes": self.index.nbytes(),
+                "segments": len(self.index.segments)}
 
 
 @ray.remote(num_cpus=0.5)
