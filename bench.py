@@ -120,6 +120,9 @@ def main() -> None:
         "boolean_search": Q.q_boolean_search,
         "customers_no_urgent": Q.q_customers_no_urgent,
         "user_running_total": Q.q_user_running_total,
+        "neardup_survivors": Q.q_neardup_survivors,
+        "knn_ivf": Q.q_knn_ivf,
+        "image_pipeline": Q.q_image_pipeline,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

@@ -110,6 +110,9 @@ def main() -> None:
     gate_mem = ray.get([g.memory_stats.remote() for g in eng.gates])
     probe_mem = (ray.get([s.memory_stats.remote() for s in eng.probe_tier])
                  if eng.probe_tier is not None else None)
+    content_gate = getattr(eng, "content_gate", None)
+    content_mem = (ray.get(content_gate.memory_stats.remote())
+                   if content_gate is not None else None)
     print(json.dumps({
         "pages_fetched": n_fetched,
         "accepted": n_accepted,
@@ -117,6 +120,7 @@ def main() -> None:
         "waves": int(eng.wave),
         "gate_shard_memory": gate_mem,
         "probe_shard_memory": probe_mem,
+        "content_gate_memory": content_mem,
         "per_wave": [{k: m.get(k) for k in ("wave", "fetched", "pages_per_sec",
                                             "driver_rss_mb",
                                             "driver_private_mb")}

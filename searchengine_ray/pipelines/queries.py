@@ -422,6 +422,37 @@ ORDER BY tf_idf DESC, tc.doc_id, tc.token LIMIT 100
 """
 
 
+# --- 9b. corpus-wide most-frequent tokens (heavy hitters, exact) -------------
+
+def q_token_topk_freq(sf_dir: str):
+    """Top-20 most frequent tokens corpus-wide: map-side combined counts
+    (``pre_aggregate``) → two-level global top-k.  The exact form of a
+    heavy-hitters pass (vocabulary pruning / stopword discovery in a
+    training pipeline); ties break on token asc in both engine and SQL."""
+    from searchengine_ray.stages.relational import global_topk
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    tc = text_stage.doc_term_counts(ds, mode="simple")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"token": df["token"],
+                             "cnt": df["cnt"].astype(np.int64)})
+
+    counts = pre_aggregate(tc.map_batches(project, batch_format="pandas"),
+                           ["token"], {"n": ("cnt", "sum")})
+    return global_topk(counts, ["n", "token"], [False, True], 20)
+
+
+SQL_TOKEN_TOPK_FREQ = """
+SELECT token, count(*) AS n
+FROM (SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+      FROM documents)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token LIMIT 20
+"""
+
+
 # --- 10. language counts ----------------------------------------------------
 
 def q_lang_count(sf_dir: str):
@@ -1336,6 +1367,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "dedup_exact": q_dedup_exact,
     "token_df": q_token_df,
+    "token_topk_freq": q_token_topk_freq,
     "tfidf_top": q_tfidf_top,
     "lang_count": q_lang_count,
     "token_counts": q_token_counts,
@@ -1380,6 +1412,7 @@ ORACLE_SQL = {
     "sessionize": SQL_SESSIONIZE,
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_df": SQL_TOKEN_DF,
+    "token_topk_freq": SQL_TOKEN_TOPK_FREQ,
     "tfidf_top": SQL_TFIDF_TOP,
     "lang_count": SQL_LANG_COUNT,
     "token_counts": SQL_TOKEN_COUNTS,
