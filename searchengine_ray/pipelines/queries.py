@@ -453,6 +453,39 @@ ORDER BY n DESC, token LIMIT 20
 """
 
 
+# --- 9c. heavy-hitter tokens (MG sketch candidates + exact recount) ----------
+
+def q_heavy_tokens(sf_dir: str):
+    """Tokens comprising > 0.5% of all token occurrences — the two-pass
+    exact heavy-hitters operator (``stages/sketches.heavy_hitters_exact``):
+    Misra-Gries candidate sketch (driver sees < 2/threshold candidate keys,
+    never the vocabulary) + broadcast-semi exact recount.  SQL-gated
+    against the exact HAVING query."""
+    from searchengine_ray.stages.sketches import heavy_hitters_exact
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    tc = text_stage.doc_term_counts(ds, mode="simple")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"token": df["token"],
+                             "cnt": df["cnt"].astype(np.int64)})
+
+    proj = tc.map_batches(project, batch_format="pandas").materialize()
+    return heavy_hitters_exact(proj, "token", weight_col="cnt",
+                               threshold_frac=0.005)
+
+
+SQL_HEAVY_TOKENS = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents),
+toks2 AS (SELECT token FROM toks WHERE token <> ''),
+tot AS (SELECT count(*) AS c FROM toks2)
+SELECT token, count(*) AS n
+FROM toks2, tot GROUP BY token, c HAVING count(*) > 0.005 * c
+"""
+
+
 # --- 10. language counts ----------------------------------------------------
 
 def q_lang_count(sf_dir: str):
@@ -1368,6 +1401,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_df": q_token_df,
     "token_topk_freq": q_token_topk_freq,
+    "heavy_tokens": q_heavy_tokens,
     "tfidf_top": q_tfidf_top,
     "lang_count": q_lang_count,
     "token_counts": q_token_counts,
@@ -1413,6 +1447,7 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_df": SQL_TOKEN_DF,
     "token_topk_freq": SQL_TOKEN_TOPK_FREQ,
+    "heavy_tokens": SQL_HEAVY_TOKENS,
     "tfidf_top": SQL_TFIDF_TOP,
     "lang_count": SQL_LANG_COUNT,
     "token_counts": SQL_TOKEN_COUNTS,

@@ -48,40 +48,54 @@ def boolean_search(
 ) -> pd.DataFrame:
     """Returns (doc_id, score) — top-k docs matching the OR-of-AND query,
     score = sum of tf_idf over distinct query terms in the doc, ranked
-    (score desc, doc_id asc)."""
+    (score desc, doc_id asc).
+
+    Fully distributed: the term probe is a broadcast-semi filter (J1), the
+    per-doc AND/OR qualification (J3/D1/D2) co-shuffles the term-sliced
+    postings on doc_id and resolves each bucket with ONE vectorized
+    bitmask pass (query terms → bits; distinct rows ⇒ grouped bit-SUM ==
+    bit-OR), and the ranked result reduces through ``global_topk`` — the
+    driver never holds the term slice (a stop-word query term at corpus
+    scale would be unbounded there)."""
+    from searchengine_ray.stages.relational import bucketed_apply, global_topk
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                          "score": pd.Series([], dtype=np.float64)})
     groups = [g for g in parse_query(query) if g]
     if not groups:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
-                             "score": pd.Series([], dtype=np.float64)})
+        return empty
     all_terms = sorted({t for g in groups for t in g})
+    term_bit = {t: 1 << i for i, t in enumerate(all_terms)}
+    group_masks = np.array(
+        [np.bitwise_or.reduce([term_bit[t] for t in g]) for g in groups],
+        dtype=np.int64)
 
-    # J1: broadcast-semi-join of the term list against postings
+    # J1: broadcast-semi-join of the (tiny) term list against postings
     terms_set = set(all_terms)
-    slice_df = postings.map_batches(
+    sliced = postings.map_batches(
         lambda df: df[df["token"].isin(terms_set)],
         batch_format="pandas",
-    ).select_columns(["doc_id", "token", "tf_idf"]).to_pandas()
+    ).select_columns(["doc_id", "token", "tf_idf"])
 
-    if slice_df.empty:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
-                             "score": pd.Series([], dtype=np.float64)})
+    def qualify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["doc_id", "token"])
+        bits = g["token"].map(term_bit).to_numpy(dtype=np.int64)
+        agg = (pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "bit": bits,
+                             "tf": g["tf_idf"].to_numpy(np.float64)})
+               .groupby("doc_id", as_index=False)
+               .agg(mask=("bit", "sum"), score=("tf", "sum")))
+        # each bit appears ≤ once per doc (distinct rows) ⇒ sum == OR
+        mask = agg["mask"].to_numpy(dtype=np.int64)
+        qual = np.zeros(len(agg), dtype=bool)
+        for gm in group_masks:  # D1/D2: AND within group, OR across groups
+            qual |= (mask & gm) == gm
+        out = agg[qual][["doc_id", "score"]].copy()
+        out["score"] = out["score"].round(6)
+        return out
 
-    per_doc = slice_df.drop_duplicates(["doc_id", "token"])
-    doc_tokens = per_doc.groupby("doc_id")["token"].agg(set)
-
-    qualifying: set[int] = set()
-    for g in groups:  # D1/D2: AND within group, OR across groups
-        need = set(g)
-        qualifying.update(
-            int(d) for d, toks in doc_tokens.items() if need <= toks
-        )
-    scored = (
-        per_doc[per_doc["doc_id"].isin(qualifying)]
-        .groupby("doc_id", as_index=False)["tf_idf"].sum()
-        .rename(columns={"tf_idf": "score"})
-    )
-    scored["score"] = scored["score"].round(6)
-    return (
-        scored.sort_values(["score", "doc_id"], ascending=[False, True])
-        .head(k).reset_index(drop=True)
-    )
+    scored = bucketed_apply(sliced, ["doc_id"], qualify)
+    out = global_topk(scored, ["score", "doc_id"], [False, True], k)
+    if out.empty or "doc_id" not in out.columns:
+        return empty
+    return out.reset_index(drop=True)

@@ -409,12 +409,16 @@ def global_topk(
     asc = list(ascending)
 
     def local(df: pd.DataFrame) -> pd.DataFrame:
+        if not all(c in df.columns for c in by):  # schemaless empty block
+            return df.head(0)
         return df.sort_values(by, ascending=asc, kind="mergesort").head(k)
 
     parts = (ds.map_batches(local, batch_format="pandas")
              .repartition(fanin)
              .map_batches(local, batch_format="pandas", batch_size=None))
     out = parts.to_pandas()
+    if not all(c in out.columns for c in by):  # fully-empty result lost schema
+        return out
     return (out.sort_values(by, ascending=asc, kind="mergesort").head(k)
             .reset_index(drop=True))
 

@@ -123,3 +123,87 @@ def quantile_sketch_aggregate(
         return pd.DataFrame(row)
 
     return bucketed_map_groups(partials, keys, merge_group)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: Misra-Gries candidate sketch + exact recount (two passes)
+# ---------------------------------------------------------------------------
+
+
+def mg_compress(counts: pd.Series, m: int) -> pd.Series:
+    """Misra-Gries compression of a (key → weight) summary to ≤ m counters.
+
+    Subtracts the (m+1)-th largest weight from every counter and drops the
+    non-positives — the classic MG step, vectorized.  Per-key undercount is
+    ≤ total/(m+1): the m+1 counters at or above the pivot each hold ≥ pivot
+    weight, so (m+1)·pivot ≤ total."""
+    if len(counts) <= m:
+        return counts
+    pivot = counts.nlargest(m + 1).iloc[-1]
+    out = counts - pivot
+    return out[out > 0]
+
+
+def heavy_hitters_exact(
+    ds: Dataset, col: str, weight_col: str | None = None,
+    threshold_frac: float = 0.005, batch_size: int = 65536,
+) -> pd.DataFrame:
+    """EXACT items with total weight > threshold_frac × grand total — the
+    two-pass heavy-hitters shape that scales:
+
+    pass 1 (candidates): each batch compresses its weighted counts to a
+    Misra-Gries summary of m = ⌈2/threshold⌉ counters (undercount ≤
+    batch_total/(m+1)); partial summaries SUM through ``pre_aggregate``
+    (summed undercount ≤ N/(m+1) ≤ N·thr/2), and the distributed filter
+    ``est > N·thr − N/(m+1)`` keeps every true heavy hitter while bounding
+    the candidate set to < 2/threshold items (each survivor holds >
+    N·thr/2 of the N total estimate mass) — THAT is what reaches the
+    driver, never the distinct-key space.
+
+    pass 2 (exact): broadcast-semi filter on the candidate set + one
+    ``pre_aggregate`` recount, then the exact HAVING threshold.
+
+    Returns (col, n) with exact totals, sorted (n desc, col asc).
+    ``ds`` is consumed twice — pass a ``materialize()``d projection when
+    upstream compute is expensive."""
+    import math
+
+    import ray
+
+    from searchengine_ray.stages.relational import (
+        broadcast_semi_filter, pre_aggregate)
+
+    m = int(math.ceil(2.0 / threshold_frac))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if weight_col is None:
+            counts = df[col].value_counts()
+        else:
+            counts = df.groupby(col, sort=False)[weight_col].sum()
+        keep = mg_compress(counts, m)
+        return pd.DataFrame({col: keep.index.to_numpy(),
+                             "est": keep.to_numpy(dtype=np.float64)})
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size)
+    merged = pre_aggregate(partials, [col], {"est": ("est", "sum")})
+
+    total = int(ds.sum(weight_col)) if weight_col is not None else ds.count()
+    cut = threshold_frac * total - total / (m + 1)
+
+    cand = merged.map_batches(
+        lambda df: df[df["est"].to_numpy(dtype=np.float64) > cut][[col]],
+        batch_format="pandas").to_pandas()  # < 2/threshold rows by the bound
+    if not len(cand):
+        return pd.DataFrame({col: pd.Series([], dtype=object),
+                             "n": pd.Series([], dtype=np.int64)})
+
+    hits = broadcast_semi_filter(ds, set(cand[col]), col)
+    exact = pre_aggregate(
+        hits, [col],
+        {"n": ((weight_col, "sum") if weight_col else (None, "count"))}
+    ).to_pandas()
+    exact["n"] = exact["n"].astype(np.int64)
+    out = exact[exact["n"] > threshold_frac * total]
+    return (out.sort_values(["n", col], ascending=[False, True])
+            .reset_index(drop=True))

@@ -128,3 +128,45 @@ def test_distributed_exact_small_groups(ray_session):
     for g, sub in df.groupby("g"):
         np.testing.assert_allclose(out.loc[g, "med"],
                                    np.percentile(sub["x"], 50), atol=1e-12)
+
+
+def test_mg_compress_undercount_bound():
+    """Per-key undercount of one MG compression is ≤ total/(m+1)."""
+    import pandas as pd
+
+    rng = np.random.RandomState(3)
+    keys = rng.zipf(1.5, size=20000) % 500
+    counts = pd.Series(keys).value_counts()
+    m = 20
+    from searchengine_ray.stages.sketches import mg_compress
+
+    keep = mg_compress(counts, m)
+    assert len(keep) <= m
+    total = counts.sum()
+    for k, est in keep.items():
+        assert counts[k] - est <= total / (m + 1) + 1e-9
+    # dropped keys were all small enough that dropping respects the bound
+    for k in counts.index.difference(keep.index):
+        assert counts[k] <= total / (m + 1) + 1e-9
+
+
+def test_heavy_hitters_exact_matches_bruteforce(ray_session):
+    """Two-pass heavy hitters = exact value_counts + threshold, on skewed
+    data split across many blocks (per-batch MG partials must not lose a
+    true heavy hitter)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from searchengine_ray.stages.sketches import heavy_hitters_exact
+
+    rng = np.random.RandomState(11)
+    vals = (rng.zipf(1.3, size=30000) % 1000).astype(str)
+    df = pd.DataFrame({"k": vals})
+    ds = rd.from_pandas(df).repartition(16)
+
+    thr = 0.01
+    got = heavy_hitters_exact(ds, "k", threshold_frac=thr)
+    counts = df["k"].value_counts()
+    want = counts[counts > thr * len(df)]
+    assert sorted(got["k"]) == sorted(want.index)
+    assert dict(zip(got["k"], got["n"])) == {k: int(v) for k, v in want.items()}
