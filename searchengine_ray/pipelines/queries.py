@@ -546,6 +546,41 @@ ORDER BY cosine DESC, vec_id LIMIT 10
 """
 
 
+# --- 12b. batched multi-query exact KNN --------------------------------------
+
+def q_knn_multi(sf_dir: str):
+    """Three query vectors answered in ONE corpus pass (n×d @ d×3 per
+    batch) — the batched-inference shape.  Over-fetch → round → re-rank per
+    query so the top-10 SET matches the oracle on rounded boundary ties."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", [0, 1, 2])])
+    queries = pd.DataFrame({"query_id": qt["vec_id"].to_numpy(),
+                            "vec": qt["embedding"].to_pylist()})
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = knn_stage.knn_bruteforce_multi(ds, queries, k=50)
+    out["cosine"] = out["cosine"].round(6)
+    return (out.sort_values(["query_id", "cosine", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+            .groupby("query_id", sort=False).head(10)
+            .reset_index(drop=True))
+
+
+SQL_KNN_MULTI = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT qid, vec_id,
+             round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                          CAST(qe AS DOUBLE[])), 6) AS cosine
+      FROM embeddings, q WHERE vec_id <> qid)
+SELECT qid AS query_id, vec_id, cosine FROM s
+QUALIFY row_number() OVER (PARTITION BY qid
+                           ORDER BY cosine DESC, vec_id) <= 10
+"""
+
+
 # --- 13. URL canonicalize/hash over synthesized doc URLs (M6-M8) ------------
 
 def q_url_canon(sf_dir: str):
@@ -1384,6 +1419,39 @@ FROM cap c FULL OUTER JOIN ph p
 """
 
 
+def q_image_multimodal_clusters(sf_dir: str):
+    """Cluster resolution over the MULTIMODAL pair union (string image
+    ids): phash ∪ caption channels → connected components → (image_id,
+    cluster_id).  The oracle recursively closes the same channel-union
+    pair SQL."""
+    from searchengine_ray.stages.clusters import connected_components
+
+    pairs = q_image_multimodal_neardup(sf_dir)
+    comps = connected_components(pairs, id_a="image_a", id_b="image_b")
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"image_id": df["node"],
+                             "cluster_id": df["cluster_id"]})
+
+    return comps.map_batches(rename, batch_format="pandas")
+
+
+_SQL_MM_BODY = (SQL_IMAGE_MULTIMODAL_NEARDUP.replace("\nWITH ", "", 1)
+                .split("SELECT coalesce")[0].rstrip())
+
+SQL_IMAGE_MM_CLUSTERS = ("WITH RECURSIVE " + _SQL_MM_BODY + """,
+mm AS (SELECT image_a, image_b FROM cap
+       UNION SELECT image_a, image_b FROM ph),
+edges AS (SELECT image_a AS u, image_b AS v FROM mm
+          UNION ALL SELECT image_b, image_a FROM mm),
+r(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lab FROM edges e JOIN r ON r.node = e.u)
+SELECT node AS image_id, min(lab) AS cluster_id FROM r GROUP BY node
+""")
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -1406,6 +1474,7 @@ QUERIES = {
     "lang_count": q_lang_count,
     "token_counts": q_token_counts,
     "knn_bruteforce": q_knn_bruteforce,
+    "knn_multi": q_knn_multi,
     "url_canon": q_url_canon,
     "boolean_search": q_boolean_search,
     "index_stats": q_index_stats,
@@ -1428,6 +1497,7 @@ QUERIES = {
     "image_phash_neardup": q_image_phash_neardup,
     "image_stats": q_image_stats,
     "image_multimodal_neardup": q_image_multimodal_neardup,
+    "image_multimodal_clusters": q_image_multimodal_clusters,
 }
 
 ORACLE_SQL = {
@@ -1452,6 +1522,7 @@ ORACLE_SQL = {
     "lang_count": SQL_LANG_COUNT,
     "token_counts": SQL_TOKEN_COUNTS,
     "knn_bruteforce": SQL_KNN,
+    "knn_multi": SQL_KNN_MULTI,
     "url_canon": SQL_URL_CANON,
     "boolean_search": SQL_BOOLEAN_SEARCH,
     "index_stats": SQL_INDEX_STATS,
@@ -1472,6 +1543,7 @@ ORACLE_SQL = {
     "image_phash_neardup": SQL_IMAGE_PHASH_NEARDUP,
     "image_stats": SQL_IMAGE_STATS,
     "image_multimodal_neardup": SQL_IMAGE_MULTIMODAL_NEARDUP,
+    "image_multimodal_clusters": SQL_IMAGE_MM_CLUSTERS,
     # crawl_bfs (stateful sequential-gate semantics) is the one remaining
     # non-SQL-expressible entry → rows-only check; its semantics are pinned
     # by the crawl conformance suite (tests/test_crawl.py incl. fuzz)

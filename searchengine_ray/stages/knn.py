@@ -174,3 +174,65 @@ def knn_ivf(
                         seed=seed)
     return ivf_probe(index_path, query, k, nprobe, id_col, emb_col,
                      exclude_ids)
+
+
+def knn_bruteforce_multi(
+    ds: Dataset, queries: "pd.DataFrame", k: int = 10,
+    id_col: str = "vec_id", emb_col: str = "embedding",
+    exclude_self: bool = True,
+) -> pd.DataFrame:
+    """BATCHED exact top-k: many query vectors answered in one corpus pass —
+    the batched-inference shape (one n×d @ d×Q matmul per batch serves
+    every query at once, instead of Q passes).
+
+    ``queries``: DataFrame (query_id, vec).  Per batch: local top-k per
+    query; partials reduce through a coalesced grouped-top-k level, so the
+    driver merges O(k × Q × fanin) rows.  ``exclude_self`` drops rows
+    whose id equals the query id (query vectors drawn from the corpus).
+    Returns (query_id, vec_id, cosine) with k rows per query, sorted
+    (query_id, cosine desc, vec_id)."""
+    qids = queries["query_id"].to_numpy()
+    Q = np.stack([np.asarray(v, dtype=np.float64) for v in queries["vec"]])
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = 1.0
+    q_ref = ray.put((qids, Q, qn))
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        ids_q, qm, qnorm = ray.get(q_ref)
+        emb = np.stack([np.asarray(e, dtype=np.float64) for e in df[emb_col]])
+        vnorm = np.linalg.norm(emb, axis=1)
+        vnorm[vnorm == 0] = 1.0
+        sims = (emb @ qm.T) / (vnorm[:, None] * qnorm[None, :])  # n × Q
+        ids = df[id_col].to_numpy()
+        frames = []
+        for j in range(qm.shape[0]):
+            s = sims[:, j]
+            vid = ids
+            if exclude_self:
+                keep = vid != ids_q[j]
+                s, vid = s[keep], vid[keep]
+            k_eff = min(k, s.size)
+            if not k_eff:
+                continue
+            idx = np.argpartition(-s, k_eff - 1)[:k_eff]
+            frames.append(pd.DataFrame({
+                "query_id": np.full(k_eff, ids_q[j]),
+                "vec_id": vid[idx], "cosine": s[idx]}))
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "vec_id": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    def grouped_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return (df.sort_values(["query_id", "cosine", "vec_id"],
+                               ascending=[True, False, True], kind="mergesort")
+                .groupby("query_id", sort=False).head(k))
+
+    parts = (ds.map_batches(local, batch_format="pandas", batch_size=4096)
+             .repartition(32)
+             .map_batches(grouped_topk, batch_format="pandas", batch_size=None))
+    out = parts.to_pandas()
+    return (grouped_topk(out).reset_index(drop=True) if len(out) else out)
