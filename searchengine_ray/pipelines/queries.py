@@ -894,13 +894,18 @@ def q_image_pipeline(sf_dir: str):
     corpus = ensure_image_table()
     golden = ensure_golden_table()
     ds = rd.read_parquet(corpus)
+    # autoscaling (1, 2) pools: three chained actor stages with FIXED
+    # 2-actor pools demand 6 whole CPUs before any can run — a deadlock on
+    # a 4-CPU test session; min=1 lets the streaming executor place them
     out = ds.map_batches(ValidateImages,
                          fn_constructor_kwargs={"golden_path": golden},
-                         batch_format="pyarrow", batch_size=64, concurrency=2)
+                         batch_format="pyarrow", batch_size=64,
+                         concurrency=(1, 2))
     out = out.map_batches(ResizeImages, fn_constructor_kwargs={"edge": 16},
-                          batch_format="pyarrow", batch_size=64, concurrency=2)
+                          batch_format="pyarrow", batch_size=64,
+                          concurrency=(1, 2))
     out = out.map_batches(ImageFeatures, batch_format="pyarrow",
-                          batch_size=64, concurrency=2)
+                          batch_size=64, concurrency=(1, 2))
 
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

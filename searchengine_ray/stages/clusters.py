@@ -71,11 +71,18 @@ def connected_components(
 
     edges = pairs.map_batches(sym, batch_format="pandas").materialize()
 
-    # initial labels: every node labels itself (dedup via min — idempotent)
+    # initial labels: min(self, neighbors) — one aggregate instead of a
+    # whole propagation round (each edge row (key→node) contributes its
+    # source as a candidate label for the destination, plus the self row)
+    def init_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": np.concatenate([df["node"].to_numpy(),
+                                    df["node"].to_numpy()]),
+            "label": np.concatenate([df["node"].to_numpy(),
+                                     df["key"].to_numpy()])})
+
     labels = pre_aggregate(
-        edges.map_batches(
-            lambda df: pd.DataFrame({"node": df["node"], "label": df["node"]}),
-            batch_format="pandas"),
+        edges.map_batches(init_rows, batch_format="pandas"),
         ["node"], {"label": ("label", "min")}).materialize()
 
     fp = _label_fingerprint(labels)
