@@ -1457,6 +1457,93 @@ SELECT node AS image_id, min(lab) AS cluster_id FROM r GROUP BY node
 """)
 
 
+# --- 23. dataset assembly: split / stratified sample / mix / pack -----------
+# (stages/sampling.py — deterministic hash-based, so every operator is
+# SQL-oracle-checkable; thresholds are baked from the SAME frac_to_hex the
+# engine uses, so engine and oracle can never drift)
+
+from searchengine_ray.stages import sampling  # noqa: E402
+
+_T_TRAIN = sampling.frac_to_hex(0.8)
+_T_VAL = sampling.frac_to_hex(0.9)   # cumulative: train 0.8, val 0.1
+_MIX_RATES = {f"src{i}": [1.0, 0.5, 0.25, 0.125][i % 4] for i in range(20)}
+
+
+def q_split_assign(sf_dir: str):
+    """Deterministic train/val/test split (0.8/0.1/0.1) by doc_id hash —
+    map-only, zero shuffle, stable under corpus growth."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id"])
+    return sampling.hash_split(ds, "doc_id", "split42",
+                               [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+
+
+SQL_SPLIT_ASSIGN = f"""
+SELECT doc_id,
+       CASE WHEN hx < '{_T_TRAIN}' THEN 'train'
+            WHEN hx < '{_T_VAL}' THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id,
+             substr(sha256(CAST(doc_id AS VARCHAR) || ':split42'), 1, 12) AS hx
+      FROM documents)
+"""
+
+
+def q_stratified_sample(sf_dir: str):
+    """5 docs per language, uniform without replacement (k smallest id
+    hashes per group) — one co-shuffle on the group key."""
+    ds = _pq(sf_dir, "documents", columns=["lang", "doc_id"])
+    out = sampling.stratified_sample(ds, "lang", "doc_id", k=5, salt="strat42")
+    return out.select_columns(["lang", "doc_id"])
+
+
+SQL_STRATIFIED_SAMPLE = """
+SELECT lang, doc_id
+FROM (SELECT lang, doc_id,
+             substr(sha256(CAST(doc_id AS VARCHAR) || ':strat42'), 1, 12) AS hx
+      FROM documents)
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY hx, doc_id) <= 5
+"""
+
+
+def q_weighted_mix(sf_dir: str):
+    """Domain mixing: per-source keep rates (1.0 / 0.5 / 0.25 / 0.125 by
+    source index mod 4), deterministic in doc_id — map-only."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "source"])
+    return sampling.weighted_mix(ds, "doc_id", "source", _MIX_RATES, "mix42")
+
+
+_MIX_CASE = " ".join(
+    f"WHEN '{s}' THEN '{sampling.frac_to_hex(r)}'" for s, r in
+    sorted(_MIX_RATES.items()))
+
+SQL_WEIGHTED_MIX = f"""
+SELECT doc_id, source
+FROM (SELECT doc_id, source,
+             substr(sha256(CAST(doc_id AS VARCHAR) || ':mix42'), 1, 12) AS hx
+      FROM documents)
+WHERE hx < CASE source {_MIX_CASE} ELSE '' END
+"""
+
+
+def q_pack_sequences(sf_dir: str):
+    """Concat-then-chunk sequence packing: per source in doc_id order,
+    chunk_id = prev running n_chars // 4096 — the pretraining pack layout.
+    One co-shuffle; a single grouped-cumsum kernel per bucket."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+    out = sampling.pack_sequences(ds, "source", "doc_id", "n_chars",
+                                  capacity=4096)
+    return out.select_columns(["doc_id", "source", "chunk_id"])
+
+
+SQL_PACK_SEQUENCES = """
+SELECT doc_id, source,
+       (CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        - n_chars) // 4096 AS chunk_id
+FROM documents
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -1503,6 +1590,10 @@ QUERIES = {
     "image_stats": q_image_stats,
     "image_multimodal_neardup": q_image_multimodal_neardup,
     "image_multimodal_clusters": q_image_multimodal_clusters,
+    "split_assign": q_split_assign,
+    "stratified_sample": q_stratified_sample,
+    "weighted_mix": q_weighted_mix,
+    "pack_sequences": q_pack_sequences,
 }
 
 ORACLE_SQL = {
@@ -1549,6 +1640,10 @@ ORACLE_SQL = {
     "image_stats": SQL_IMAGE_STATS,
     "image_multimodal_neardup": SQL_IMAGE_MULTIMODAL_NEARDUP,
     "image_multimodal_clusters": SQL_IMAGE_MM_CLUSTERS,
+    "split_assign": SQL_SPLIT_ASSIGN,
+    "stratified_sample": SQL_STRATIFIED_SAMPLE,
+    "weighted_mix": SQL_WEIGHTED_MIX,
+    "pack_sequences": SQL_PACK_SEQUENCES,
     # crawl_bfs (stateful sequential-gate semantics) is the one remaining
     # non-SQL-expressible entry → rows-only check; its semantics are pinned
     # by the crawl conformance suite (tests/test_crawl.py incl. fuzz)

@@ -1,0 +1,125 @@
+"""Deterministic sampling/splitting/mixing/packing operators
+(stages/sampling.py): hash-parity with DuckDB (the oracle contract),
+stability under corpus growth, exact per-group counts, and packing vs a
+brute-force sequential reference."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from searchengine_ray.stages import sampling
+
+
+def _docs(n, seed=7):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "lang": rng.choice(["en", "de", "fr", "zh"], size=n),
+        "source": [f"src{i % 6}" for i in range(n)],
+        "n_chars": rng.randint(50, 3000, size=n).astype(np.int64),
+    })
+
+
+def _ds(df):
+    import ray.data as rd
+
+    return rd.from_pandas(df).repartition(4)
+
+
+def test_hash_hex_matches_duckdb_substr_sha256():
+    import duckdb
+
+    ids = [0, 1, 7, 123456789, -3]
+    got = sampling.hash_hex(ids, "split42")
+    want = [duckdb.sql(
+        f"SELECT substr(sha256('{v}:split42'), 1, 12)").fetchone()[0]
+        for v in ids]
+    assert list(got) == want
+
+
+def test_frac_to_hex_boundaries():
+    assert sampling.frac_to_hex(1.0) == "g"      # > every hex string
+    assert sampling.frac_to_hex(0.0) == ""       # < every hex string
+    t = sampling.frac_to_hex(0.5)
+    assert len(t) == sampling.HEX_DIGITS and t.startswith("8")
+
+
+def test_hash_split_fractions_and_stability(ray_session):
+    df = _docs(4000)
+    out = (sampling.hash_split(_ds(df), "doc_id", "split42",
+                               [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+           .to_pandas())
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    # growth stability: the first 500 ids keep their assignment when the
+    # corpus is 8x smaller (assignment is a pure function of the id)
+    small = (sampling.hash_split(_ds(df.head(500)), "doc_id", "split42",
+                                 [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+             .to_pandas())
+    merged = small.merge(out, on="doc_id", suffixes=("_s", "_l"))
+    assert (merged["split_s"] == merged["split_l"]).all()
+
+
+def test_stratified_sample_exact_counts(ray_session):
+    df = _docs(800)
+    # one rare group smaller than k
+    df.loc[df.index[:3], "lang"] = "rare"
+    df = df[(df["lang"] != "rare") | (df.index < 3)]
+    out = (sampling.stratified_sample(_ds(df), "lang", "doc_id", k=5,
+                                      salt="strat42").to_pandas())
+    counts = out.groupby("lang").size()
+    sizes = df.groupby("lang").size()
+    for lang, n in counts.items():
+        assert n == min(5, sizes[lang])
+    # sampled rows are real rows
+    assert out.merge(df, on=["lang", "doc_id"]).shape[0] == len(out)
+    # deterministic
+    again = (sampling.stratified_sample(_ds(df), "lang", "doc_id", k=5,
+                                        salt="strat42").to_pandas())
+    lhs = out.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    rhs = again.sort_values(["lang", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(lhs[["lang", "doc_id"]],
+                                  rhs[["lang", "doc_id"]])
+
+
+def test_weighted_mix_rates(ray_session):
+    df = _docs(6000)
+    rates = {"src0": 1.0, "src1": 0.5, "src2": 0.0, "src3": 0.25,
+             "src4": 0.125, "src5": 0.5}
+    out = (sampling.weighted_mix(_ds(df), "doc_id", "source", rates, "mix42")
+           .to_pandas())
+    kept = out.groupby("source").size()
+    total = df.groupby("source").size()
+    assert kept.get("src0", 0) == total["src0"]          # rate 1.0: all
+    assert "src2" not in kept.index or kept["src2"] == 0  # rate 0: none
+    assert abs(kept["src1"] / total["src1"] - 0.5) < 0.06
+    assert abs(kept["src3"] / total["src3"] - 0.25) < 0.06
+    # subset of input
+    assert out.merge(df, on=["doc_id", "source"]).shape[0] == len(out)
+
+
+def _brute_pack(df, cap):
+    rows = {}
+    for src, g in df.sort_values(["source", "doc_id"]).groupby("source"):
+        cum = 0
+        for _, r in g.iterrows():
+            rows[r["doc_id"]] = cum // cap
+            cum += r["n_chars"]
+    return rows
+
+
+def test_pack_sequences_matches_brute_force(ray_session):
+    df = _docs(600)
+    out = (sampling.pack_sequences(_ds(df), "source", "doc_id", "n_chars",
+                                   capacity=4096).to_pandas())
+    want = _brute_pack(df, 4096)
+    assert len(out) == len(df)
+    for _, r in out.iterrows():
+        assert r["chunk_id"] == want[r["doc_id"]], r["doc_id"]
+    # chunk ids are dense and nondecreasing in doc order within a source
+    for _, g in out.sort_values(["source", "doc_id"]).groupby("source"):
+        c = g["chunk_id"].to_numpy()
+        assert (np.diff(c) >= 0).all()
+        assert c[0] == 0
