@@ -155,9 +155,8 @@ def main() -> None:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "scaling": "run `python bench.py --scaling` (8 vs 32 CPUs, fresh "
-                   "processes); recorded in BASELINE.md (round 2): eff "
-                   "1.39 @8->32 (8-cpu level anomalously slow), 0.96 "
-                   "@16->32, 150k pages",
+                   "processes); recorded in BASELINE.md (round 4): eff "
+                   "0.95 @8->32 (585.8 -> 2226.8 pages/s, 150k pages)",
     }))
     ray.shutdown()
 
