@@ -1544,6 +1544,60 @@ FROM documents
 """
 
 
+# --- 24. SemDeDup semantic dedup (SQL-checked via scratch assignment table) --
+
+# the engine materializes its k-means cluster assignment here; the oracle
+# SQL computes the PAIR semantics (within-cluster all-pairs cosine ≥ t)
+# from the same table — so the per-cluster Gram-matrix pipeline is
+# oracle-gated while the clustering itself stays engine-side (pinned
+# separately by tests/test_kmeans.py: planted-blob recovery, assignment
+# ≡ driver recompute, pairs ≡ brute-force within-cluster oracle)
+_SEMDEDUP_SCRATCH = "/tmp/graft_scratch/semdedup_assign"
+_SEMDEDUP_T = 0.4
+
+
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup-style semantic near-dup pairs: k-means over the embedding
+    corpus (full-corpus Lloyd's, driver sees only k×(d+1) scalars per
+    iteration), then within-cluster all-pairs cosine ≥ t — O(n²/k) work,
+    clusters independently parallel, never an all-pairs scan.  The
+    assignment is written once to the scratch table (read by the oracle
+    SQL), pairs come from the per-cluster Gram kernel over that same
+    assignment."""
+    import shutil
+
+    from searchengine_ray.stages import kmeans
+
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = kmeans.kmeans_fit(ds, num_clusters=8, iters=4, seed=5)
+    assigned = kmeans.kmeans_assign(ds, cent)
+    shutil.rmtree(_SEMDEDUP_SCRATCH, ignore_errors=True)
+    (assigned.select_columns(["vec_id", "cluster_id"])
+     .write_parquet(_SEMDEDUP_SCRATCH))
+    out = kmeans.semantic_dedup_pairs(assigned, threshold=_SEMDEDUP_T)
+    pdf = out.to_pandas()  # pair-scale result, small by construction
+    if pdf.empty:
+        return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                             "doc_b": pd.Series([], dtype=np.int64),
+                             "cosine": pd.Series([], dtype=np.float64)})
+    return (pdf.rename(columns={"id_a": "doc_a", "id_b": "doc_b"})
+            .reset_index(drop=True))
+
+
+SQL_SEMANTIC_DEDUP = f"""
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+JOIN read_parquet('{_SEMDEDUP_SCRATCH}/*.parquet') ca ON ca.vec_id = a.vec_id
+JOIN read_parquet('{_SEMDEDUP_SCRATCH}/*.parquet') cb ON cb.vec_id = b.vec_id
+WHERE ca.cluster_id = cb.cluster_id
+  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= {_SEMDEDUP_T}
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -1578,6 +1632,7 @@ QUERIES = {
     "neardup_clusters": q_neardup_clusters,
     "neardup_survivors": q_neardup_survivors,
     "embedding_neardup": q_embedding_neardup,
+    "semantic_dedup": q_semantic_dedup,
     "customers_no_urgent": q_customers_no_urgent,
     "orders_rollup": q_orders_rollup,
     "dedup_keep_best": q_dedup_keep_best,
@@ -1625,6 +1680,7 @@ ORACLE_SQL = {
     "text_features": SQL_TEXT_FEATURES,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
+    "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "customers_no_urgent": SQL_CUSTOMERS_NO_URGENT,
     "orders_rollup": SQL_ORDERS_ROLLUP,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,

@@ -1,0 +1,97 @@
+"""Distributed k-means + SemDeDup within-cluster pairs.
+
+Gates: (1) planted well-separated blobs are recovered with pure clusters
+by the full-corpus Lloyd refinement; (2) ``kmeans_assign`` matches a
+driver-side nearest-centroid recompute exactly; (3) ``semantic_dedup_pairs``
+equals a brute-force within-cluster all-pairs oracle computed from the
+same assignment, and finds every planted near-duplicate."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from searchengine_ray.stages.kmeans import (
+    kmeans_assign, kmeans_fit, semantic_dedup_pairs)
+
+K, DIM, PER = 4, 12, 120
+
+
+@pytest.fixture(scope="module")
+def blob_df():
+    rng = np.random.RandomState(11)
+    centers = rng.randn(K, DIM) * 6.0
+    rows = []
+    for i in range(K * PER):
+        c = i % K
+        rows.append({"vec_id": i, "blob": c,
+                     "embedding": (centers[c] + 0.2 * rng.randn(DIM)).tolist()})
+    # planted near-dup pairs: five rows duplicated with tiny noise
+    for j in range(5):
+        src = rows[j * K]
+        rows.append({"vec_id": 10_000 + j, "blob": src["blob"],
+                     "embedding": (np.asarray(src["embedding"])
+                                   + 1e-4 * rng.randn(DIM)).tolist()})
+    return pd.DataFrame(rows)
+
+
+@pytest.fixture(scope="module")
+def blob_ds(ray_session, blob_df):
+    # from_pandas = ONE block; repartition so the per-batch partial
+    # reduction actually merges partials from many batches
+    return (rd.from_pandas(blob_df.drop(columns=["blob"]))
+            .repartition(8).materialize())
+
+
+@pytest.fixture(scope="module")
+def fitted(blob_ds):
+    return kmeans_fit(blob_ds, num_clusters=K, iters=6, seed=7)
+
+
+def test_blobs_recovered_pure(blob_ds, blob_df, fitted):
+    assigned = kmeans_assign(blob_ds, fitted).to_pandas()
+    merged = assigned.merge(blob_df[["vec_id", "blob"]], on="vec_id")
+    purity = (merged.groupby("cluster_id")["blob"].nunique() == 1)
+    assert purity.all()
+    assert merged["cluster_id"].nunique() == K
+
+
+def test_centroids_near_blob_means(blob_df, fitted):
+    x = np.stack(blob_df["embedding"].map(np.asarray))
+    for b in range(K):
+        mean = x[blob_df["blob"].to_numpy() == b].mean(0)
+        d = np.linalg.norm(fitted - mean[None, :], axis=1).min()
+        assert d < 0.25  # noise sd 0.2, n≥120 ⇒ mean error ≪ 0.25
+
+
+def test_assign_matches_driver_recompute(blob_ds, blob_df, fitted):
+    assigned = (kmeans_assign(blob_ds, fitted).to_pandas()
+                .sort_values("vec_id").reset_index(drop=True))
+    x = np.stack(blob_df.sort_values("vec_id")["embedding"].map(np.asarray))
+    want = ((x[:, None, :] - fitted[None, :, :]) ** 2).sum(-1).argmin(1)
+    assert (assigned["cluster_id"].to_numpy() == want).all()
+
+
+def _bruteforce_pairs(assigned: pd.DataFrame, threshold: float):
+    out = set()
+    for _, g in assigned.groupby("cluster_id"):
+        ids = g["vec_id"].to_numpy()
+        x = np.stack(g["embedding"].map(lambda e: np.asarray(e, np.float64)))
+        n = np.linalg.norm(x, axis=1)
+        n[n == 0] = 1.0
+        sims = (x / n[:, None]) @ (x / n[:, None]).T
+        iu, ju = np.triu_indices(len(g), k=1)
+        for a, b, s in zip(ids[iu], ids[ju], sims[iu, ju]):
+            if s >= threshold:
+                out.add((min(a, b), max(a, b), round(float(s), 6)))
+    return out
+
+
+def test_semantic_pairs_match_bruteforce_and_find_planted(blob_ds, fitted):
+    assigned_ds = kmeans_assign(blob_ds, fitted)
+    got = semantic_dedup_pairs(assigned_ds, threshold=0.995).to_pandas()
+    got_set = set(zip(got["id_a"], got["id_b"], got["cosine"]))
+    want = _bruteforce_pairs(assigned_ds.to_pandas(), 0.995)
+    assert got_set == want
+    planted = {p for p in got_set if p[1] >= 10_000}
+    assert len(planted) >= 5  # every planted near-dup pair surfaced
