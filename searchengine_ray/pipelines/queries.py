@@ -211,6 +211,24 @@ FROM events GROUP BY event_type
 """
 
 
+def q_distinct_users_hll(sf_dir: str):
+    """Approximate count(DISTINCT) via the mergeable HyperLogLog sketch —
+    the scale path when distinct keys per group are unbounded (the exact
+    operator above shuffles one row per distinct (group, key); this one
+    shuffles ≤ 2^p register rows per group, period).  No SQL oracle — the
+    estimate is approximate by construction; the 1.04/√m error bound is
+    pytest-gated in tests/test_sketches.py on uniform, skewed and
+    multi-group inputs, and this entry additionally cross-checks against
+    the exact count at sf scale in tests."""
+    from searchengine_ray.stages.sketches import hll_distinct_aggregate
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "user_id"])
+    out = hll_distinct_aggregate(ds, ["event_type"], "user_id", p=12,
+                                 out_col="n_users_approx")
+    pdf = out.to_pandas()  # one row per event type
+    return pdf.sort_values("event_type").reset_index(drop=True)
+
+
 # --- 3e. as-of join: each event's most recent prior order --------------------
 
 def q_events_last_order(sf_dir: str):
@@ -1639,6 +1657,7 @@ QUERIES = {
     "user_running_total": q_user_running_total,
     "event_value_quantiles": q_event_value_quantiles,
     "event_value_quantiles_sketch": q_event_value_quantiles_sketch,
+    "distinct_users_hll": q_distinct_users_hll,
     "events_sliding_1h": q_events_sliding_1h,
     "knn_ivf": q_knn_ivf,
     "image_phash_neardup": q_image_phash_neardup,

@@ -49,7 +49,15 @@ def kmeans_fit(
     ``pre_aggregate`` sum → ≤ k×(d+1) rows on the driver → new centroids.
     Empty clusters keep their previous centroid.  Stops early when the
     max centroid shift drops below ``tol`` (the driver already holds both
-    centroid tables — the check is free and saves whole corpus passes)."""
+    centroid tables — the check is free and saves whole corpus passes).
+
+    Determinism: the init is seed-deterministic, but the partial-sum
+    reduction order varies with parallelism, so centroids (and borderline
+    assignments) are float-stable only up to reduction order — NOT
+    guaranteed bit-identical across runs.  Callers needing a stable
+    assignment should persist it (``q_semantic_dedup`` writes the scratch
+    assignment its oracle reads, so engine and oracle always see the same
+    clustering within a run)."""
     cent = build_centroids(ds, num_clusters, max_sample, emb_col, seed=seed)
     k, d = cent.shape
 

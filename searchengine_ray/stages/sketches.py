@@ -126,6 +126,101 @@ def quantile_sketch_aggregate(
 
 
 # ---------------------------------------------------------------------------
+# HyperLogLog: mergeable per-group approximate distinct count
+# ---------------------------------------------------------------------------
+# The scale path for COUNT(DISTINCT): the exact operator
+# (``q_distinct_users_by_type``'s two-stage pre_aggregate) shuffles one row
+# per DISTINCT (group, key) — unbounded when keys are high-cardinality.
+# Here each batch reduces to ≤ m register rows per group (m = 2^p), the
+# registers max-merge through ``pre_aggregate`` (max is associative ⇒ the
+# sketch is mergeable map-side), and only O(groups × m) tiny rows ever
+# shuffle regardless of corpus size.  Standard error ≈ 1.04/√m
+# (Flajolet et al. 2007); p=12 ⇒ m=4096 ⇒ ~1.6%.
+
+
+def _hll_rho(h: np.ndarray, p: int) -> tuple[np.ndarray, np.ndarray]:
+    """(register, rho) for 64-bit hashes: register = low ``p`` bits, rho =
+    1 + leading-zero count of a 52-bit window above them.  The window is
+    capped at 52 bits so the uint→float64 conversion is EXACT and
+    ``np.frexp`` returns the exact bit length — no log2 rounding hazard.
+    All arithmetic runs on int64 views (this host's numpy executes uint64
+    array ops 100-300× slower — see CLAUDE.md)."""
+    hi = h.view(np.int64)
+    m = 1 << p
+    reg = hi & np.int64(m - 1)
+    w = (hi >> np.int64(p)) & np.int64((1 << 52) - 1)
+    _, e = np.frexp(w.astype(np.float64))  # exact bit_length for w < 2^53
+    rho = (53 - e).astype(np.int64)        # w == 0 ⇒ e == 0 ⇒ rho == 53
+    return reg, rho
+
+
+def _hll_alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct_aggregate(
+    ds: Dataset,
+    keys: Sequence[str],
+    col: str,
+    p: int = 12,
+    out_col: str = "approx_distinct",
+    batch_size: int = 65536,
+) -> Dataset:
+    """Per-group approximate COUNT(DISTINCT ``col``) via HyperLogLog.
+
+    Returns one row per group: [*keys, out_col] with the bias-corrected
+    estimate (linear counting below 2.5m — the small-range regime where
+    raw HLL biases high).  Relative error ~1.04/√(2^p); the gate in
+    tests/test_sketches.py asserts it against exact nunique on uniform,
+    skewed and multi-group inputs."""
+    keys = list(keys)
+    m = 1 << p
+    alpha = _hll_alpha(m)
+    from searchengine_ray.stages.relational import (
+        bucketed_map_groups, pre_aggregate)
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        gb = df.groupby(keys, sort=False)
+        gidx = gb.ngroup().to_numpy()
+        first_idx = np.unique(gidx, return_index=True)[1]
+        key_tbl = df[keys].iloc[first_idx].reset_index(drop=True)
+        h = pd.util.hash_pandas_object(df[col], index=False).to_numpy(
+            dtype=np.uint64)
+        reg, rho = _hll_rho(h, p)
+        # register-max per (group, reg) in one scatter over a flat arena
+        arena = np.zeros(len(first_idx) * m, dtype=np.int64)
+        np.maximum.at(arena, gidx * np.int64(m) + reg, rho)
+        nz = np.nonzero(arena)[0]
+        out = key_tbl.iloc[nz // m].reset_index(drop=True)
+        out["reg"] = (nz % m).astype(np.int64)
+        out["rho"] = arena[nz]
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size)
+    merged = pre_aggregate(partials, keys + ["reg"], {"rho": ("rho", "max")})
+
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
+        rho = g["rho"].to_numpy(np.float64)
+        v0 = m - len(g)  # registers never hit
+        s = np.power(2.0, -rho).sum() + v0
+        est = alpha * m * m / s
+        if est <= 2.5 * m and v0 > 0:
+            est = m * np.log(m / v0)  # linear counting (small range)
+        row = {k: [g[k].iloc[0]] for k in keys}
+        row[out_col] = np.asarray([round(est)], dtype=np.int64)
+        return pd.DataFrame(row)
+
+    return bucketed_map_groups(merged, keys, finalize)
+
+
+# ---------------------------------------------------------------------------
 # Heavy hitters: Misra-Gries candidate sketch + exact recount (two passes)
 # ---------------------------------------------------------------------------
 

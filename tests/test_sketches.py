@@ -170,3 +170,76 @@ def test_heavy_hitters_exact_matches_bruteforce(ray_session):
     want = counts[counts > thr * len(df)]
     assert sorted(got["k"]) == sorted(want.index)
     assert dict(zip(got["k"], got["n"])) == {k: int(v) for k, v in want.items()}
+
+
+# --- HyperLogLog distinct-count sketch --------------------------------------
+
+def test_hll_rho_exact_bit_positions():
+    from searchengine_ray.stages.sketches import _hll_rho
+    p = 12
+    # hand-built hashes: register bits then a window with a known top bit
+    for lead_zeros in [0, 1, 5, 20, 40, 51]:
+        w = np.uint64(1) << np.uint64(51 - lead_zeros)
+        h = np.array([(w << np.uint64(p)) | np.uint64(7)], dtype=np.uint64)
+        reg, rho = _hll_rho(h, p)
+        assert reg[0] == 7
+        assert rho[0] == lead_zeros + 1
+    # all-zero window -> max rho
+    h = np.array([3], dtype=np.uint64)  # only register bits set
+    _, rho = _hll_rho(h, p)
+    assert rho[0] == 53
+
+
+@pytest.mark.parametrize("n_distinct", [50, 3_000, 200_000])
+def test_hll_error_bound_vs_exact(ray_session, n_distinct):
+    from searchengine_ray.stages.sketches import hll_distinct_aggregate
+    rng = np.random.RandomState(4)
+    keys = rng.randint(0, n_distinct, size=max(n_distinct * 2, 10_000))
+    keys = np.concatenate([keys, np.arange(n_distinct)])  # every key present
+    df = pd.DataFrame({"g": np.repeat("a", keys.size), "k": keys})
+    ds = rd.from_pandas(df).repartition(8)
+    got = hll_distinct_aggregate(ds, ["g"], "k", p=12).to_pandas()
+    est = int(got["approx_distinct"].iloc[0])
+    sigma = 1.04 / np.sqrt(4096)
+    assert abs(est - n_distinct) <= max(5 * sigma * n_distinct, 3)
+
+
+def test_hll_multi_group_and_merge(ray_session):
+    """Many groups of very different cardinalities in one pass; the
+    8-block repartition forces the register max-merge across batches."""
+    from searchengine_ray.stages.sketches import hll_distinct_aggregate
+    rng = np.random.RandomState(9)
+    frames = []
+    truth = {}
+    for g, n in [("tiny", 3), ("small", 400), ("mid", 20_000)]:
+        k = rng.randint(0, n, size=n * 3)
+        k = np.concatenate([k, np.arange(n)])
+        frames.append(pd.DataFrame({"g": np.repeat(g, k.size), "k": k}))
+        truth[g] = n
+    df = pd.concat(frames, ignore_index=True).sample(frac=1.0, random_state=1)
+    ds = rd.from_pandas(df).repartition(8)
+    got = hll_distinct_aggregate(ds, ["g"], "k", p=12).to_pandas()
+    sigma = 1.04 / np.sqrt(4096)
+    for _, r in got.iterrows():
+        n = truth[r["g"]]
+        assert abs(int(r["approx_distinct"]) - n) <= max(5 * sigma * n, 2), r
+    assert len(got) == 3
+
+
+def test_hll_query_entry_vs_exact_distinct(ray_session):
+    """The distinct_users_hll queries() entry tracks the exact distinct
+    count on the real sf0.01 events table (well inside the HLL band —
+    at this scale every group sits in the near-exact linear-counting
+    regime)."""
+    import duckdb
+
+    from searchengine_ray.pipelines.queries import QUERIES
+    got = QUERIES["distinct_users_hll"]("/root/testdata/sf0.01")
+    exact = duckdb.sql(
+        "SELECT event_type, count(DISTINCT user_id) AS n FROM "
+        "read_parquet('/root/testdata/sf0.01/events.parquet') "
+        "GROUP BY event_type ORDER BY event_type").df()
+    merged = got.merge(exact, on="event_type")
+    assert len(merged) == len(exact)
+    rel = (merged["n_users_approx"] - merged["n"]).abs() / merged["n"]
+    assert (rel <= 0.05).all(), merged
