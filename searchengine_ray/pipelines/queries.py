@@ -1616,6 +1616,74 @@ WHERE ca.cluster_id = cb.cluster_id
 """
 
 
+_SEMDEDUP_SURV_SCRATCH = "/tmp/graft_scratch/semdedup_surv_assign"
+
+
+def q_semantic_survivors(sf_dir: str):
+    """End-to-end SemDeDup: k-means → within-cluster cosine pairs →
+    connected components → ONE survivor per semantic-duplicate group
+    (smallest vec_id; singletons survive as themselves) over the full
+    embeddings corpus.  Same machinery as ``q_neardup_survivors``; the
+    oracle recursively closes the within-cluster pair SQL over the
+    engine's own scratch assignment."""
+    import shutil
+
+    from searchengine_ray.stages import kmeans
+    from searchengine_ray.stages.clusters import (
+        cluster_survivors, connected_components)
+
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = kmeans.kmeans_fit(ds, num_clusters=8, iters=4, seed=5)
+    assigned = kmeans.kmeans_assign(ds, cent)
+    shutil.rmtree(_SEMDEDUP_SURV_SCRATCH, ignore_errors=True)
+    (assigned.select_columns(["vec_id", "cluster_id"])
+     .write_parquet(_SEMDEDUP_SURV_SCRATCH))
+    pairs = kmeans.semantic_dedup_pairs(assigned, threshold=_SEMDEDUP_T)
+    comps = connected_components(pairs, id_a="id_a", id_b="id_b")
+    surv = cluster_survivors(ds.select_columns(["vec_id"]), comps,
+                             "vec_id", better=[])
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].astype(np.int64),
+            "cluster_id": df["cluster_id"].astype(np.int64),
+            "n_members": df["n_members"].astype(np.int64)})
+
+    return surv.map_batches(finish, batch_format="pandas")
+
+
+SQL_SEMANTIC_SURVIVORS = f"""
+WITH RECURSIVE
+sp AS (
+  SELECT a.vec_id AS u, b.vec_id AS v
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  JOIN read_parquet('{_SEMDEDUP_SURV_SCRATCH}/*.parquet') ca
+       ON ca.vec_id = a.vec_id
+  JOIN read_parquet('{_SEMDEDUP_SURV_SCRATCH}/*.parquet') cb
+       ON cb.vec_id = b.vec_id
+  WHERE ca.cluster_id = cb.cluster_id
+    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                               CAST(b.embedding AS DOUBLE[])) >= {_SEMDEDUP_T}),
+edges AS (SELECT u, v FROM sp UNION ALL SELECT v, u FROM sp),
+r(node, lab) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.v, r.lab FROM edges e JOIN r ON r.node = e.u),
+comp AS (SELECT node, min(lab) AS cluster_id FROM r GROUP BY node),
+lab AS (
+  SELECT e.vec_id, coalesce(c.cluster_id, e.vec_id) AS cluster_id
+  FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node)
+SELECT vec_id, cluster_id, CAST(n_members AS BIGINT) AS n_members
+FROM (SELECT vec_id, cluster_id,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY vec_id) AS rn
+      FROM lab)
+WHERE rn = 1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -1651,6 +1719,7 @@ QUERIES = {
     "neardup_survivors": q_neardup_survivors,
     "embedding_neardup": q_embedding_neardup,
     "semantic_dedup": q_semantic_dedup,
+    "semantic_survivors": q_semantic_survivors,
     "customers_no_urgent": q_customers_no_urgent,
     "orders_rollup": q_orders_rollup,
     "dedup_keep_best": q_dedup_keep_best,
@@ -1700,6 +1769,7 @@ ORACLE_SQL = {
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
+    "semantic_survivors": SQL_SEMANTIC_SURVIVORS,
     "customers_no_urgent": SQL_CUSTOMERS_NO_URGENT,
     "orders_rollup": SQL_ORDERS_ROLLUP,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
