@@ -123,6 +123,8 @@ def main() -> None:
         "neardup_survivors": Q.q_neardup_survivors,
         "knn_ivf": Q.q_knn_ivf,
         "image_pipeline": Q.q_image_pipeline,
+        "semantic_dedup": Q.q_semantic_dedup,
+        "distinct_users_hll": Q.q_distinct_users_hll,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))
