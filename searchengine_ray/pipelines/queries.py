@@ -834,6 +834,32 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) > 0.65
 """
 
+def q_ngram_containment(sf_dir: str):
+    """Asymmetric-overlap dedup: pairs where the smaller shingle set is
+    mostly contained in the larger (quote-inclusion / boilerplate-wrapper
+    detection — the case symmetric Jaccard misses).  Same distributed
+    counting core as ngram_jaccard; only the final expression differs."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_stage.ngram_containment_pairs(ds, threshold=0.8)
+
+
+SQL_NGRAM_CONTAINMENT = _SQL_SHINGLES + """,
+ok AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 64),
+sh2 AS (SELECT sh.doc_id, sh.s FROM sh JOIN ok USING (s)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh2 GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh2 a JOIN sh2 b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(CAST(shared AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) > 0.8
+"""
+
+
 # Uncapped exact all-pairs jaccard: the oracle for the MinHash+LSH+verify
 # path — verified LSH output must equal the exact result (full shingle sets,
 # no df cap) at the same threshold.
@@ -1692,6 +1718,7 @@ QUERIES = {
     "top_events_per_user": q_top_events_per_user,
     "distinct_users_by_type": q_distinct_users_by_type,
     "ngram_jaccard": q_ngram_jaccard,
+    "ngram_containment": q_ngram_containment,
     "events_last_order": q_events_last_order,
     "parts_by_brand": q_parts_by_brand,
     "props_k_stats": q_props_k_stats,
@@ -1747,6 +1774,7 @@ ORACLE_SQL = {
     "top_events_per_user": SQL_TOP_EVENTS_PER_USER,
     "distinct_users_by_type": SQL_DISTINCT_USERS,
     "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "ngram_containment": SQL_NGRAM_CONTAINMENT,
     "events_last_order": SQL_EVENTS_LAST_ORDER,
     "parts_by_brand": SQL_PARTS_BY_BRAND,
     "props_k_stats": SQL_PROPS_K_STATS,

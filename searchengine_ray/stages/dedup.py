@@ -300,31 +300,27 @@ def verify_jaccard_pairs(
 DEFAULT_MAX_SHINGLE_DF = 64
 
 
-def ngram_jaccard_pairs(
-    ds: Dataset, threshold: float = 0.65, shingle_n: int = 3,
-    text_col: str = "text", id_col: str = "doc_id", round_to: int = 6,
+def _ngram_pair_counts(
+    ds: Dataset, shingle_n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
     max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
 ) -> Dataset:
-    """All-pairs n-gram Jaccard dedup, distributed — exact under an optional
-    hot-shingle df cap (default 64; pass ``max_shingle_df=None`` for the
-    reference's uncapped semantics).
+    """(doc_a, doc_b, shared, na, nb) for every doc pair sharing ≥1 shingle
+    — the common core of the set-overlap dedup family (jaccard /
+    containment finishers divide these counts differently).
 
-    Any pair with Jaccard > 0 shares ≥1 shingle, so: explode distinct
+    Any overlapping pair shares ≥1 shingle, so: explode distinct
     (doc, shingle_hash) → ``groupby(shingle)`` emits co-occurring pairs →
-    ``groupby(pair)`` counts shared shingles → jaccard =
-    shared/(|A|+|B|-shared) with sizes joined in as a Dataset.  No pairwise
-    scan ever touches non-overlapping docs — the distributed form of the
-    reference's O(N²) loop (ngrams.py:88-101).  With the default df cap the
-    pair set and jaccard values differ from uncapped semantics wherever a
-    stop-phrase shingle would have participated (the oracle SQL applies the
-    identical cap, so the gate stays exact).
+    ``groupby(pair)`` counts shared shingles, sizes riding along.  No
+    pairwise scan ever touches non-overlapping docs — the distributed form
+    of the reference's O(N²) loop (ngrams.py:88-101).
 
     ``max_shingle_df``: a shingle shared by k docs emits O(k²) pairs, so a
     stop-phrase shingle is a blowup.  Shingles with document frequency >
     this cap are DROPPED — from pair generation AND from the set sizes, so
-    jaccard stays internally consistent (the oracle SQL applies the same
-    cap).  ``None`` disables (exact reference semantics; the MinHash verify
-    path uses uncapped sets)."""
+    the overlap measures stay internally consistent (each oracle SQL
+    applies the same cap).  ``None`` disables (exact reference semantics;
+    the MinHash verify path uses uncapped sets)."""
     from searchengine_ray.stages.relational import pre_aggregate
 
     drop_ref = None
@@ -357,10 +353,58 @@ def ngram_jaccard_pairs(
                              "nb": m["n_b"].to_numpy(dtype=np.int64)})
 
     pair_rows = bucketed_apply(exploded, ["sh"], pairs_bucket)
-    counted = pre_aggregate(pair_rows, ["doc_a", "doc_b"],
-                            {"shared": (None, "count"),
-                             "na": ("na", "min"), "nb": ("nb", "min")})
+    return pre_aggregate(pair_rows, ["doc_a", "doc_b"],
+                         {"shared": (None, "count"),
+                          "na": ("na", "min"), "nb": ("nb", "min")})
+
+
+def ngram_jaccard_pairs(
+    ds: Dataset, threshold: float = 0.65, shingle_n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id", round_to: int = 6,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> Dataset:
+    """All-pairs n-gram Jaccard dedup, distributed — exact under the
+    optional hot-shingle df cap (see ``_ngram_pair_counts``); jaccard =
+    shared/(|A|+|B|-shared) in one vectorized pass over the counts."""
+    counted = _ngram_pair_counts(ds, shingle_n, text_col, id_col,
+                                 max_shingle_df)
     return _jaccard_from_counts(counted, threshold, round_to)
+
+
+def ngram_containment_pairs(
+    ds: Dataset, threshold: float = 0.8, shingle_n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id", round_to: int = 6,
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> Dataset:
+    """All-pairs n-gram CONTAINMENT dedup: max(C(A,B), C(B,A)) =
+    shared/min(|A|,|B|) > threshold.
+
+    Containment is the asymmetric overlap measure Jaccard misses: a short
+    doc fully quoted inside a much longer one has tiny Jaccard
+    (|A∩B|/|A∪B| ≈ |A|/|B|) but containment ≈ 1 — the
+    quote-inclusion/boilerplate-wrapper case a training-data dedup pass
+    must catch (Broder 1997 distinguishes resemblance from containment
+    for exactly this).  Same distributed counting core as
+    ``ngram_jaccard_pairs``; only the final vectorized expression
+    differs."""
+    counted = _ngram_pair_counts(ds, shingle_n, text_col, id_col,
+                                 max_shingle_df)
+
+    def containment_batch(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                                 "doc_b": pd.Series([], dtype=np.int64),
+                                 "containment": pd.Series([], dtype=np.float64)})
+        shared = df["shared"].to_numpy(dtype=np.float64)
+        mn = np.minimum(df["na"].to_numpy(dtype=np.float64),
+                        df["nb"].to_numpy(dtype=np.float64))
+        con = shared / mn
+        keep = con > threshold
+        return pd.DataFrame({"doc_a": df["doc_a"].to_numpy()[keep],
+                             "doc_b": df["doc_b"].to_numpy()[keep],
+                             "containment": np.round(con[keep], round_to)})
+
+    return counted.map_batches(containment_batch, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

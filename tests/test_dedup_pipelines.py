@@ -135,3 +135,32 @@ def test_tfidf_join_path_matches_broadcast(ray_session):
     pd.testing.assert_frame_equal(
         a.sort_values(key).reset_index(drop=True),
         b.sort_values(key).reset_index(drop=True)[a.columns])
+
+
+def test_containment_catches_inclusion_jaccard_misses(ray_session):
+    """A short doc fully quoted inside a much longer one: containment ≈ 1,
+    jaccard ≈ |A|/|B| ≪ threshold — the asymmetric case the operator
+    exists for.  Also cross-checks values against a set-arithmetic
+    oracle."""
+    from searchengine_ray.functions.ngrams import shingle_hashes
+    from searchengine_ray.stages.dedup import (
+        ngram_containment_pairs, ngram_jaccard_pairs)
+    from searchengine_ray.stages.text import simple_tokens
+
+    short = "alpha beta gamma delta epsilon zeta eta theta iota"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    long_doc = short + " " + filler
+    other = "one two three four five six seven eight nine ten"
+    df = pd.DataFrame({"doc_id": [1, 2, 3],
+                       "text": [short, long_doc, other]})
+    ds = rd.from_pandas(df).repartition(2)
+
+    con = ngram_containment_pairs(ds, threshold=0.8).to_pandas()
+    jac = ngram_jaccard_pairs(ds, threshold=0.8).to_pandas()
+    assert set(zip(con["doc_a"], con["doc_b"])) == {(1, 2)}
+    assert len(jac) == 0  # jaccard at the same threshold misses it
+
+    a = shingle_hashes(simple_tokens(short), 3)
+    b = shingle_hashes(simple_tokens(long_doc), 3)
+    want = round(len(a & b) / min(len(a), len(b)), 6)
+    assert con["containment"].iloc[0] == want
