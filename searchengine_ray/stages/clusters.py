@@ -52,16 +52,67 @@ def _label_fingerprint(labels: Dataset) -> int:
     return int(parts["s"].sum()) & ((1 << 64) - 1)
 
 
+# Below this pair count the driver resolves components directly with a
+# union-find: every label round costs two all-to-alls of fixed (~1s
+# single-node) machinery, so a tiny pair graph pays seconds of shuffle
+# latency for microseconds of work.  The same size-routing discipline as
+# the crawl's driver/distributed resolve (`driver_fp_threshold`): the
+# driver pull is bounded by the threshold — at most ~200k×(2 ids) rows —
+# and big pair graphs take the distributed path unchanged.
+DRIVER_CC_MAX_PAIRS = 200_000
+
+
+def _driver_components(pdf: pd.DataFrame, id_a: str, id_b: str) -> pd.DataFrame:
+    """Union-find with path halving; cluster_id = min node per component.
+
+    Same fixed point as the distributed path (the min-label fixed point is
+    unique), asserted by tests/test_clusters.py on both routes."""
+    both = pd.concat([pdf[id_a], pdf[id_b]], ignore_index=True)
+    codes, uniques = pd.factorize(both)
+    k = len(pdf)
+    parent = np.arange(len(uniques), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in zip(codes[:k], codes[k:]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    roots = np.fromiter((find(i) for i in range(len(uniques))),
+                        dtype=np.int64, count=len(uniques))
+    lab = pd.DataFrame({"node": np.asarray(uniques), "root": roots})
+    lab["cluster_id"] = lab.groupby("root")["node"].transform("min")
+    return lab[["node", "cluster_id"]]
+
+
 def connected_components(
     pairs: Dataset, id_a: str = "doc_a", id_b: str = "doc_b",
     max_rounds: int = 50,
+    driver_threshold: int = DRIVER_CC_MAX_PAIRS,
 ) -> Dataset:
     """(node, cluster_id) for every node in ``pairs``; ``cluster_id`` is the
     minimum node id of its connected component.  Node ids may be any
     orderable hashable dtype (int64 doc ids, string image URLs).
 
     Deterministic: the fixed point of min-label propagation is unique, so
-    the result is independent of round count, partitioning and schedule."""
+    the result is independent of round count, partitioning, schedule —
+    and of which route (driver union-find below ``driver_threshold``
+    pairs, distributed label propagation above) resolved it."""
+    import ray.data as rd
+
+    pairs = pairs.materialize()  # pair-scale; consumed 2-3 times below
+    if pairs.count() <= driver_threshold:
+        pdf = pairs.to_pandas()  # bounded by the threshold
+        if not len(pdf):
+            return pairs.map_batches(
+                lambda df: pd.DataFrame({"node": df[id_a],
+                                         "cluster_id": df[id_a]}),
+                batch_format="pandas")
+        return rd.from_pandas(_driver_components(pdf, id_a, id_b))
     # symmetric edge list: row (key=u, node=v) means "u notifies v"
     def sym(df: pd.DataFrame) -> pd.DataFrame:
         a = df[id_a].to_numpy()

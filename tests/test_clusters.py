@@ -42,18 +42,26 @@ def _run_cc(pairs, **kw):
     return dict(zip(out["node"], out["cluster_id"]))
 
 
-def test_transitive_chain_and_long_path(ray_session):
+# driver_threshold=0 forces the distributed label-propagation route;
+# the default takes the driver union-find fast path — both must land on
+# the same (unique) min-label fixed point
+ROUTES = [{"driver_threshold": 0}, {}]
+
+
+@pytest.mark.parametrize("route", ROUTES)
+def test_transitive_chain_and_long_path(ray_session, route):
     # A-B, B-C transitive (A-C never a pair) + a diameter-11 path — the
     # shape plain per-round propagation would need 11 rounds for
     path = [(i, i + 1) for i in range(30, 41)]
     pairs = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22)] + path
-    got = _run_cc(pairs)
+    got = _run_cc(pairs, **route)
     want = _union_find_reference(pairs)
     assert got == want
     assert got[3] == 1 and got[40] == 30 and got[22] == 20
 
 
-def test_random_graphs_match_union_find(ray_session):
+@pytest.mark.parametrize("route", ROUTES)
+def test_random_graphs_match_union_find(ray_session, route):
     rng = np.random.RandomState(7)
     for trial in range(3):
         n = 60
@@ -64,13 +72,14 @@ def test_random_graphs_match_union_find(ray_session):
             if a != b:
                 pairs.add((min(a, b), max(a, b)))
         pairs = sorted(pairs)
-        assert _run_cc(pairs) == _union_find_reference(pairs)
+        assert _run_cc(pairs, **route) == _union_find_reference(pairs)
 
 
-def test_string_node_ids(ray_session):
+@pytest.mark.parametrize("route", ROUTES)
+def test_string_node_ids(ray_session, route):
     pairs = [("http://h/a", "http://h/b"), ("http://h/b", "http://h/c"),
              ("http://x/1", "http://x/2")]
-    got = _run_cc(pairs)
+    got = _run_cc(pairs, **route)
     assert got["http://h/c"] == "http://h/a"
     assert got["http://x/2"] == "http://x/1"
 
@@ -99,4 +108,5 @@ def test_attach_and_survivors(ray_session):
 
 def test_cc_does_not_converge_guard(ray_session):
     with pytest.raises(RuntimeError):
-        _run_cc([(i, i + 1) for i in range(0, 40)], max_rounds=2)
+        _run_cc([(i, i + 1) for i in range(0, 40)], max_rounds=2,
+                driver_threshold=0)
