@@ -125,6 +125,7 @@ def main() -> None:
         "image_pipeline": Q.q_image_pipeline,
         "semantic_dedup": Q.q_semantic_dedup,
         "distinct_users_hll": Q.q_distinct_users_hll,
+        "ngram_containment": Q.q_ngram_containment,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

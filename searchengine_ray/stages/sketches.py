@@ -178,7 +178,12 @@ def hll_distinct_aggregate(
     estimate (linear counting below 2.5m — the small-range regime where
     raw HLL biases high).  Relative error ~1.04/√(2^p); the gate in
     tests/test_sketches.py asserts it against exact nunique on uniform,
-    skewed and multi-group inputs."""
+    skewed and multi-group inputs.
+
+    Memory: the per-batch scatter arena is groups_per_batch × 2^p int64
+    (4096-register default = 32 KB/group) — at extreme group counts per
+    batch, lower ``p`` or ``batch_size``; only HIT registers are emitted
+    as rows, so the shuffle never pays for the arena's zeros."""
     keys = list(keys)
     m = 1 << p
     alpha = _hll_alpha(m)
