@@ -36,10 +36,20 @@ from searchengine_ray.stages.relational import (
     bucketed_map_groups, pre_aggregate)
 
 
+# Below this corpus row count the per-iteration partials reduce on the
+# driver (the pull is ≤ ceil(rows/batch) × k×(d+1) rows — bounded by the
+# threshold at ~300k rows for k=32, d=64); above it they reduce through
+# `pre_aggregate`.  Same size-routing discipline as `DRIVER_CC_MAX_PAIRS`
+# and the crawl resolve: each distributed round is an all-to-all of
+# fixed machinery that a small corpus pays in pure latency.
+DRIVER_REDUCE_MAX_ROWS = 20_000_000
+
+
 def kmeans_fit(
     ds: Dataset, num_clusters: int = 8, emb_col: str = "embedding",
     iters: int = 4, seed: int = 5, max_sample: int = 4096,
     tol: float = 1e-9,
+    driver_reduce_max_rows: int = DRIVER_REDUCE_MAX_ROWS,
 ) -> np.ndarray:
     """Centroids (k × d float64) from sampled init + full-corpus Lloyd's.
 
@@ -58,8 +68,10 @@ def kmeans_fit(
     assignment should persist it (``q_semantic_dedup`` writes the scratch
     assignment its oracle reads, so engine and oracle always see the same
     clustering within a run)."""
+    n_rows = ds.count()  # parquet-metadata cheap on a column projection
     cent = build_centroids(ds, num_clusters, max_sample, emb_col, seed=seed)
     k, d = cent.shape
+    driver_reduce = n_rows <= driver_reduce_max_rows
 
     for _ in range(iters):
         cent_ref = ray.put(cent)
@@ -81,9 +93,14 @@ def kmeans_fit(
                                present.size),
                 "s": block.ravel()})
 
-        agg = pre_aggregate(
-            ds.map_batches(partial, batch_format="pandas"),
-            ["c", "dim"], {"s": ("s", "sum")}).to_pandas()  # ≤ k×(d+1) rows
+        partials = ds.map_batches(partial, batch_format="pandas")
+        if driver_reduce:
+            # ≤ ceil(n/batch) × k×(d+1) rows, bounded by the route threshold
+            agg = (partials.to_pandas()
+                   .groupby(["c", "dim"], as_index=False)["s"].sum())
+        else:
+            agg = pre_aggregate(partials, ["c", "dim"],
+                                {"s": ("s", "sum")}).to_pandas()  # ≤ k×(d+1)
         stats = np.zeros((k, d + 1), dtype=np.float64)
         stats[agg["c"].to_numpy(np.int64), agg["dim"].to_numpy(np.int64)] = \
             agg["s"].to_numpy(np.float64)
