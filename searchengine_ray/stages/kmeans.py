@@ -137,6 +137,7 @@ def semantic_dedup_pairs(
     assigned: Dataset, threshold: float,
     id_col: str = "vec_id", emb_col: str = "embedding",
     cluster_col: str = "cluster_id", round_to: int = 6,
+    max_cluster_rows: int = 100_000,
 ) -> Dataset:
     """Within-cluster pairs with cosine ≥ ``threshold``.
 
@@ -144,9 +145,22 @@ def semantic_dedup_pairs(
     Clusters co-shuffle whole; per cluster one normalized Gram matrix
     (m×m for m = cluster size ≈ n/k) yields every qualifying pair —
     upper triangle only, ids ordered so id_a < id_b.  Output columns:
-    (id_a, id_b, cosine) with cosine rounded to ``round_to``."""
+    (id_a, id_b, cosine) with cosine rounded to ``round_to``.
+
+    ``max_cluster_rows`` bounds the per-cluster Gram kernel (100k rows ⇒
+    a 10^10-cell float64 sim matrix ≈ 80 GB — past any worker heap): a
+    cluster over the cap raises with guidance instead of OOM-ing a
+    worker.  The fix is a larger k in ``kmeans_fit`` — SemDeDup's own
+    scaling knob — not chunking inside the kernel."""
 
     def cluster_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) > max_cluster_rows:
+            raise ValueError(
+                f"semantic_dedup_pairs: cluster "
+                f"{g[cluster_col].iloc[0]!r} has {len(g)} rows > "
+                f"max_cluster_rows={max_cluster_rows}; raise num_clusters "
+                f"in kmeans_fit (SemDeDup sizes k so n/k fits a worker) "
+                f"or raise max_cluster_rows explicitly")
         empty = pd.DataFrame({
             "id_a": pd.Series([], dtype=np.int64),
             "id_b": pd.Series([], dtype=np.int64),

@@ -307,3 +307,57 @@ def heavy_hitters_exact(
     out = exact[exact["n"] > threshold_frac * total]
     return (out.sort_values(["n", col], ascending=[False, True])
             .reset_index(drop=True))
+
+
+def heavy_hitters_approx(
+    ds: Dataset, col: str, weight_col: str | None = None,
+    threshold_frac: float = 0.005, batch_size: int = 65536,
+) -> pd.DataFrame:
+    """ONE-pass heavy hitters: the candidate stage of
+    ``heavy_hitters_exact`` without the recount — for streams / pipelines
+    where the input cannot be read twice.
+
+    Returns (col, est, est_floor) sorted (est desc, col asc).
+    Guarantees (the Misra-Gries merge bound, pytest-gated):
+
+    - COMPLETE: every item with true weight > threshold_frac × total is
+      present (its merged estimate undercounts by ≤ total/(m+1) ≤
+      total×thr/2, which keeps it above the filter cut);
+    - BOUNDED: est ≤ true weight ≤ est + total/(m+1) — ``est_floor`` is
+      the guaranteed lower bound max(est, 0) and the candidate set stays
+      < 2/threshold items.
+
+    The single data pass is the partial+merge; the grand total is
+    ``count()`` (parquet-metadata cheap) or, with ``weight_col``, one
+    additional aggregate pass — still never a per-key second scan."""
+    import math
+
+    from searchengine_ray.stages.relational import pre_aggregate
+
+    m = int(math.ceil(2.0 / threshold_frac))
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if weight_col is None:
+            counts = df[col].value_counts()
+        else:
+            counts = df.groupby(col, sort=False)[weight_col].sum()
+        keep = mg_compress(counts, m)
+        return pd.DataFrame({col: keep.index.to_numpy(),
+                             "est": keep.to_numpy(dtype=np.float64)})
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size)
+    merged = pre_aggregate(partials, [col], {"est": ("est", "sum")})
+
+    total = int(ds.sum(weight_col)) if weight_col is not None else ds.count()
+    cut = threshold_frac * total - total / (m + 1)
+    cand = merged.map_batches(
+        lambda df: df[df["est"].to_numpy(dtype=np.float64) > cut],
+        batch_format="pandas").to_pandas()  # < 2/threshold rows by the bound
+    if not len(cand):
+        return pd.DataFrame({col: pd.Series([], dtype=object),
+                             "est": pd.Series([], dtype=np.float64),
+                             "est_floor": pd.Series([], dtype=np.float64)})
+    cand["est_floor"] = cand["est"].clip(lower=0.0)
+    return (cand.sort_values(["est", col], ascending=[False, True])
+            .reset_index(drop=True))

@@ -243,3 +243,31 @@ def test_hll_query_entry_vs_exact_distinct(ray_session):
     assert len(merged) == len(exact)
     rel = (merged["n_users_approx"] - merged["n"]).abs() / merged["n"]
     assert (rel <= 0.05).all(), merged
+
+
+def test_heavy_hitters_approx_one_pass_guarantees(ray_session):
+    """One-pass MG bound: every true heavy hitter present; estimates
+    undercount by at most N/(m+1); candidate set < 2/threshold."""
+    from searchengine_ray.stages.sketches import heavy_hitters_approx
+    rng = np.random.RandomState(13)
+    thr = 0.02
+    # 3 planted heavy keys well above threshold + a long uniform tail
+    heavy = np.repeat([1_000_001, 1_000_002, 1_000_003],
+                      [9_000, 6_000, 4_000])
+    tail = rng.randint(0, 50_000, size=120_000)
+    keys = np.concatenate([heavy, tail])
+    rng.shuffle(keys)
+    df = pd.DataFrame({"k": keys})
+    ds = rd.from_pandas(df).repartition(8).materialize()
+
+    got = heavy_hitters_approx(ds, "k", threshold_frac=thr)
+    n = len(keys)
+    truth = pd.Series(keys).value_counts()
+    true_hh = set(truth[truth > thr * n].index)
+    assert true_hh <= set(got["k"])           # completeness
+    assert len(got) < 2 / thr                 # bounded candidate set
+    m = int(np.ceil(2.0 / thr))
+    for _, r in got.iterrows():
+        t = int(truth.get(r["k"], 0))
+        assert r["est"] <= t + 1e-9           # never overcounts
+        assert t - r["est"] <= n / (m + 1) + 1e-9  # bounded undercount
