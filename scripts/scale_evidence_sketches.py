@@ -32,8 +32,10 @@ import pyarrow.parquet as pq
 
 HLL_PATH = "/tmp/graft_scale/hll_events"
 EMB_PATH = "/tmp/graft_scale/emb_1m"
+DEDUP_PATH = "/tmp/graft_scale/emb_dedup_1m"
 N_ROWS, N_DISTINCT, N_GROUPS = 10_000_000, 2_000_000, 5
 N_VEC, DIM, KCENT = 1_000_000, 64, 32
+N_PLANTED, K_SEMANTIC = 10_000, 1024
 
 
 def ensure_tables() -> None:
@@ -60,6 +62,26 @@ def ensure_tables() -> None:
                 "embedding": pa.FixedSizeListArray.from_arrays(
                     pa.array(x.ravel(), type=pa.float32()), DIM)}),
                 f"{EMB_PATH}/part-{shard}.parquet")
+    if not os.path.isdir(DEDUP_PATH):
+        # dedup corpus: 1M unstructured vectors (pairwise cosine ~0±0.13)
+        # + 10k planted near-identical duplicates (id 2M+i duplicates id i)
+        os.makedirs(DEDUP_PATH)
+        rng = np.random.RandomState(9)
+        per = N_VEC // 8
+        for shard in range(8):
+            x = rng.randn(per, DIM).astype(np.float32)
+            ids = np.arange(per, dtype=np.int64) + shard * per
+            if shard == 0:
+                dup = x[:N_PLANTED] + 1e-3 * rng.randn(
+                    N_PLANTED, DIM).astype(np.float32)
+                x = np.vstack([x, dup])
+                ids = np.concatenate([
+                    ids, np.arange(N_PLANTED, dtype=np.int64) + 2_000_000])
+            pq.write_table(pa.table({
+                "vec_id": pa.array(ids),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(x.ravel(), type=pa.float32()), DIM)}),
+                f"{DEDUP_PATH}/part-{shard}.parquet")
 
 
 def main() -> None:
@@ -99,12 +121,27 @@ def main() -> None:
     out["exact_shuffle_rows_total"] = int(exact["n"].sum())
 
     # k-means: 1M x 64, k=32, 4 full-corpus Lloyd iterations
-    from searchengine_ray.stages.kmeans import kmeans_fit
+    from searchengine_ray.stages.kmeans import (
+        kmeans_assign, kmeans_fit, semantic_dedup_pairs)
     t0 = time.perf_counter()
     cent = kmeans_fit(rd.read_parquet(EMB_PATH), num_clusters=KCENT,
                       iters=4, seed=5)
     out["kmeans_1m_fit_sec"] = round(time.perf_counter() - t0, 2)
     out["kmeans_shape"] = list(cent.shape)
+
+    # end-to-end SemDeDup at 1M: fit k=1024, assign, within-cluster pairs;
+    # recall = fraction of the 10k planted duplicate pairs recovered
+    t0 = time.perf_counter()
+    dedup_ds = rd.read_parquet(DEDUP_PATH)
+    cent2 = kmeans_fit(dedup_ds, num_clusters=K_SEMANTIC, iters=2, seed=5)
+    assigned = kmeans_assign(dedup_ds, cent2)
+    pairs = semantic_dedup_pairs(assigned, threshold=0.9).to_pandas()
+    out["semdedup_1m_sec"] = round(time.perf_counter() - t0, 2)
+    out["semdedup_pairs"] = int(len(pairs))
+    planted = {(i, 2_000_000 + i) for i in range(N_PLANTED)}
+    got = set(zip(pairs["id_a"], pairs["id_b"]))
+    out["semdedup_planted_recall"] = round(
+        len(planted & got) / N_PLANTED, 4)
 
     print(json.dumps(out))
     ray.shutdown()

@@ -31,9 +31,87 @@ import pandas as pd
 import ray
 from ray.data import Dataset
 
-from searchengine_ray.stages.knn import _assign_lists, build_centroids
+import pyarrow as pa
+
+from searchengine_ray.stages.knn import build_centroids
 from searchengine_ray.stages.relational import (
     bucketed_map_groups, pre_aggregate)
+
+
+def _emb_matrix(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Dense (n, d) float64 from an Arrow list column WITHOUT per-row
+    Python: uniform-width list/fixed-size-list columns reshape straight
+    off the values buffer (one vectorized astype); only ragged input
+    falls back to the per-row stack.  This is why the batch stages here
+    take ``batch_format="pyarrow"`` — a pandas batch has already paid
+    the per-cell ndarray conversion before the stage sees it."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if isinstance(col, pa.FixedSizeListArray):
+        d = col.type.list_size
+        flat = np.asarray(col.values, dtype=np.float64)
+        off = col.offset * d
+        return flat[off:off + len(col) * d].reshape(len(col), d)
+    if isinstance(col, (pa.ListArray, pa.LargeListArray)):
+        off = np.asarray(col.offsets, dtype=np.int64)
+        widths = np.diff(off)
+        if widths.size and (widths == widths[0]).all():
+            flat = np.asarray(col.values, dtype=np.float64)
+            return flat[off[0]:off[-1]].reshape(len(col), int(widths[0]))
+    return np.stack([np.asarray(e, dtype=np.float64)
+                     for e in col.to_pylist()])
+
+
+# Per-worker-process reusable workspaces (same discipline as
+# minhash.batch_signatures / simhash.batch_simhash — see CLAUDE.md: this
+# host first-touch page-faults fresh allocations at ~8 MB/s, so a
+# batch×k scores buffer allocated per batch dominates the kernel at
+# large k; measured 207 s → see BASELINE.md for the reusable-buffer
+# number at k=1024).  Ray workers run one task at a time, so the module
+# dict is race-free.
+_WS: dict = {}
+
+
+def _ws(key: str, shape: tuple) -> np.ndarray:
+    buf = _WS.get(key)
+    if buf is None or buf.shape[0] < shape[0] or buf.shape[1:] != shape[1:]:
+        buf = np.empty(shape, dtype=np.float64)
+        _WS[key] = buf
+    return buf[:shape[0]]
+
+
+def _emb_matrix_ws(col, key: str) -> np.ndarray:
+    """``_emb_matrix`` casting into a reused buffer on the uniform-width
+    fast path (assignment casts in place; no fresh float64 allocation)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = d = None
+    if isinstance(col, pa.FixedSizeListArray):
+        d = col.type.list_size
+        off = col.offset * d
+        flat = np.asarray(col.values)[off:off + len(col) * d]
+    elif isinstance(col, (pa.ListArray, pa.LargeListArray)):
+        offs = np.asarray(col.offsets, dtype=np.int64)
+        widths = np.diff(offs)
+        if widths.size and (widths == widths[0]).all():
+            d = int(widths[0])
+            flat = np.asarray(col.values)[offs[0]:offs[-1]]
+    if flat is None:
+        return _emb_matrix(col)
+    out = _ws(key, (len(col), d))
+    out.reshape(-1)[:] = flat  # casts float32→float64 into the buffer
+    return out
+
+
+def _nearest(emb: np.ndarray, c: np.ndarray, key: str) -> np.ndarray:
+    """argmin ||x-c||² via the matmul identity, scores in a reused
+    buffer: scores = ||c||² − 2·x·cᵀ (no n×k×d temporary, no fresh n×k
+    allocation)."""
+    scores = _ws(key, (emb.shape[0], c.shape[0]))
+    np.matmul(emb, c.T, out=scores)
+    scores *= -2.0
+    scores += (c * c).sum(1)[None, :]
+    return scores.argmin(1)
 
 
 # Below this corpus row count the per-iteration partials reduce on the
@@ -50,6 +128,7 @@ def kmeans_fit(
     iters: int = 4, seed: int = 5, max_sample: int = 4096,
     tol: float = 1e-9,
     driver_reduce_max_rows: int = DRIVER_REDUCE_MAX_ROWS,
+    batch_size: int = 65536,
 ) -> np.ndarray:
     """Centroids (k × d float64) from sampled init + full-corpus Lloyd's.
 
@@ -76,14 +155,13 @@ def kmeans_fit(
     for _ in range(iters):
         cent_ref = ray.put(cent)
 
-        def partial(df: pd.DataFrame) -> pd.DataFrame:
+        def partial(t: pa.Table) -> pd.DataFrame:
             c = ray.get(cent_ref)  # plasma-local, zero-copy
-            emb = np.stack([np.asarray(e, dtype=np.float64)
-                            for e in df[emb_col]])
-            scores = (c * c).sum(1)[None, :] - 2.0 * (emb @ c.T)
-            a = scores.argmin(1)
-            sums = np.zeros((k, d), dtype=np.float64)
-            np.add.at(sums, a, emb)
+            emb = _emb_matrix_ws(t[emb_col], "fit_emb")
+            a = _nearest(emb, c, "fit_scores")
+            sums = _ws("fit_sums", (k, d))
+            for j in range(d):  # d vectorized bincounts beat an n×d scatter
+                sums[:, j] = np.bincount(a, weights=emb[:, j], minlength=k)
             cnt = np.bincount(a, minlength=k).astype(np.float64)
             present = np.nonzero(cnt > 0)[0]
             block = np.hstack([sums[present], cnt[present, None]])  # p×(d+1)
@@ -93,7 +171,11 @@ def kmeans_fit(
                                present.size),
                 "s": block.ravel()})
 
-        partials = ds.map_batches(partial, batch_format="pandas")
+        # explicit batch_size: Ray's 1024-row default would mean ~1000
+        # tiny matmuls + 1000 partial emissions per 1M rows — one 65536-row
+        # batch is a single well-shaped BLAS call and one k×(d+1) partial
+        partials = ds.map_batches(partial, batch_format="pyarrow",
+                                  batch_size=batch_size)
         if driver_reduce:
             # ≤ ceil(n/batch) × k×(d+1) rows, bounded by the route threshold
             agg = (partials.to_pandas()
@@ -117,20 +199,20 @@ def kmeans_fit(
 
 def kmeans_assign(
     ds: Dataset, centroids: np.ndarray, emb_col: str = "embedding",
-    out_col: str = "cluster_id",
+    out_col: str = "cluster_id", batch_size: int = 65536,
 ) -> Dataset:
     """Attach each row's nearest-centroid id — one map-batches pass, the
     centroid table broadcast once via ``ray.put``."""
     cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
-    assign = _assign_lists(cent_ref, emb_col)
 
-    def with_col(df: pd.DataFrame) -> pd.DataFrame:
-        out = assign(df)
-        if out_col != "list_id":
-            out = out.rename(columns={"list_id": out_col})
-        return out
+    def with_col(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)  # plasma-local, zero-copy
+        emb = _emb_matrix_ws(t[emb_col], "assign_emb")
+        a = _nearest(emb, c, "assign_scores")
+        return t.append_column(out_col, pa.array(a.astype(np.int64)))
 
-    return ds.map_batches(with_col, batch_format="pandas")
+    return ds.map_batches(with_col, batch_format="pyarrow",
+                          batch_size=batch_size)
 
 
 def semantic_dedup_pairs(
