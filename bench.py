@@ -126,6 +126,7 @@ def main() -> None:
         "semantic_dedup": Q.q_semantic_dedup,
         "distinct_users_hll": Q.q_distinct_users_hll,
         "ngram_containment": Q.q_ngram_containment,
+        "fingerprint_neardup": Q.q_fingerprint_neardup,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

@@ -105,6 +105,131 @@ def rolling_fingerprint(text: str, window: int = 64, keep_mod: int = 8) -> list[
     return out
 
 
+# Per-worker-process reusable int64 workspaces — same discipline as
+# minhash.batch_signatures / simhash.batch_simhash (fresh big allocations
+# first-touch-fault at ~8 MB/s on this host; Ray workers run one task at
+# a time so the module dict is race-free).
+_FP_WS: dict[str, np.ndarray] = {}
+_FP_BLOCK = 1 << 15  # tap-loop cache block (positions); tuned on-host
+
+
+def _fp_buf(key: str, n: int) -> np.ndarray:
+    buf = _FP_WS.get(key)
+    if buf is None or buf.shape[0] < n:
+        buf = np.empty(max(n, 1 << 16), dtype=np.int64)
+        _FP_WS[key] = buf
+    return buf[:n]
+
+
+def batch_fingerprints(
+    texts, window: int = 64, keep_mod: int = 8
+) -> list[list[int]]:
+    """Vectorized ``[rolling_fingerprint(t) for t in texts]`` — pinned
+    BIT-IDENTICAL to the per-doc path by tests/test_minhash_simhash.py.
+
+    All long docs' bytes concatenate into one int64 workspace; the
+    window hash at every position is a 64-tap modular correlation
+    h_i = Σ_k d[i-k]·B^k (mod 2^61-1), computed int64-overflow-safely by
+    splitting the precomputed powers into 31/30-bit halves (products
+    ≤ 2^39, 64-term sums ≤ 2^45) and folding with the Mersenne identity
+    2^61 ≡ 1 (mod p).  Windows straddling a doc boundary are masked out;
+    docs shorter than ``window`` take the trivial sequential path
+    (< 64 bytes each).  No uint64 anywhere (this host's uint64 kernels
+    run 100-300× slower than int64 — see CLAUDE.md)."""
+    datas = [(t or "").encode("utf-8", "ignore") for t in texts]
+    out: list = [None] * len(datas)
+    long_idx = []
+    for j, db in enumerate(datas):
+        if len(db) < window:
+            h = 0
+            for b in db:
+                h = (h * _FP_BASE + b) % _FP_MOD
+            out[j] = [h] if db else []
+        else:
+            long_idx.append(j)
+    if not long_idx:
+        return out
+
+    lens = np.array([len(datas[j]) for j in long_idx], dtype=np.int64)
+    starts = np.zeros(len(long_idx) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    n = int(starts[-1])
+    d = _fp_buf("bytes", n)
+    for s, j in zip(starts[:-1].tolist(), long_idx):
+        db = datas[j]
+        d[s:s + len(db)] = np.frombuffer(db, dtype=np.uint8)
+
+    pw = np.empty(window, dtype=np.int64)
+    v = 1
+    for k in range(window):
+        pw[k] = v
+        v = (v * _FP_BASE) % _FP_MOD
+    p_lo = pw & ((1 << 31) - 1)   # < 2^31
+    p_hi = pw >> 31               # < 2^30
+
+    m = n - window + 1            # window START positions (global)
+    acc_lo = _fp_buf("acc_lo", m)
+    acc_hi = _fp_buf("acc_hi", m)
+    acc_lo[:] = 0
+    acc_hi[:] = 0
+    tmp = _fp_buf("tmp", min(m, _FP_BLOCK))
+    # cache-blocked taps: all 64 taps run over one ~256 KB position block
+    # while it is L2-hot (measured 2× over the flat whole-array passes)
+    for s in range(0, m, _FP_BLOCK):
+        e = min(s + _FP_BLOCK, m)
+        al, ah, tm = acc_lo[s:e], acc_hi[s:e], tmp[:e - s]
+        for k in range(window):
+            seg = d[s + window - 1 - k:e + window - 1 - k]  # d[i-k]
+            np.multiply(seg, p_lo[k], out=tm)
+            al += tm
+            np.multiply(seg, p_hi[k], out=tm)
+            ah += tm
+    # (acc_hi·2^31 + acc_lo) mod p with p = 2^61-1:  acc_hi = a1·2^30 + a0
+    # ⇒ acc_hi·2^31 = a1·2^61 + a0·2^31 ≡ a1 + a0·2^31 (mod p)
+    a0 = _fp_buf("a0", m)
+    np.bitwise_and(acc_hi, (1 << 30) - 1, out=a0)
+    acc_hi >>= 30                            # a1 < 2^14, in place
+    a0 <<= 31                                # < 2^61
+    t = acc_lo
+    t += a0
+    t += acc_hi                              # < 2^62: fold once
+    h = acc_hi                               # reuse as the output buffer
+    np.right_shift(t, 61, out=h)
+    np.bitwise_and(t, _FP_MOD, out=a0)
+    h += a0
+    h[h >= _FP_MOD] -= _FP_MOD
+
+    if keep_mod & (keep_mod - 1) == 0:
+        np.bitwise_and(h, keep_mod - 1, out=a0)
+    else:
+        np.remainder(h, keep_mod, out=a0)
+    keep = _FP_WS.get("keep")
+    if keep is None or keep.shape[0] < m:
+        keep = np.empty(max(m, 1 << 16), dtype=bool)
+        _FP_WS["keep"] = keep
+    keep = keep[:m]
+    np.equal(a0, 0, out=keep)
+    # window [m, m+window-1] valid iff it lies inside one doc:
+    # start_j ≤ m (automatic: m's byte is in doc j) and m ≤ end_j - window
+    # ⇔ m < valid-position count of its doc's prefix; per-doc fills into
+    # reused buffers (ndocs tiny vs m — no np.repeat allocation)
+    doc = _fp_buf("doc", m)
+    st = starts[:-1].tolist()
+    en = starts[1:].tolist()
+    for jj in range(len(long_idx)):
+        s_j = st[jj]
+        doc[s_j:min(en[jj], m)] = jj
+        # mask the last window-1 positions of the doc (straddle next doc)
+        lo = max(en[jj] - window + 1, s_j)
+        keep[lo:min(en[jj], m)] = False
+    kept_doc = doc[keep]
+    kept_h = h[keep]
+    bounds = np.searchsorted(kept_doc, np.arange(len(long_idx) + 1))
+    for jj, j in enumerate(long_idx):
+        out[j] = kept_h[bounds[jj]:bounds[jj + 1]].tolist()
+    return out
+
+
 def cosine_topk(
     embeddings: np.ndarray, query: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:

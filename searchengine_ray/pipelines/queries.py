@@ -918,6 +918,61 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+# --- 16a. winnowing-fingerprint copy detection (scratch-table SQL gate) ------
+
+# the engine materializes its distinct (doc_id, fp) winnowing fingerprints
+# here (UNCAPPED); the oracle SQL re-derives the pair semantics — hot-fp
+# df cap, shared-count threshold, overlap = shared/min(|A|,|B|) — from the
+# same table, so the distributed set-overlap pipeline is oracle-gated
+# while the rolling-hash values stay engine-side (pinned separately
+# bit-identical to the per-doc reference kernel by pytest)
+_FP_SCRATCH = "/tmp/graft_scratch/fingerprint_docs"
+_FP_MIN_SHARED = 4
+_FP_DF_CAP = 64
+
+
+def q_fingerprint_neardup(sf_dir: str):
+    """Winnowing-fingerprint copy detection (MOSS family): doc pairs
+    sharing ≥ 4 distinct content-defined 64-byte-window fingerprints —
+    the insertion/deletion-tolerant verbatim-copy measure sampled at
+    ~1/8 the exploded volume of full shingling.  Distinct fingerprints
+    are written once to the scratch table (read by the oracle SQL); the
+    pairs come from the same distributed set-overlap core as
+    ``ngram_jaccard``."""
+    import shutil
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    fps = dedup_stage.explode_fingerprints(ds)
+
+    def to_scratch(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "fp": df["sh"].to_numpy()})
+
+    shutil.rmtree(_FP_SCRATCH, ignore_errors=True)
+    fps.map_batches(to_scratch, batch_format="pandas").write_parquet(
+        _FP_SCRATCH)
+    return dedup_stage.fingerprint_overlap_pairs(
+        ds, min_shared=_FP_MIN_SHARED, max_fp_df=_FP_DF_CAP)
+
+
+SQL_FINGERPRINT_NEARDUP = f"""
+WITH fps AS (SELECT doc_id, fp
+             FROM read_parquet('{_FP_SCRATCH}/*.parquet')),
+hot AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) > {_FP_DF_CAP}),
+capped AS (SELECT * FROM fps WHERE fp NOT IN (SELECT fp FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(count(*) AS BIGINT) AS shared,
+       round(count(*) / least(min(sa.n), min(sb.n)), 6) AS overlap
+FROM capped a
+JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+JOIN sizes sa ON sa.doc_id = a.doc_id
+JOIN sizes sb ON sb.doc_id = b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= {_FP_MIN_SHARED}
+"""
+
+
 # --- 16b. multimodal image stages (SQL-checked per-row invariant gate) -------
 
 def q_image_pipeline(sf_dir: str):
@@ -1742,6 +1797,7 @@ QUERIES = {
     "image_pipeline": q_image_pipeline,
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
+    "fingerprint_neardup": q_fingerprint_neardup,
     "neardup_clusters": q_neardup_clusters,
     "neardup_survivors": q_neardup_survivors,
     "embedding_neardup": q_embedding_neardup,
@@ -1806,6 +1862,7 @@ ORACLE_SQL = {
     "events_sliding_1h": SQL_EVENTS_SLIDING_1H,
     "knn_ivf": SQL_KNN,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
+    "fingerprint_neardup": SQL_FINGERPRINT_NEARDUP,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,
     "neardup_survivors": SQL_NEARDUP_SURVIVORS,
     "image_pipeline": SQL_IMAGE_PIPELINE,

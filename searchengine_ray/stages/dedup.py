@@ -300,45 +300,44 @@ def verify_jaccard_pairs(
 DEFAULT_MAX_SHINGLE_DF = 64
 
 
-def _ngram_pair_counts(
-    ds: Dataset, shingle_n: int = 3,
-    text_col: str = "text", id_col: str = "doc_id",
-    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+def _set_overlap_pair_counts(
+    ds: Dataset, explode_fn, max_df: int | None,
 ) -> Dataset:
-    """(doc_a, doc_b, shared, na, nb) for every doc pair sharing ≥1 shingle
-    — the common core of the set-overlap dedup family (jaccard /
-    containment finishers divide these counts differently).
+    """(doc_a, doc_b, shared, na, nb) for every doc pair sharing ≥1 set
+    element — the common core of the set-overlap dedup family (jaccard /
+    containment / fingerprint-overlap finishers divide these counts
+    differently).  ``explode_fn(ds, drop_ref)`` must yield distinct
+    (doc_id, sh, n) rows (n = the doc's capped set size, riding along).
 
-    Any overlapping pair shares ≥1 shingle, so: explode distinct
-    (doc, shingle_hash) → ``groupby(shingle)`` emits co-occurring pairs →
-    ``groupby(pair)`` counts shared shingles, sizes riding along.  No
-    pairwise scan ever touches non-overlapping docs — the distributed form
-    of the reference's O(N²) loop (ngrams.py:88-101).
+    Any overlapping pair shares ≥1 element, so: explode →
+    ``groupby(sh)`` emits co-occurring pairs → ``groupby(pair)`` counts
+    shared elements.  No pairwise scan ever touches non-overlapping docs —
+    the distributed form of the reference's O(N²) loop (ngrams.py:88-101).
 
-    ``max_shingle_df``: a shingle shared by k docs emits O(k²) pairs, so a
-    stop-phrase shingle is a blowup.  Shingles with document frequency >
-    this cap are DROPPED — from pair generation AND from the set sizes, so
-    the overlap measures stay internally consistent (each oracle SQL
-    applies the same cap).  ``None`` disables (exact reference semantics;
-    the MinHash verify path uses uncapped sets)."""
+    ``max_df``: an element shared by k docs emits O(k²) pairs, so a
+    stop-phrase shingle / boilerplate fingerprint is a blowup.  Elements
+    with document frequency > this cap are DROPPED — from pair generation
+    AND from the set sizes, so the overlap measures stay internally
+    consistent (each oracle SQL applies the same cap).  ``None`` disables
+    (exact reference semantics; the MinHash verify path uses uncapped
+    sets)."""
     from searchengine_ray.stages.relational import pre_aggregate
 
     drop_ref = None
-    if max_shingle_df is not None:
-        # pass 1: shingle document frequencies → the HOT set (few by
+    if max_df is not None:
+        # pass 1: element document frequencies → the HOT set (few by
         # definition: each has df > cap, so ≤ n_rows/cap of them reach the
         # driver).  pass 2 re-explodes with the hot set excluded, so the
         # per-doc sizes it emits count the CAPPED sets.
-        raw = explode_shingles(ds, shingle_n, text_col, id_col)
+        raw = explode_fn(ds, None)
         dfc = pre_aggregate(raw, ["sh"], {"df": (None, "count")})
         hot = dfc.map_batches(
-            lambda df: df[df["df"] > max_shingle_df][["sh"]],
+            lambda df: df[df["df"] > max_df][["sh"]],
             batch_format="pandas").to_pandas()
         if len(hot):
             drop_ref = ray.put(np.sort(hot["sh"].to_numpy(dtype=np.int64)))
 
-    exploded = explode_shingles(ds, shingle_n, text_col, id_col,
-                                drop_ref=drop_ref)
+    exploded = explode_fn(ds, drop_ref)
 
     from searchengine_ray.stages.relational import bucketed_apply
 
@@ -356,6 +355,113 @@ def _ngram_pair_counts(
     return pre_aggregate(pair_rows, ["doc_a", "doc_b"],
                          {"shared": (None, "count"),
                           "na": ("na", "min"), "nb": ("nb", "min")})
+
+
+def _ngram_pair_counts(
+    ds: Dataset, shingle_n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id",
+    max_shingle_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> Dataset:
+    """Shingle-set instantiation of ``_set_overlap_pair_counts``."""
+    return _set_overlap_pair_counts(
+        ds,
+        lambda d, drop_ref: explode_shingles(d, shingle_n, text_col,
+                                             id_col, drop_ref=drop_ref),
+        max_shingle_df)
+
+
+def explode_fingerprints(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id",
+    window: int = 64, keep_mod: int = 8, drop_ref=None,
+) -> Dataset:
+    """Distinct (doc_id, sh, n) rows where ``sh`` is a winnowing
+    rolling-hash fingerprint (``textstats.batch_fingerprints`` — the
+    vectorized cache-blocked kernel) and ``n`` the doc's distinct-
+    fingerprint count after the optional hot-fingerprint drop.  Same
+    output contract as ``explode_shingles`` so the set-overlap core
+    serves both families."""
+    from searchengine_ray.functions.textstats import batch_fingerprints
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        drop = ray.get(drop_ref) if drop_ref is not None else None
+        fps = batch_fingerprints(list(df[text_col]), window, keep_mod)
+        ndocs = len(fps)
+        lens = np.fromiter((len(f) for f in fps), dtype=np.int64,
+                           count=ndocs)
+        flat = (np.concatenate([np.asarray(f, dtype=np.int64)
+                                for f in fps if f])
+                if lens.sum() else np.array([], dtype=np.int64))
+        doc_idx = np.repeat(np.arange(ndocs, dtype=np.int64), lens)
+        # distinct per doc: one lexsort over the batch, consecutive-dup mask
+        if flat.size:
+            order = np.lexsort((flat, doc_idx))
+            flat = flat[order]
+            doc_idx = doc_idx[order]
+            first = np.empty(flat.size, dtype=bool)
+            first[0] = True
+            np.not_equal(flat[1:], flat[:-1], out=first[1:])
+            first[1:] |= doc_idx[1:] != doc_idx[:-1]
+            flat = flat[first]
+            doc_idx = doc_idx[first]
+        if drop is not None and drop.size and flat.size:
+            keep = ~np.isin(flat, drop)
+            flat = flat[keep]
+            doc_idx = doc_idx[keep]
+        lens = np.bincount(doc_idx, minlength=ndocs).astype(np.int64)
+        doc_ids = df[id_col].to_numpy()
+        if doc_ids.dtype.kind in "iu":
+            doc_ids = doc_ids.astype(np.int64, copy=False)
+        return pd.DataFrame({"doc_id": doc_ids[doc_idx],
+                             "sh": flat,
+                             "n": lens[doc_idx]})
+
+    return ds.map_batches(explode, batch_format="pandas", batch_size=1024)
+
+
+def fingerprint_overlap_pairs(
+    ds: Dataset, min_shared: int = 4,
+    window: int = 64, keep_mod: int = 8,
+    text_col: str = "text", id_col: str = "doc_id", round_to: int = 6,
+    max_fp_df: int | None = DEFAULT_MAX_SHINGLE_DF,
+) -> Dataset:
+    """Winnowing-fingerprint copy detection (the MOSS/Rabin family —
+    Schleimer, Wilkerson & Aiken, SIGMOD 2003): docs sharing ≥
+    ``min_shared`` distinct content-defined fingerprints, with
+    ``overlap`` = shared/min(|A|,|B|).
+
+    Where shingle Jaccard measures whole-set resemblance over EVERY
+    token n-gram, winnowing samples ~1/keep_mod of the byte-window
+    hashes content-defined, so matching survives insertion/deletion
+    shifts at keep_mod× less exploded volume — the copy-detection
+    trade-off a 100-TB pass wants.  Same distributed set-overlap core
+    as ``ngram_jaccard_pairs`` (hot-element df cap mirrored in the
+    oracle SQL); the SQL gate checks the pair semantics over the
+    engine-materialized (doc_id, fp) scratch table, like
+    ``simhash_pairs``."""
+    counted = _set_overlap_pair_counts(
+        ds,
+        lambda d, drop_ref: explode_fingerprints(
+            d, text_col, id_col, window, keep_mod, drop_ref=drop_ref),
+        max_fp_df)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                "shared": pd.Series([], dtype=np.int64),
+                "overlap": pd.Series([], dtype=np.float64)})
+        shared = df["shared"].to_numpy(dtype=np.int64)
+        keep = shared >= min_shared
+        mn = np.minimum(df["na"].to_numpy(dtype=np.float64),
+                        df["nb"].to_numpy(dtype=np.float64))[keep]
+        return pd.DataFrame({
+            "doc_a": df["doc_a"].to_numpy()[keep],
+            "doc_b": df["doc_b"].to_numpy()[keep],
+            "shared": shared[keep],
+            "overlap": np.round(shared[keep] / mn, round_to)})
+
+    return counted.map_batches(finish, batch_format="pandas")
 
 
 def ngram_jaccard_pairs(

@@ -159,8 +159,12 @@ class TextFeatures:
 
 
 def fingerprint_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
-    """Winnowing rolling-hash fingerprints + a whole-doc stable hash."""
+    """Winnowing rolling-hash fingerprints + a whole-doc stable hash.
+
+    Fingerprints via the vectorized batch kernel (cache-blocked modular
+    correlation over the batch's concatenated bytes — pinned bit-identical
+    to the per-doc ``rolling_fingerprint`` by tests)."""
     out = df.copy()
-    out["fingerprints"] = [textstats.rolling_fingerprint(t or "") for t in df[text_col]]
+    out["fingerprints"] = textstats.batch_fingerprints(list(df[text_col]))
     out["content_hash"] = [stable_hash64(t or "") for t in df[text_col]]
     return out

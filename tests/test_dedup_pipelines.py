@@ -164,3 +164,32 @@ def test_containment_catches_inclusion_jaccard_misses(ray_session):
     b = shingle_hashes(simple_tokens(long_doc), 3)
     want = round(len(a & b) / min(len(a), len(b)), 6)
     assert con["containment"].iloc[0] == want
+
+
+def test_fingerprint_overlap_detects_shifted_copy(ray_session):
+    """Winnowing copy detection: a verbatim passage pasted at a DIFFERENT
+    byte offset inside another doc must still match (content-defined
+    sampling is shift-tolerant), unrelated docs must not.  Values are
+    cross-checked against a per-doc set-arithmetic oracle."""
+    from searchengine_ray.functions.textstats import rolling_fingerprint
+    from searchengine_ray.stages.dedup import fingerprint_overlap_pairs
+
+    passage = ("the training corpus deduplication pass removes verbatim "
+               "copies wherever they appear in the stream " * 4)
+    doc_a = "intro words. " + passage + " closing remarks."
+    doc_b = ("a completely different and much longer preamble comes "
+             "first here, then the copied part: " + passage)
+    other = " ".join(f"unrelated token {i} noise" for i in range(60))
+    df = pd.DataFrame({"doc_id": [10, 20, 30],
+                       "text": [doc_a, doc_b, other]})
+    ds = rd.from_pandas(df).repartition(2)
+
+    out = fingerprint_overlap_pairs(ds, min_shared=4).to_pandas()
+    assert set(zip(out["doc_a"], out["doc_b"])) == {(10, 20)}
+
+    fa = set(rolling_fingerprint(doc_a))
+    fb = set(rolling_fingerprint(doc_b))
+    shared = len(fa & fb)
+    row = out.iloc[0]
+    assert row["shared"] == shared
+    assert row["overlap"] == round(shared / min(len(fa), len(fb)), 6)

@@ -86,6 +86,34 @@ def test_rolling_fingerprint_deterministic_and_shift_tolerant():
     assert inter / max(1, len(set(f1))) > 0.8
 
 
+def test_batch_fingerprints_bit_identical_to_per_doc():
+    """The vectorized batch kernel (cache-blocked modular correlation over
+    concatenated bytes) must equal the per-doc rolling hash EXACTLY —
+    boundary shapes: empty, sub-window, == window, window±1, multi-byte
+    utf-8, and a mixed random batch (incl. non-default window/keep_mod)."""
+    import random
+
+    from searchengine_ray.functions.textstats import batch_fingerprints
+
+    rng = random.Random(7)
+    cases = ["", "a", "x" * 63, "y" * 64, "z" * 65,
+             "the quick brown fox " * 20, "日本語テキストのサンプル" * 12]
+    for _ in range(120):
+        n = rng.randrange(0, 400)
+        cases.append("".join(chr(rng.randrange(32, 0x3000))
+                             for _ in range(n)))
+    assert batch_fingerprints(cases) == [rolling_fingerprint(t)
+                                         for t in cases]
+    assert (batch_fingerprints(cases, window=16, keep_mod=5)
+            == [rolling_fingerprint(t, window=16, keep_mod=5)
+                for t in cases])
+    # spans multiple cache blocks (> _FP_BLOCK positions in one doc)
+    giant = ["word%d " % i for i in range(12000)]
+    giant = ["".join(giant), "tail doc " * 30]
+    assert batch_fingerprints(giant) == [rolling_fingerprint(t)
+                                         for t in giant]
+
+
 def test_cosine_topk():
     emb = np.array([[1, 0], [0, 1], [0.9, 0.1], [-1, 0]], dtype=np.float64)
     idx, scores = cosine_topk(emb, np.array([1.0, 0.0]), 2)
