@@ -127,6 +127,8 @@ def main() -> None:
         "distinct_users_hll": Q.q_distinct_users_hll,
         "ngram_containment": Q.q_ngram_containment,
         "fingerprint_neardup": Q.q_fingerprint_neardup,
+        "decontaminate": Q.q_decontaminate,
+        "redact_entities": Q.q_redact_entities,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

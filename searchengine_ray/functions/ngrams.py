@@ -53,6 +53,19 @@ def shingle_hashes(
     return {stable_hash64("".join(t)) for t in n_gram(tokens, n)}
 
 
+def overlapping_gram_hashes(tokens: list[str], k: int) -> set[int]:
+    """Distinct stable 64-bit hashes of the OVERLAPPING k-token grams
+    (stride 1, no trailing partial) — the decontamination unit (GPT-3-style
+    benchmark n-gram overlap, Brown et al. 2020 App. C).  Unlike the
+    reference's dedup shingles (non-overlapping, joined with no separator),
+    grams here are space-joined so token boundaries are unambiguous and the
+    SQL mirror is a plain ``array_to_string(ts[i:i+k], ' ')``."""
+    return {
+        stable_hash64(" ".join(tokens[i : i + k]))
+        for i in range(0, len(tokens) - k + 1)
+    }
+
+
 def jaccard(a: set[int], b: set[int]) -> float:
     """|A∩B| / |A∪B| (reference ngrams.py:69-77).  Defined as 0.0 when both
     sets are empty (the reference would divide by zero — intent per

@@ -1765,6 +1765,100 @@ WHERE rn = 1
 """
 
 
+# --- 26. benchmark decontamination (stages/decontam.py) --------------------
+
+
+def q_decontaminate(sf_dir: str):
+    """GPT-3-style benchmark decontamination: flag every TRAIN-split doc
+    that shares any overlapping 4-token gram with the TEST split (the
+    benchmark stand-in — at 100 TB the benchmark side is an eval suite,
+    small by nature).  Benchmark grams collect once → ``ray.put`` → the
+    train side is a map-only vectorized searchsorted probe, zero shuffle."""
+    from searchengine_ray.stages import decontam
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    split_ds = sampling.hash_split(
+        docs, "doc_id", "split42",
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+
+    def only(name):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["split"] == name].drop(columns=["split"])
+        return f
+
+    bench = split_ds.map_batches(only("test"), batch_format="pandas")
+    train = split_ds.map_batches(only("train"), batch_format="pandas")
+    ref = decontam.collect_bench_grams(bench, gram_k=4)
+    return decontam.decontaminate(train, ref, gram_k=4)
+
+
+SQL_DECONTAMINATE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, len(ts) - 3),
+                               i -> array_to_string(ts[i+1:i+4], ' '))) AS g
+  FROM toks WHERE len(ts) >= 4),
+split AS (
+  SELECT doc_id,
+         CASE WHEN hx < '{_T_TRAIN}' THEN 'train'
+              WHEN hx < '{_T_VAL}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               substr(sha256(CAST(doc_id AS VARCHAR) || ':split42'), 1, 12) AS hx
+        FROM documents)),
+bench AS (
+  SELECT DISTINCT g FROM grams JOIN split USING (doc_id)
+  WHERE split = 'test'),
+hits AS (
+  SELECT grams.doc_id, count(*) AS n_shared
+  FROM grams JOIN bench USING (g) GROUP BY grams.doc_id)
+SELECT s.doc_id,
+       CAST(coalesce(h.n_shared, 0) AS BIGINT) AS n_shared,
+       h.n_shared IS NOT NULL AS contaminated
+FROM split s LEFT JOIN hits h USING (doc_id)
+WHERE s.split = 'train'
+"""
+
+
+# --- 27. regex redaction (functions/redact.py) ------------------------------
+
+# the synthetic corpus has no emails/phones (DEFAULT_PII_PATTERNS are pinned
+# by tests/test_redact.py on crafted strings); the gated query masks a
+# corpus-relevant entity shape with the same machinery.  RE2 on both sides.
+_REDACT_PATTERNS = [("entity", r"\bcustomer [a-z]+"),
+                    ("metric", r"\b(?:fast|slow) (?:query|scan)\b")]
+
+
+def q_redact_entities(sf_dir: str):
+    """PII-scrub-shaped redaction: mask entity patterns, count matches —
+    map-only Arrow RE2 kernels, zero shuffle, zero Python per row."""
+    from searchengine_ray.functions.redact import redact
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    out = redact(ds, text_col="text", patterns=_REDACT_PATTERNS)
+    return out.select_columns(["doc_id", "clean", "n_redacted"])
+
+
+SQL_REDACT_ENTITIES = r"""
+WITH s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '\bcustomer [a-z]+')) AS n1,
+         regexp_replace(text, '\bcustomer [a-z]+', '<ENTITY>', 'g') AS t1
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(t1, '\b(?:fast|slow) (?:query|scan)\b',
+                      '<METRIC>', 'g') AS clean,
+       CAST(n1 + len(regexp_extract_all(t1, '\b(?:fast|slow) (?:query|scan)\b'))
+            AS BIGINT) AS n_redacted
+FROM s1
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -1820,6 +1914,8 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "weighted_mix": q_weighted_mix,
     "pack_sequences": q_pack_sequences,
+    "decontaminate": q_decontaminate,
+    "redact_entities": q_redact_entities,
 }
 
 ORACLE_SQL = {
@@ -1874,6 +1970,8 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "weighted_mix": SQL_WEIGHTED_MIX,
     "pack_sequences": SQL_PACK_SEQUENCES,
+    "decontaminate": SQL_DECONTAMINATE,
+    "redact_entities": SQL_REDACT_ENTITIES,
     # crawl_bfs (stateful sequential-gate semantics) is the one remaining
     # non-SQL-expressible entry → rows-only check; its semantics are pinned
     # by the crawl conformance suite (tests/test_crawl.py incl. fuzz)
