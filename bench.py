@@ -129,6 +129,7 @@ def main() -> None:
         "fingerprint_neardup": Q.q_fingerprint_neardup,
         "decontaminate": Q.q_decontaminate,
         "redact_entities": Q.q_redact_entities,
+        "quantile_filter": Q.q_quantile_filter,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

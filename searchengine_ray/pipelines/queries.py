@@ -1859,6 +1859,34 @@ FROM s1
 """
 
 
+# --- 28. global-quantile threshold filter (stages/sketches.py exact path) --
+
+
+def q_quantile_filter(sf_dir: str):
+    """Percentile-threshold filtering (the "keep rows above the global p75"
+    quality-gate shape): the threshold comes from
+    ``exact_global_quantile`` — iterative distributed histogram refinement,
+    O(bins) driver rows per pass, 2-3 streaming passes at any scale, never a
+    global sort or a driver materialization — then one map-only filter."""
+    from searchengine_ray.stages.sketches import exact_global_quantile
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "value"])
+    thr = exact_global_quantile(ds, "value", 0.75)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.greater_equal(batch["value"],
+                                             pa.scalar(thr)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+SQL_QUANTILE_FILTER = """
+SELECT event_id, value FROM events
+WHERE value >= (SELECT quantile_cont(value, 0.75) FROM events)
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -1916,6 +1944,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "redact_entities": q_redact_entities,
+    "quantile_filter": q_quantile_filter,
 }
 
 ORACLE_SQL = {
@@ -1972,6 +2001,7 @@ ORACLE_SQL = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
     "redact_entities": SQL_REDACT_ENTITIES,
+    "quantile_filter": SQL_QUANTILE_FILTER,
     # crawl_bfs (stateful sequential-gate semantics) is the one remaining
     # non-SQL-expressible entry → rows-only check; its semantics are pinned
     # by the crawl conformance suite (tests/test_crawl.py incl. fuzz)

@@ -361,3 +361,148 @@ def heavy_hitters_approx(
     cand["est_floor"] = cand["est"].clip(lower=0.0)
     return (cand.sort_values(["est", col], ascending=[False, True])
             .reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Exact GLOBAL quantile without materializing the column: iterative
+# distributed histogram refinement.  Each pass streams the dataset once and
+# ships the driver only O(bins) (count, min, max) rows via ``pre_aggregate``;
+# the interval [lo, hi] containing the target order statistics shrinks every
+# pass (4096 bins ⇒ ~count/4096 per pass), so 10^10 rows resolve in 2-3
+# passes, each map-only + one tiny shuffle.  Exactness: a needed order stat
+# is KNOWN the moment its bin holds a single distinct value (bin min == max),
+# and when the two ranks of an interpolated quantile straddle a bin boundary
+# both resolve immediately (k0 = last of its bin → bin max; k1 = first of
+# the next → bin min).  The small-interval shortcut collects ≤
+# ``max_driver_rows`` in-range values exactly.  Interpolation is
+# numpy/DuckDB ``quantile_cont``: x[k0] + frac·(x[k1] − x[k0]).
+#
+# This is the exact sibling of ``quantile_sketch_aggregate``: use the sketch
+# for many-group / approximate quantiles, this for a single global threshold
+# that must be exact (e.g. "keep docs above the p25 quality score").
+# ---------------------------------------------------------------------------
+
+
+def _hist_pass(ds: Dataset, col: str, lo: float, hi: float, bins: int):
+    """One refinement pass: per-bin (count, min, max) over values in
+    [lo, hi], plus the count strictly below lo (bin -1).  Returns a pandas
+    frame of ≤ bins+1 rows (driver-bounded O(bins))."""
+    from searchengine_ray.stages.relational import pre_aggregate
+
+    width = hi - lo
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        below = int((v < lo).sum())
+        vin = v[(v >= lo) & (v <= hi)]
+        idx = np.minimum(((vin - lo) * (bins / width)).astype(np.int64),
+                         bins - 1)
+        cnt = np.bincount(idx, minlength=bins)
+        nz = np.flatnonzero(cnt)
+        order = np.argsort(idx, kind="stable")
+        vs, si = vin[order], idx[order]
+        starts = np.searchsorted(si, nz, side="left")
+        ends = np.searchsorted(si, nz, side="right")
+        vmin = np.minimum.reduceat(vs, starts) if nz.size else np.array([])
+        vmax = np.maximum.reduceat(vs, starts) if nz.size else np.array([])
+        del ends
+        out = pd.DataFrame({"bin": nz.astype(np.int64),
+                            "cnt": cnt[nz].astype(np.int64),
+                            "vmin": vmin, "vmax": vmax})
+        if below:
+            out = pd.concat([out, pd.DataFrame(
+                {"bin": [-1], "cnt": [below],
+                 "vmin": [np.inf], "vmax": [-np.inf]})], ignore_index=True)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=65536)
+    merged = pre_aggregate(partials, ["bin"],
+                           {"cnt": ("cnt", "sum"), "vmin": ("vmin", "min"),
+                            "vmax": ("vmax", "max")})
+    return merged.to_pandas().sort_values("bin").reset_index(drop=True)
+
+
+def exact_global_quantile(
+    ds: Dataset, col: str, q: float, bins: int = 4096,
+    max_driver_rows: int = 65536, max_passes: int = 64,
+) -> float:
+    """Exact linear-interpolated global quantile (``quantile_cont`` / numpy
+    ``linear``) of a numeric column, NULLs ignored, computed in O(log)
+    streaming passes with O(bins) driver state per pass."""
+    from searchengine_ray.stages.relational import pre_aggregate
+
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[col].to_numpy(dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if not v.size:
+            return pd.DataFrame({"k": pd.Series([], dtype=np.int64),
+                                 "n": pd.Series([], dtype=np.int64),
+                                 "vmin": pd.Series([], dtype=np.float64),
+                                 "vmax": pd.Series([], dtype=np.float64)})
+        return pd.DataFrame({"k": [0], "n": [v.size],
+                             "vmin": [v.min()], "vmax": [v.max()]})
+
+    st = pre_aggregate(
+        ds.map_batches(stats_partial, batch_format="pandas",
+                       batch_size=65536),
+        ["k"], {"n": ("n", "sum"), "vmin": ("vmin", "min"),
+                "vmax": ("vmax", "max")}).to_pandas()
+    if not len(st) or int(st["n"].iloc[0]) == 0:
+        return float("nan")
+    n = int(st["n"].iloc[0])
+    lo, hi = float(st["vmin"].iloc[0]), float(st["vmax"].iloc[0])
+
+    h = (n - 1) * q
+    k0 = int(np.floor(h))
+    k1 = int(np.ceil(h))
+    frac = h - k0
+
+    def collect_range(a: float, b: float) -> np.ndarray:
+        def sel(df: pd.DataFrame) -> pd.DataFrame:
+            v = df[col].to_numpy(dtype=np.float64)
+            v = v[~np.isnan(v)]
+            return pd.DataFrame({col: v[(v >= a) & (v <= b)]})
+        # bounded: caller checked the in-range count <= max_driver_rows
+        return np.sort(ds.map_batches(
+            sel, batch_format="pandas").to_pandas()[col].to_numpy())
+
+    offset = 0          # values strictly below lo
+    in_range = n
+    x0 = x1 = None
+    for _ in range(max_passes):
+        if lo == hi:
+            x0 = x1 = lo
+            break
+        if in_range <= max_driver_rows:
+            vals = collect_range(lo, hi)
+            x0 = float(vals[k0 - offset])
+            x1 = float(vals[k1 - offset])
+            break
+        hist = _hist_pass(ds, col, lo, hi, bins)
+        body = hist[hist["bin"] >= 0]
+        cnts = body["cnt"].to_numpy(np.int64)
+        cum = offset + np.cumsum(cnts)
+        b0 = int(np.searchsorted(cum, k0 + 1))
+        b1 = int(np.searchsorted(cum, k1 + 1))
+        r0, r1 = body.iloc[b0], body.iloc[b1]
+        if b0 != b1:
+            # k0 is the LAST value of bin b0, k1 the FIRST of bin b1 —
+            # both order stats are the bins' exact extrema
+            x0, x1 = float(r0["vmax"]), float(r1["vmin"])
+            break
+        if r0["vmin"] == r0["vmax"]:
+            x0 = x1 = float(r0["vmin"])
+            break
+        offset = int(cum[b0]) - int(cnts[b0])
+        lo, hi = float(r0["vmin"]), float(r0["vmax"])
+        in_range = int(cnts[b0])
+    if x0 is None:  # max_passes exhausted (can't happen: interval shrinks)
+        vals = collect_range(lo, hi)
+        x0 = float(vals[k0 - offset])
+        x1 = float(vals[k1 - offset])
+    return x0 + frac * (x1 - x0)

@@ -271,3 +271,48 @@ def test_heavy_hitters_approx_one_pass_guarantees(ray_session):
         t = int(truth.get(r["k"], 0))
         assert r["est"] <= t + 1e-9           # never overcounts
         assert t - r["est"] <= n / (m + 1) + 1e-9  # bounded undercount
+
+
+# --- exact global quantile (iterative histogram refinement) -----------------
+
+
+def _egq(vals, q, **kw):
+    from searchengine_ray.stages.sketches import exact_global_quantile
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(4)
+    return exact_global_quantile(ds, "v", q, **kw)
+
+
+@pytest.mark.parametrize("q", [0.0, 0.25, 0.5, 0.75, 0.9, 1.0])
+def test_exact_quantile_matches_numpy(ray_session, q):
+    rng = np.random.RandomState(3)
+    v = rng.lognormal(0, 2, size=5000)
+    assert _egq(v, q) == pytest.approx(
+        float(np.quantile(v, q, method="linear")), abs=0, rel=0)
+
+
+def test_exact_quantile_forced_multipass(ray_session):
+    """bins=4 + a tiny collect cap forces genuine interval recursion."""
+    rng = np.random.RandomState(7)
+    v = np.round(rng.randn(4000), 2)  # heavy ties
+    for q in (0.1, 0.5, 0.77):
+        got = _egq(v, q, bins=4, max_driver_rows=8)
+        assert got == float(np.quantile(v, q, method="linear"))
+
+
+def test_exact_quantile_tie_plateau_and_edges(ray_session):
+    v = np.array([5.0] * 1000 + [1.0, 9.0])
+    for q in (0.0, 0.5, 0.999, 1.0):
+        assert _egq(v, q, bins=8, max_driver_rows=4) == float(
+            np.quantile(v, q, method="linear"))
+    assert _egq(np.array([42.0]), 0.7) == 42.0
+    assert _egq(np.array([1.0, 2.0]), 0.5) == 1.5
+
+
+def test_exact_quantile_nulls_and_adjacent_floats(ray_session):
+    v = pd.Series([1.0, None, 2.0, np.nan, 3.0, None])
+    assert _egq(v, 0.5) == 2.0
+    base = 1.0
+    tight = np.array([base, np.nextafter(base, 2), np.nextafter(base, 2)])
+    assert _egq(tight, 0.5, bins=4, max_driver_rows=1) == float(
+        np.quantile(tight, 0.5, method="linear"))
+    assert np.isnan(_egq(pd.Series([None, None], dtype="float64"), 0.5))
