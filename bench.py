@@ -128,6 +128,7 @@ def main() -> None:
         "ngram_containment": Q.q_ngram_containment,
         "fingerprint_neardup": Q.q_fingerprint_neardup,
         "decontaminate": Q.q_decontaminate,
+        "fuzzy_decontaminate": Q.q_fuzzy_decontaminate,
         "redact_entities": Q.q_redact_entities,
         "quantile_filter": Q.q_quantile_filter,
     }

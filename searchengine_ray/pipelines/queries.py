@@ -1825,6 +1825,57 @@ WHERE s.split = 'train'
 """
 
 
+def q_fuzzy_decontaminate(sf_dir: str):
+    """Fuzzy decontamination: MinHash-LSH near-dup pairs between the train
+    split and the test split (the paraphrased-benchmark-leak case the exact
+    gram filter misses).  The benchmark's banded index broadcasts once; the
+    train side is map-only — one vectorized signing pass + searchsorted
+    band probe per batch, exact jaccard verify on the pair-scaled
+    candidates.  Zero shuffles; recall at the 0.65 gate is the
+    oracle-proven 32×r=4 banding of ``minhash_pairs``."""
+    from searchengine_ray.stages import decontam
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    split_ds = sampling.hash_split(
+        docs, "doc_id", "split42",
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+
+    def only(name):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["split"] == name].drop(columns=["split"])
+        return f
+
+    bench = split_ds.map_batches(only("test"), batch_format="pandas")
+    train = split_ds.map_batches(only("train"), batch_format="pandas")
+    ref = decontam.build_bench_index(bench)
+    return decontam.minhash_cross_neardup(train, ref, threshold=0.65)
+
+
+SQL_FUZZY_DECONTAMINATE = _SQL_SHINGLES + f""",
+split AS (
+  SELECT doc_id,
+         CASE WHEN hx < '{_T_TRAIN}' THEN 'train'
+              WHEN hx < '{_T_VAL}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               substr(sha256(CAST(doc_id AS VARCHAR) || ':split42'), 1, 12) AS hx
+        FROM documents)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS tr, b.doc_id AS be, count(*) AS shared
+  FROM sh a JOIN split sa ON sa.doc_id = a.doc_id AND sa.split = 'train'
+  JOIN sh b ON a.s = b.s
+  JOIN split sb ON sb.doc_id = b.doc_id AND sb.split = 'test'
+  GROUP BY a.doc_id, b.doc_id)
+SELECT tr AS doc_id, be AS bench_id,
+       round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = tr
+JOIN sizes sb ON sb.doc_id = be
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) > 0.65
+"""
+
+
 # --- 27. regex redaction (functions/redact.py) ------------------------------
 
 # the synthetic corpus has no emails/phones (DEFAULT_PII_PATTERNS are pinned
@@ -1943,6 +1994,7 @@ QUERIES = {
     "weighted_mix": q_weighted_mix,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
+    "fuzzy_decontaminate": q_fuzzy_decontaminate,
     "redact_entities": q_redact_entities,
     "quantile_filter": q_quantile_filter,
 }
@@ -2000,6 +2052,7 @@ ORACLE_SQL = {
     "weighted_mix": SQL_WEIGHTED_MIX,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
+    "fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,
     "redact_entities": SQL_REDACT_ENTITIES,
     "quantile_filter": SQL_QUANTILE_FILTER,
     # crawl_bfs (stateful sequential-gate semantics) is the one remaining

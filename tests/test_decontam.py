@@ -77,3 +77,62 @@ def test_bench_gram_cap_raises(ray_session):
         [{"doc_id": 0, "text": "a b c d e f g h i j"}]))
     with pytest.raises(ValueError, match="max_bench_grams"):
         collect_bench_grams(bench, gram_k=3, max_bench_grams=2)
+
+
+# --- fuzzy (MinHash-LSH) cross-corpus decontamination ------------------------
+
+
+def test_fuzzy_planted_near_copy(ray_session):
+    from searchengine_ray.stages.decontam import (
+        build_bench_index, minhash_cross_neardup)
+    from searchengine_ray.functions.ngrams import shingle_hashes, jaccard
+    from searchengine_ray.stages.text import simple_tokens
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon phi chi psi "
+            "omega one two three four five six seven eight nine ten") * 3
+    near = base + " tail edit"                 # tiny suffix edit
+    verbatim = base
+    unrelated = " ".join(f"w{i}" for i in range(120))
+    bench = rd.from_pandas(pd.DataFrame(
+        [{"doc_id": 900, "text": base},
+         {"doc_id": 901, "text": unrelated + " distinct tail"}]))
+    train = rd.from_pandas(pd.DataFrame(
+        [{"doc_id": 1, "text": near},
+         {"doc_id": 2, "text": verbatim},
+         {"doc_id": 3, "text": unrelated.replace("w1 ", "q1 ")},
+         {"doc_id": 4, "text": "short disjoint doc"},
+         {"doc_id": 5, "text": ""}])).repartition(3)
+    ref = build_bench_index(bench)
+    out = (minhash_cross_neardup(train, ref, threshold=0.65)
+           .to_pandas().sort_values(["doc_id", "bench_id"]))
+    got = set(zip(out.doc_id, out.bench_id))
+    assert (1, 900) in got and (2, 900) in got
+    assert (3, 901) in got          # near-copy of the OTHER bench doc
+    assert (3, 900) not in got      # ...and of that one only
+    # exact jaccard values ride along
+    sa = shingle_hashes(simple_tokens(near), 3)
+    sb = shingle_hashes(simple_tokens(base), 3)
+    want = round(jaccard(sa, sb), 6)
+    assert float(out.set_index(["doc_id", "bench_id"])
+                 .loc[(1, 900), "jaccard"]) == want
+    assert float(out.set_index(["doc_id", "bench_id"])
+                 .loc[(2, 900), "jaccard"]) == 1.0
+    # sub-threshold / disjoint / empty docs never pair
+    assert not {d for d, _ in got} & {4, 5}
+
+
+def test_fuzzy_empty_bench_and_cap(ray_session):
+    from searchengine_ray.stages.decontam import (
+        build_bench_index, minhash_cross_neardup)
+    empty_bench = rd.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([], dtype="int64"),
+         "text": pd.Series([], dtype="object")}))
+    train = rd.from_pandas(pd.DataFrame(
+        [{"doc_id": 1, "text": "some words here to shingle"}]))
+    ref = build_bench_index(empty_bench)
+    assert minhash_cross_neardup(train, ref).to_pandas().empty
+    big = rd.from_pandas(pd.DataFrame(
+        [{"doc_id": i, "text": f"doc {i} words"} for i in range(5)]))
+    with pytest.raises(ValueError, match="max_bench_docs"):
+        build_bench_index(big, max_bench_docs=2)
