@@ -131,6 +131,7 @@ def main() -> None:
         "fuzzy_decontaminate": Q.q_fuzzy_decontaminate,
         "redact_entities": Q.q_redact_entities,
         "quantile_filter": Q.q_quantile_filter,
+        "training_corpus": Q.q_training_corpus,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

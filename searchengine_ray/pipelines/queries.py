@@ -1876,6 +1876,98 @@ WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) > 0.65
 """
 
 
+# --- 26b. composed training-corpus pipeline ---------------------------------
+
+
+def q_training_corpus(sf_dir: str):
+    """The end-to-end dataset-prep chain a training pipeline actually runs,
+    composed from the individual operators (each separately oracle-gated):
+    exact dedup → train/test split → benchmark decontamination (drop
+    contaminated) → length-quality gate at the exact global p25 → sequence
+    packing per language.  Every stage is map-only or one co-shuffle; the
+    quantile threshold is 2-3 extra streaming passes — nothing here
+    materializes the corpus."""
+    from searchengine_ray.stages import decontam
+    from searchengine_ray.stages.sketches import exact_global_quantile
+
+    docs = _pq(sf_dir, "documents",
+               columns=["doc_id", "text", "lang", "n_chars"])
+    deduped = dedup_stage.dedup_exact(docs)
+    split_ds = sampling.hash_split(
+        deduped, "doc_id", "split42",
+        [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+
+    def only(name):
+        def f(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["split"] == name].drop(columns=["split"])
+        return f
+
+    bench = split_ds.map_batches(only("test"), batch_format="pandas")
+    train = split_ds.map_batches(only("train"), batch_format="pandas")
+    ref = decontam.collect_bench_grams(bench, gram_k=4)
+    flagged = decontam.decontaminate(train, ref, gram_k=4, passthrough=True)
+
+    def clean_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return df.loc[~df["contaminated"],
+                      ["doc_id", "lang", "n_chars"]]
+
+    clean = flagged.map_batches(clean_rows, batch_format="pandas")
+    thr = exact_global_quantile(clean, "n_chars", 0.25)
+
+    def length_gate(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n_chars"].to_numpy(np.float64) >= thr]
+
+    kept = clean.map_batches(length_gate, batch_format="pandas")
+    packed = sampling.pack_sequences(kept, "lang", "doc_id", "n_chars",
+                                     capacity=4096)
+    return packed.select_columns(["doc_id", "lang", "n_chars", "chunk_id"])
+
+
+SQL_TRAINING_CORPUS = f"""
+WITH dedup AS (
+  SELECT doc_id, text, lang, n_chars
+  FROM (SELECT doc_id, text, lang, n_chars,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents)
+  WHERE rn = 1),
+split AS (
+  SELECT doc_id,
+         CASE WHEN hx < '{_T_TRAIN}' THEN 'train'
+              WHEN hx < '{_T_VAL}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               substr(sha256(CAST(doc_id AS VARCHAR) || ':split42'), 1, 12) AS hx
+        FROM dedup)),
+toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM dedup),
+grams AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(0, len(ts) - 3),
+                               i -> array_to_string(ts[i+1:i+4], ' '))) AS g
+  FROM toks WHERE len(ts) >= 4),
+bench AS (
+  SELECT DISTINCT g FROM grams JOIN split USING (doc_id)
+  WHERE split = 'test'),
+hits AS (SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g)),
+clean AS (
+  SELECT d.doc_id, d.lang, d.n_chars
+  FROM dedup d JOIN split s USING (doc_id)
+  LEFT JOIN hits h USING (doc_id)
+  WHERE s.split = 'train' AND h.doc_id IS NULL),
+kept AS (
+  SELECT * FROM clean
+  WHERE n_chars >= (SELECT quantile_cont(n_chars, 0.25) FROM clean))
+SELECT doc_id, lang, n_chars,
+       (CAST(sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        - n_chars) // 4096 AS chunk_id
+FROM kept
+"""
+
+
 # --- 27. regex redaction (functions/redact.py) ------------------------------
 
 # the synthetic corpus has no emails/phones (DEFAULT_PII_PATTERNS are pinned
@@ -1995,6 +2087,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
+    "training_corpus": q_training_corpus,
     "redact_entities": q_redact_entities,
     "quantile_filter": q_quantile_filter,
 }
@@ -2053,6 +2146,7 @@ ORACLE_SQL = {
     "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
     "fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,
+    "training_corpus": SQL_TRAINING_CORPUS,
     "redact_entities": SQL_REDACT_ENTITIES,
     "quantile_filter": SQL_QUANTILE_FILTER,
     # crawl_bfs (stateful sequential-gate semantics) is the one remaining

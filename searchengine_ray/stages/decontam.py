@@ -69,12 +69,15 @@ def collect_bench_grams(
 def decontaminate(
     train: Dataset, bench_grams_ref, gram_k: int = DEFAULT_GRAM_K,
     text_col: str = "text", id_col: str = "doc_id",
+    passthrough: bool = False,
 ) -> Dataset:
     """Flag every train doc against the broadcast benchmark gram set:
     output (id_col, n_shared, contaminated) — ``n_shared`` = how many of the
     doc's DISTINCT k-grams appear in the benchmark, ``contaminated`` =
     n_shared > 0.  Map-only; filter on ``~contaminated`` downstream (kept
-    as a flag so the caller can audit what a hard filter would drop)."""
+    as a flag so the caller can audit what a hard filter would drop).
+    ``passthrough=True`` appends the two flag columns to the input rows
+    instead (for in-pipeline filtering without a join back)."""
 
     def probe(df: pd.DataFrame) -> pd.DataFrame:
         bench = ray.get(bench_grams_ref)  # zero-copy view per worker
@@ -86,6 +89,8 @@ def decontaminate(
         else:
             hit = np.zeros(flat.size, dtype=bool)
         n_shared = np.bincount(doc_idx[hit], minlength=len(df)).astype(np.int64)
+        if passthrough:
+            return df.assign(n_shared=n_shared, contaminated=n_shared > 0)
         return pd.DataFrame({
             id_col: df[id_col].to_numpy(),
             "n_shared": n_shared,
