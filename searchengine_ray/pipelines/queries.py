@@ -2030,6 +2030,85 @@ WHERE value >= (SELECT quantile_cont(value, 0.75) FROM events)
 """
 
 
+# --- 29. repetition / duplicated-text scoring (stages/repetition.py) --------
+
+
+def q_repetition_stats(sf_dir: str):
+    """WITHIN-doc repetition signals (Gopher repetition rules, Rae et al.
+    2021 §A1.1, token form): top-token share, top-2-gram share, duplicate-
+    2-gram share.  Map-only — zero shuffles at any corpus size."""
+    from searchengine_ray.stages.repetition import repetition_stats
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return repetition_stats(ds)
+
+
+SQL_REPETITION_STATS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+n AS (SELECT doc_id, len(ts) AS n_tokens FROM toks),
+t1 AS (SELECT doc_id, unnest(ts) AS tok FROM toks WHERE len(ts) > 0),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM t1 GROUP BY doc_id, tok),
+top1 AS (SELECT doc_id, max(c) AS mc FROM tc GROUP BY doc_id),
+bg AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(ts)),
+                                    i -> ts[i] || ' ' || ts[i+1])) AS b
+       FROM toks WHERE len(ts) >= 2),
+bc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b),
+bstat AS (SELECT doc_id, max(c) AS mbc, CAST(sum(c) AS BIGINT) AS tot,
+                 count(*) AS dist
+          FROM bc GROUP BY doc_id)
+SELECT n.doc_id, n.n_tokens,
+       round(CASE WHEN n.n_tokens > 0
+                  THEN CAST(top1.mc AS DOUBLE) / n.n_tokens
+                  ELSE 0 END, 6) AS top_token_frac,
+       round(CASE WHEN n.n_tokens >= 2
+                  THEN CAST(bstat.mbc AS DOUBLE) / bstat.tot
+                  ELSE 0 END, 6) AS top_2gram_frac,
+       round(CASE WHEN n.n_tokens >= 2
+                  THEN 1.0 - CAST(bstat.dist AS DOUBLE) / bstat.tot
+                  ELSE 0 END, 6) AS dup_2gram_frac
+FROM n
+LEFT JOIN top1 USING (doc_id)
+LEFT JOIN bstat USING (doc_id)
+"""
+
+
+def q_dup_window_stats(sf_dir: str):
+    """CROSS-doc duplicated-substring fraction per doc (the Lee et al.
+    2021 exact-substring-dedup signal): share of sliding 8-token window
+    positions whose window text occurs in ≥ 2 distinct documents.  Two
+    all-to-alls over per-batch-combined (hash, doc, count) partials."""
+    from searchengine_ray.stages.repetition import dup_window_stats
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return dup_window_stats(ds, k=8)
+
+
+SQL_DUP_WINDOW_STATS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+w AS (SELECT doc_id,
+             unnest(list_transform(range(1, len(ts) - 6),
+                                   i -> array_to_string(ts[i:i+7], ' '))) AS s
+      FROM toks WHERE len(ts) >= 8),
+dfreq AS (SELECT s, count(DISTINCT doc_id) AS nd FROM w GROUP BY s)
+SELECT w.doc_id,
+       count(*) AS n_windows,
+       CAST(count(*) FILTER (WHERE dfreq.nd >= 2) AS BIGINT) AS n_dup_windows,
+       round(CAST(count(*) FILTER (WHERE dfreq.nd >= 2) AS DOUBLE)
+             / count(*), 6) AS dup_frac
+FROM w JOIN dfreq USING (s)
+GROUP BY w.doc_id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -2090,6 +2169,8 @@ QUERIES = {
     "training_corpus": q_training_corpus,
     "redact_entities": q_redact_entities,
     "quantile_filter": q_quantile_filter,
+    "repetition_stats": q_repetition_stats,
+    "dup_window_stats": q_dup_window_stats,
 }
 
 ORACLE_SQL = {
@@ -2149,6 +2230,8 @@ ORACLE_SQL = {
     "training_corpus": SQL_TRAINING_CORPUS,
     "redact_entities": SQL_REDACT_ENTITIES,
     "quantile_filter": SQL_QUANTILE_FILTER,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "dup_window_stats": SQL_DUP_WINDOW_STATS,
     # crawl_bfs (stateful sequential-gate semantics) is the one remaining
     # non-SQL-expressible entry → rows-only check; its semantics are pinned
     # by the crawl conformance suite (tests/test_crawl.py incl. fuzz)
