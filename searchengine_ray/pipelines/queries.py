@@ -2109,6 +2109,47 @@ GROUP BY w.doc_id
 """
 
 
+# --- 30. BM25 ranked retrieval (pipelines/search.bm25_search) ---------------
+
+
+def q_bm25_search(sf_dir: str):
+    """BM25 top-10 for the shared query terms — ranked retrieval with
+    length normalization + saturating tf (the probabilistic upgrade of the
+    reference's tf-idf-sum scoring, retrieve_query.py:134-142)."""
+    from searchengine_ray.pipelines.search import bm25_search
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_search(ds, ["fast", "merge", "join"], k=10)
+
+
+# Lucene-form BM25 (k1=1.2, b=0.75): idf = ln(1 + (N-df+0.5)/(df+0.5)),
+# avgdl over token-bearing docs; per-term scores round to 6 before the
+# per-doc sum (exactly as the engine does).
+SQL_BM25_SEARCH = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents),
+toks2 AS (SELECT * FROM toks WHERE token <> ''),
+doc_len AS (SELECT doc_id, count(*) AS n FROM toks2 GROUP BY doc_id),
+stats AS (SELECT avg(n) AS avgdl FROM doc_len),
+n_docs AS (SELECT count(*) AS n FROM documents),
+tc AS (SELECT doc_id, token, count(*) AS cnt FROM toks2
+       WHERE token IN ('fast', 'merge', 'join') GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df FROM tc GROUP BY token),
+p AS (SELECT tc.doc_id,
+             round(ln(1.0 + (n_docs.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * (tc.cnt * 2.2)
+                   / (tc.cnt + 1.2 * (0.25 + 0.75 * doc_len.n / stats.avgdl)),
+                   6) AS sc
+      FROM tc JOIN dfreq USING (token) JOIN doc_len USING (doc_id),
+           n_docs, stats)
+SELECT doc_id, round(sum(sc), 6) AS score
+FROM p GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 10
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -2171,6 +2212,7 @@ QUERIES = {
     "quantile_filter": q_quantile_filter,
     "repetition_stats": q_repetition_stats,
     "dup_window_stats": q_dup_window_stats,
+    "bm25_search": q_bm25_search,
 }
 
 ORACLE_SQL = {
@@ -2232,6 +2274,7 @@ ORACLE_SQL = {
     "quantile_filter": SQL_QUANTILE_FILTER,
     "repetition_stats": SQL_REPETITION_STATS,
     "dup_window_stats": SQL_DUP_WINDOW_STATS,
+    "bm25_search": SQL_BM25_SEARCH,
     # crawl_bfs (stateful sequential-gate semantics) is the one remaining
     # non-SQL-expressible entry → rows-only check; its semantics are pinned
     # by the crawl conformance suite (tests/test_crawl.py incl. fuzz)

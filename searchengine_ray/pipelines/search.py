@@ -99,3 +99,116 @@ def boolean_search(
     if out.empty or "doc_id" not in out.columns:
         return empty
     return out.reset_index(drop=True)
+
+
+# --- BM25 ranked retrieval ---------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_search(
+    docs: Dataset, terms: list[str], k: int = 10,
+    k1: float = BM25_K1, b: float = BM25_B,
+    text_col: str = "text", id_col: str = "doc_id",
+) -> pd.DataFrame:
+    """BM25 (Robertson-Spärck Jones probabilistic ranking) top-k over a raw
+    document corpus — the ranked-retrieval upgrade of the reference's
+    tf-idf-sum scoring (retrieve_query.py:134-142); the reference has no
+    length normalization or saturating tf.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
+    idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   (the Lucene BM25 form).
+
+    Distribution shape (three streaming passes, like the SQL mirror):
+    1. corpus length stats — per-batch scalar partials (one row per batch
+       reaches the driver: N, token-bearing docs, Σ|d|);
+    2. term slice — map-only explode restricted to the query terms (rows
+       only for docs containing ≥ 1 term); df per term reduces through
+       ``pre_aggregate`` to ≤ |terms| driver rows;
+    3. scoring — map-side BM25 per (doc, term) row against broadcast
+       (idf, avgdl), per-doc sum via one ``pre_aggregate``, ranked result
+       through the two-level ``global_topk`` merge.
+    The driver never holds the term slice (a stop-word term is unbounded
+    there); everything doc-scaled stays in tasks."""
+    from searchengine_ray.stages.relational import global_topk, pre_aggregate
+    from searchengine_ray.stages.text import simple_tokens
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                          "score": pd.Series([], dtype=np.float64)})
+    terms = sorted({t.lower() for t in terms})
+    if not terms:
+        return empty
+
+    # pass 1: N + avgdl (avg over docs with >= 1 token, as in the SQL doc_len)
+    def stats_partial(df: pd.DataFrame) -> pd.DataFrame:
+        lens = np.fromiter((len(simple_tokens(t or "")) for t in df[text_col]),
+                           dtype=np.int64, count=len(df))
+        return pd.DataFrame({"n_docs": [len(df)],
+                             "n_tok_docs": [int((lens > 0).sum())],
+                             "sum_len": [int(lens.sum())]})
+
+    st = docs.map_batches(stats_partial, batch_format="pandas",
+                          batch_size=4096).to_pandas().sum()
+    n_total = int(st["n_docs"])
+    if not int(st["n_tok_docs"]):
+        return empty
+    avgdl = float(st["sum_len"]) / float(st["n_tok_docs"])
+
+    # pass 2: (doc_id, token, cnt, doc_len) rows for query terms only
+    term_set = set(terms)
+
+    def term_counts(df: pd.DataFrame) -> pd.DataFrame:
+        ids, toks, cnts, lens = [], [], [], []
+        for doc_id, text in zip(df[id_col].to_numpy(), df[text_col]):
+            tokens = simple_tokens(text or "")
+            hits: dict[str, int] = {}
+            for t in tokens:
+                if t in term_set:
+                    hits[t] = hits.get(t, 0) + 1
+            for t, c in hits.items():
+                ids.append(doc_id)
+                toks.append(t)
+                cnts.append(c)
+                lens.append(len(tokens))
+        return pd.DataFrame({
+            "doc_id": np.array(ids, dtype=np.int64), "token": toks,
+            "cnt": np.array(cnts, dtype=np.int64),
+            "doc_len": np.array(lens, dtype=np.int64)})
+
+    sliced = docs.map_batches(term_counts, batch_format="pandas",
+                              batch_size=4096)
+    dfreq = pre_aggregate(sliced, ["token"], {"df": (None, "count")}).to_pandas()
+    if dfreq.empty:
+        return empty
+    idf = {t: float(np.log(1.0 + (n_total - df_ + 0.5) / (df_ + 0.5)))
+           for t, df_ in zip(dfreq["token"], dfreq["df"])}
+
+    # pass 3: map-side per-(doc, term) score, per-doc sum, two-level top-k.
+    # Per-term scores round to 6 BEFORE the sum (mirrored in SQL) so the
+    # grouped sum is insensitive to merge order at the rounding precision.
+    def score_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "sc": pd.Series([], dtype=np.float64)})
+        iv = df["token"].map(idf).to_numpy(dtype=np.float64)
+        cnt = df["cnt"].to_numpy(dtype=np.float64)
+        dl = df["doc_len"].to_numpy(dtype=np.float64)
+        sc = iv * (cnt * (k1 + 1.0)) / (cnt + k1 * (1.0 - b + b * dl / avgdl))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                             "sc": np.round(sc, 6)})
+
+    scored = pre_aggregate(
+        sliced.map_batches(score_rows, batch_format="pandas"),
+        ["doc_id"], {"score": ("sc", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["score"] = df["score"].round(6)
+        return df
+
+    out = global_topk(scored.map_batches(finish, batch_format="pandas"),
+                      ["score", "doc_id"], [False, True], k)
+    if out.empty or "doc_id" not in out.columns:
+        return empty
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.reset_index(drop=True)
