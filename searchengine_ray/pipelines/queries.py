@@ -2150,6 +2150,34 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+# --- 31. product-quantized ANN (stages/knn.py PQ / ADC path) ----------------
+
+
+def q_knn_pq(sf_dir: str):
+    """PQ-compressed ANN, exactness-gated: codebooks train on a capped
+    sample, the corpus encodes to m=8 uint8 codes/vector (32× smaller than
+    64×float32), the ADC scan + exact re-rank answers the same three
+    queries as ``knn_multi``.  Gated at ``refine=None`` (re-rank all rows ⇒
+    output must equal the brute-force oracle exactly — the ``knn_ivf
+    nprobe=nlist`` discipline); the approximate small-``refine`` recall is
+    pytest-gated (tests/test_knn.py)."""
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", [0, 1, 2])])
+    queries = pd.DataFrame({"query_id": qt["vec_id"].to_numpy(),
+                            "vec": qt["embedding"].to_pylist()})
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    books = knn_stage.train_pq(ds, m=8, ksub=64)
+    out = knn_stage.knn_pq_multi(ds, queries, books, k=50, refine=None)
+    out["cosine"] = out["cosine"].round(6)
+    return (out.sort_values(["query_id", "cosine", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+            .groupby("query_id", sort=False).head(10)
+            .reset_index(drop=True))
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -2213,6 +2241,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "dup_window_stats": q_dup_window_stats,
     "bm25_search": q_bm25_search,
+    "knn_pq": q_knn_pq,
 }
 
 ORACLE_SQL = {
@@ -2275,6 +2304,7 @@ ORACLE_SQL = {
     "repetition_stats": SQL_REPETITION_STATS,
     "dup_window_stats": SQL_DUP_WINDOW_STATS,
     "bm25_search": SQL_BM25_SEARCH,
+    "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     # crawl_bfs (stateful sequential-gate semantics) is the one remaining
     # non-SQL-expressible entry → rows-only check; its semantics are pinned
     # by the crawl conformance suite (tests/test_crawl.py incl. fuzz)

@@ -176,6 +176,225 @@ def knn_ivf(
                      exclude_ids)
 
 
+# --- product quantization (PQ / ADC) -----------------------------------------
+#
+# The compressed-scan ANN path (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"): vectors are L2-normalized and split into m
+# contiguous subspaces; each subspace is vector-quantized to ksub centroids,
+# so a d×float32 vector becomes m uint8 codes (d=64, m=8 ⇒ 32× smaller).
+# Query time computes one (m × ksub) inner-product table per query and scans
+# CODES ONLY — the asymmetric distance computation (ADC) — then re-ranks the
+# top ``refine`` candidates with exact cosines from the raw vectors.  At
+# 100 TB the codes for 10^10 × 64-d vectors are ~80 GB — object-store
+# resident across a cluster — while the raw vectors stay in cold storage and
+# are touched only for the O(Q × refine) refine rows.
+
+DEFAULT_PQ_M = 8
+DEFAULT_PQ_KSUB = 64
+
+
+def _l2_normalize(x: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(x, axis=1)
+    n[n == 0] = 1.0
+    return x / n[:, None]
+
+
+def train_pq(ds: Dataset, m: int = DEFAULT_PQ_M, ksub: int = DEFAULT_PQ_KSUB,
+             emb_col: str = "embedding", max_sample: int = DEFAULT_MAX_SAMPLE,
+             seed: int = 7, iters: int = 8) -> np.ndarray:
+    """Per-subspace k-means codebooks over a COUNT-capped sample (the same
+    driver-bounded sampling discipline as ``build_centroids``).  Returns
+    float64 ``[m, ksub, d/m]``; requires d % m == 0."""
+    n = ds.count()
+    frac = min(1.0, max_sample / max(n, 1))
+    sample = ds.random_sample(frac, seed=seed).limit(max_sample).to_pandas()
+    x = _l2_normalize(np.stack(
+        [np.asarray(e, dtype=np.float64) for e in sample[emb_col]]))
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    ksub = min(ksub, x.shape[0])
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        xs = x[:, j * dsub:(j + 1) * dsub]
+        cent = xs[rng.choice(xs.shape[0], size=ksub, replace=False)].copy()
+        for _ in range(iters):
+            scores = (cent * cent).sum(1)[None, :] - 2.0 * (xs @ cent.T)
+            assign = scores.argmin(1)
+            for c in range(ksub):
+                msk = assign == c
+                if msk.any():
+                    cent[c] = xs[msk].mean(0)
+        books[j] = cent
+    return books
+
+
+def _encode_block(emb: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """L2-normalized vectors → uint8 codes [n, m] (nearest centroid per
+    subspace via the matmul identity — no n×ksub×dsub temporary)."""
+    m, ksub, dsub = books.shape
+    codes = np.empty((emb.shape[0], m), dtype=np.uint8)
+    for j in range(m):
+        xs = emb[:, j * dsub:(j + 1) * dsub]
+        c = books[j]
+        scores = (c * c).sum(1)[None, :] - 2.0 * (xs @ c.T)
+        codes[:, j] = scores.argmin(1).astype(np.uint8)
+    return codes
+
+
+def pq_encode(ds: Dataset, books: np.ndarray, id_col: str = "vec_id",
+              emb_col: str = "embedding") -> Dataset:
+    """Corpus → (id, code_0..code_{m-1}) uint8 columns.  One map-only pass;
+    built once, scanned by every query after."""
+    books_ref = ray.put(books)
+    m = books.shape[0]
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        b = ray.get(books_ref)
+        emb = _l2_normalize(np.stack(
+            [np.asarray(e, dtype=np.float64) for e in df[emb_col]]))
+        codes = _encode_block(emb, b)
+        out = {id_col: df[id_col].to_numpy()}
+        for j in range(m):
+            out[f"code_{j}"] = codes[:, j]
+        return pd.DataFrame(out)
+
+    return ds.map_batches(encode, batch_format="pandas", batch_size=4096)
+
+
+def knn_pq_multi(
+    ds: Dataset, queries: "pd.DataFrame", books: np.ndarray, k: int = 10,
+    refine: int | None = 50, id_col: str = "vec_id",
+    emb_col: str = "embedding", exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Batched PQ search: ADC scan over codes → top-``refine`` candidates
+    per query → exact-cosine re-rank of the candidates only.
+
+    ``refine=None`` re-ranks EVERY row (the exactness gate: output must
+    equal ``knn_bruteforce_multi`` — pinned by tests and the SQL oracle;
+    production uses a small ``refine``, trading recall for touching only
+    O(Q × refine) raw vectors).  Returns (query_id, vec_id, cosine) sorted
+    (query_id, cosine desc, vec_id), k rows per query."""
+    qids = queries["query_id"].to_numpy()
+    Q = _l2_normalize(np.stack(
+        [np.asarray(v, dtype=np.float64) for v in queries["vec"]]))
+    m, ksub, dsub = books.shape
+    # per-query ADC tables: tab[q, j, c] = q_sub · centroid_{j,c}
+    tab = np.stack(
+        [Q[:, j * dsub:(j + 1) * dsub] @ books[j].T for j in range(m)], axis=1)
+
+    cand_per_q: dict | None = None
+    if refine is not None:
+        codes_ds = pq_encode(ds, books, id_col, emb_col)
+        tab_ref = ray.put(tab)
+        q_ref = ray.put(qids)
+
+        def adc_local(df: pd.DataFrame) -> pd.DataFrame:
+            t = ray.get(tab_ref)
+            ids_q = ray.get(q_ref)
+            ids = df[id_col].to_numpy()
+            n = len(df)
+            acc = np.zeros((t.shape[0], n), dtype=np.float64)
+            for j in range(t.shape[1]):
+                acc += t[:, j, :][:, df[f"code_{j}"].to_numpy()]
+            frames = []
+            for qi in range(t.shape[0]):
+                s, vid = acc[qi], ids
+                if exclude_self:
+                    keep = vid != ids_q[qi]
+                    s, vid = s[keep], vid[keep]
+                r_eff = min(refine, s.size)
+                if not r_eff:
+                    continue
+                idx = np.argpartition(-s, r_eff - 1)[:r_eff]
+                frames.append(pd.DataFrame({
+                    "query_id": np.full(r_eff, ids_q[qi]),
+                    "vec_id": vid[idx], "adc": s[idx]}))
+            if not frames:
+                return pd.DataFrame({
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "adc": pd.Series([], dtype=np.float64)})
+            return pd.concat(frames, ignore_index=True)
+
+        def grouped_refine(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return df
+            return (df.sort_values(["query_id", "adc", "vec_id"],
+                                   ascending=[True, False, True],
+                                   kind="mergesort")
+                    .groupby("query_id", sort=False).head(refine))
+
+        parts = (codes_ds.map_batches(adc_local, batch_format="pandas",
+                                      batch_size=8192)
+                 .repartition(32)
+                 .map_batches(grouped_refine, batch_format="pandas",
+                              batch_size=None))
+        cand = grouped_refine(parts.to_pandas())  # O(Q × refine) rows
+        cand_per_q = {qid: set(g["vec_id"])
+                      for qid, g in cand.groupby("query_id", sort=False)}
+
+    # exact re-rank over candidates only (or the whole corpus at refine=None)
+    cand_ref = ray.put(cand_per_q)
+    q_ref2 = ray.put((qids, Q))
+
+    def exact_local(df: pd.DataFrame) -> pd.DataFrame:
+        per_q = ray.get(cand_ref)
+        ids_q, qm = ray.get(q_ref2)
+        if per_q is not None:
+            union: set = set().union(*per_q.values()) if per_q else set()
+            df = df[df[id_col].isin(union)]
+        if not len(df):
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "vec_id": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        emb = np.stack([np.asarray(e, dtype=np.float64) for e in df[emb_col]])
+        vnorm = np.linalg.norm(emb, axis=1)
+        vnorm[vnorm == 0] = 1.0
+        sims = (emb @ qm.T) / vnorm[:, None]  # queries already unit-norm
+        ids = df[id_col].to_numpy()
+        frames = []
+        for qi in range(qm.shape[0]):
+            s, vid = sims[:, qi], ids
+            keep = np.ones(vid.size, dtype=bool)
+            if exclude_self:
+                keep &= vid != ids_q[qi]
+            if per_q is not None:
+                allowed = per_q.get(ids_q[qi], set())
+                keep &= np.fromiter((v in allowed for v in vid), dtype=bool,
+                                    count=vid.size)
+            s, vid = s[keep], vid[keep]
+            k_eff = min(k, s.size)
+            if not k_eff:
+                continue
+            idx = np.argpartition(-s, k_eff - 1)[:k_eff]
+            frames.append(pd.DataFrame({
+                "query_id": np.full(k_eff, ids_q[qi]),
+                "vec_id": vid[idx], "cosine": s[idx]}))
+        if not frames:
+            return pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                                 "vec_id": pd.Series([], dtype=np.int64),
+                                 "cosine": pd.Series([], dtype=np.float64)})
+        return pd.concat(frames, ignore_index=True)
+
+    def grouped_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return (df.sort_values(["query_id", "cosine", "vec_id"],
+                               ascending=[True, False, True], kind="mergesort")
+                .groupby("query_id", sort=False).head(k))
+
+    parts = (ds.map_batches(exact_local, batch_format="pandas",
+                            batch_size=4096)
+             .repartition(32)
+             .map_batches(grouped_topk, batch_format="pandas",
+                          batch_size=None))
+    out = parts.to_pandas()
+    return (grouped_topk(out).reset_index(drop=True) if len(out) else out)
+
+
 def knn_bruteforce_multi(
     ds: Dataset, queries: "pd.DataFrame", k: int = 10,
     id_col: str = "vec_id", emb_col: str = "embedding",

@@ -93,3 +93,64 @@ def test_centroid_sample_is_count_capped(emb_ds):
     """max_sample bounds the driver pull regardless of corpus size."""
     c = build_centroids(emb_ds, num_centroids=4, max_sample=50, seed=5)
     assert c.shape == (4, 16)
+
+
+# --- product quantization (PQ / ADC) ----------------------------------------
+
+
+def _queries_from(ds, ids):
+    rows = [r for r in ds.take(max(ids) + 1) if r["vec_id"] in ids]
+    return pd.DataFrame({"query_id": [r["vec_id"] for r in rows],
+                         "vec": [r["embedding"] for r in rows]})
+
+
+def test_pq_full_refine_equals_bruteforce(emb_ds):
+    from searchengine_ray.stages.knn import (
+        knn_bruteforce_multi, knn_pq_multi, train_pq)
+
+    queries = _queries_from(emb_ds, {0, 1, 2})
+    books = train_pq(emb_ds, m=4, ksub=16, seed=7)
+    exact = knn_bruteforce_multi(emb_ds, queries, k=10)
+    pq = knn_pq_multi(emb_ds, queries, books, k=10, refine=None)
+    pd.testing.assert_frame_equal(
+        pq.reset_index(drop=True).round({"cosine": 9}),
+        exact.reset_index(drop=True).round({"cosine": 9}))
+
+
+def test_pq_small_refine_recall(emb_ds):
+    """Clustered data, small refine: PQ candidates must recover most of the
+    exact top-10 (measured ~1.0 here; bound leaves ambient margin)."""
+    from searchengine_ray.stages.knn import (
+        knn_bruteforce_multi, knn_pq_multi, train_pq)
+
+    queries = _queries_from(emb_ds, {0, 5, 11})
+    books = train_pq(emb_ds, m=4, ksub=16, seed=7)
+    exact = knn_bruteforce_multi(emb_ds, queries, k=10)
+    pq = knn_pq_multi(emb_ds, queries, books, k=10, refine=40)
+    recalls = []
+    for qid in queries["query_id"]:
+        t = set(exact[exact["query_id"] == qid]["vec_id"])
+        p = set(pq[pq["query_id"] == qid]["vec_id"])
+        recalls.append(len(t & p) / len(t))
+    assert np.mean(recalls) >= 0.7, recalls
+
+
+def test_pq_train_deterministic_codes_bounded(emb_ds):
+    from searchengine_ray.stages.knn import pq_encode, train_pq
+
+    b1 = train_pq(emb_ds, m=4, ksub=16, seed=7)
+    b2 = train_pq(emb_ds, m=4, ksub=16, seed=7)
+    np.testing.assert_allclose(b1, b2)
+    assert b1.shape == (4, 16, 4)
+    codes = pq_encode(emb_ds, b1).to_pandas()
+    assert len(codes) == emb_ds.count()
+    for j in range(4):
+        col = codes[f"code_{j}"]
+        assert col.dtype == np.uint8 and col.max() < 16
+
+
+def test_pq_dim_not_divisible_raises(emb_ds):
+    from searchengine_ray.stages.knn import train_pq
+
+    with pytest.raises(ValueError):
+        train_pq(emb_ds, m=5, ksub=8)
