@@ -2178,6 +2178,23 @@ def q_knn_pq(sf_dir: str):
             .reset_index(drop=True))
 
 
+# --- 32. BPE tokenizer training + token stats (functions/bpe.py) ------------
+
+
+def q_bpe_stats(sf_dir: str):
+    """Train 64 BPE merges on the corpus (one word-count pre_aggregate; the
+    merge loop runs on the vocabulary-bounded distinct-word table), then
+    encode map-only and report per-doc (n_words, n_bpe_tokens).  Non-SQL-
+    expressible (iterative merge learning) → rows-only; the algorithm is
+    pinned by tests/test_bpe_train.py against an independent reference
+    implementation and the Sennrich et al. worked example."""
+    from searchengine_ray.stages.text import bpe_token_stats, bpe_train
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = bpe_train(ds, num_merges=64)
+    return bpe_token_stats(ds, merges)
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -2242,6 +2259,7 @@ QUERIES = {
     "dup_window_stats": q_dup_window_stats,
     "bm25_search": q_bm25_search,
     "knn_pq": q_knn_pq,
+    "bpe_stats": q_bpe_stats,
 }
 
 ORACLE_SQL = {

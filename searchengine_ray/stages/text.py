@@ -168,3 +168,60 @@ def fingerprint_batch(df: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     out["fingerprints"] = textstats.batch_fingerprints(list(df[text_col]))
     out["content_hash"] = [stable_hash64(t or "") for t in df[text_col]]
     return out
+
+
+# --- BPE tokenizer training + encoding (functions/bpe.py) --------------------
+
+
+def bpe_train(ds: Dataset, num_merges: int = 64,
+              max_words: int = 2_000_000,
+              text_col: str = "text") -> list[tuple[str, str]]:
+    """Learn BPE merges from a corpus Dataset.
+
+    Distributed part: ONE word-count ``pre_aggregate`` (map-side combined) —
+    the only corpus-scaled work.  The merge loop then runs on the
+    DISTINCT-WORD table, which is vocabulary-bounded (~10^6-10^7 rows at
+    web scale), pulled to the driver through a deterministic
+    (count DESC, word ASC) ``global_topk`` cap of ``max_words`` — the same
+    count-capped-driver-pull discipline as ``knn.build_centroids``."""
+    from searchengine_ray.functions.bpe import train_bpe_from_counts
+    from searchengine_ray.stages.relational import global_topk
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        words: list[str] = []
+        for t in df[text_col]:
+            words.extend(simple_tokens(t or ""))
+        return pd.DataFrame({"word": pd.Series(words, dtype=object)})
+
+    counts = pre_aggregate(
+        ds.map_batches(explode, batch_format="pandas", batch_size=2048),
+        ["word"], {"cnt": (None, "count")})
+    top = global_topk(counts, ["cnt", "word"], [False, True], max_words)
+    wc = dict(zip(top["word"], top["cnt"].astype(int)))
+    return train_bpe_from_counts(wc, num_merges)
+
+
+def bpe_token_stats(ds: Dataset, merges: list[tuple[str, str]],
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> Dataset:
+    """Per-doc (n_words, n_bpe_tokens) under the learned merges — map-only;
+    the merge table broadcasts once and each worker's ``BPEEncoder`` caches
+    word encodings (Zipf ⇒ high hit rate)."""
+    import ray as _ray
+
+    merges_ref = _ray.put(list(merges))
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        from searchengine_ray.functions.bpe import get_encoder
+        enc = get_encoder(_ray.get(merges_ref))  # per-process cached
+        n_words, n_bpe = [], []
+        for t in df[text_col]:
+            ws = simple_tokens(t or "")
+            n_words.append(len(ws))
+            n_bpe.append(len(enc.encode(ws)))
+        return pd.DataFrame({
+            "doc_id": df[id_col].to_numpy(),
+            "n_words": np.array(n_words, dtype=np.int64),
+            "n_bpe_tokens": np.array(n_bpe, dtype=np.int64)})
+
+    return ds.map_batches(fn, batch_format="pandas", batch_size=1024)
