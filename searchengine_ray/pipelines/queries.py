@@ -2178,6 +2178,36 @@ def q_knn_pq(sf_dir: str):
             .reset_index(drop=True))
 
 
+# --- 31b. IVF-PQ composed index (stages/knn.py) ------------------------------
+
+
+def q_knn_ivfpq(sf_dir: str):
+    """PQ codes inside the persisted inverted-list layout: probe reads only
+    the probed list directories and, for the ADC scan, only the uint8 code
+    columns.  Exactness-gated at nprobe=nlist + refine=None (the same
+    discipline as ``knn_ivf`` and ``knn_pq``); partial-probe recall is
+    pytest-gated."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", [0, 1, 2])])
+    queries = pd.DataFrame({"query_id": qt["vec_id"].to_numpy(),
+                            "vec": qt["embedding"].to_pylist()})
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    with tempfile.TemporaryDirectory(prefix="sr_ivfpq_") as path:
+        knn_stage.build_ivfpq_index(ds, path, num_centroids=16, m=8, ksub=64)
+        out = knn_stage.ivfpq_probe(path, queries, k=50, nprobe=16,
+                                    refine=None)
+    out["cosine"] = out["cosine"].round(6)
+    return (out.sort_values(["query_id", "cosine", "vec_id"],
+                            ascending=[True, False, True], kind="mergesort")
+            .groupby("query_id", sort=False).head(10)
+            .reset_index(drop=True))
+
+
 # --- 32. BPE tokenizer training + token stats (functions/bpe.py) ------------
 
 
@@ -2259,6 +2289,7 @@ QUERIES = {
     "dup_window_stats": q_dup_window_stats,
     "bm25_search": q_bm25_search,
     "knn_pq": q_knn_pq,
+    "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
 }
 
@@ -2323,6 +2354,7 @@ ORACLE_SQL = {
     "dup_window_stats": SQL_DUP_WINDOW_STATS,
     "bm25_search": SQL_BM25_SEARCH,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
+    "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     # crawl_bfs (stateful sequential-gate semantics) is the one remaining
     # non-SQL-expressible entry → rows-only check; its semantics are pinned
     # by the crawl conformance suite (tests/test_crawl.py incl. fuzz)

@@ -395,6 +395,200 @@ def knn_pq_multi(
     return (grouped_topk(out).reset_index(drop=True) if len(out) else out)
 
 
+# --- IVF-PQ: PQ codes inside the persisted inverted-list layout --------------
+
+
+def build_ivfpq_index(
+    ds: Dataset, path: str, num_centroids: int = 16, m: int = DEFAULT_PQ_M,
+    ksub: int = DEFAULT_PQ_KSUB, id_col: str = "vec_id",
+    emb_col: str = "embedding", max_sample: int = DEFAULT_MAX_SAMPLE,
+    seed: int = 5,
+) -> str:
+    """The composed scale layout: hive-partitioned inverted lists
+    (``build_ivf_index``) whose rows carry PQ codes alongside the raw
+    vector.  A probe reads ONLY the ``nprobe`` list directories and, within
+    them, ONLY the uint8 code columns for the ADC scan (parquet column
+    pruning) — raw vectors are touched just for the O(Q × refine) re-rank
+    rows.  PQ here quantizes the normalized vector directly (IVF-Flat+PQ;
+    classic IVFADC quantizes residuals — documented delta, the exactness
+    gate is unaffected because re-rank uses raw vectors)."""
+    import shutil
+
+    cent = build_centroids(ds, num_centroids, max_sample, emb_col, seed=seed)
+    books = train_pq(ds, m=m, ksub=ksub, emb_col=emb_col,
+                     max_sample=max_sample, seed=seed)
+    shutil.rmtree(path, ignore_errors=True)
+    cent_ref = ray.put(cent)
+    books_ref = ray.put(books)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        c = ray.get(cent_ref)
+        b = ray.get(books_ref)
+        emb = np.stack([np.asarray(e, dtype=np.float64) for e in df[emb_col]])
+        scores = (c * c).sum(1)[None, :] - 2.0 * (emb @ c.T)
+        df = df.copy()
+        df["list_id"] = scores.argmin(1).astype(np.int64)
+        # keep list_id as a data column too: ray's file-list reads drop
+        # hive partition columns
+        df["list_id_col"] = df["list_id"]
+        codes = _encode_block(_l2_normalize(emb), b)
+        for j in range(b.shape[0]):
+            df[f"code_{j}"] = codes[:, j]
+        return df
+
+    (ds.map_batches(prep, batch_format="pandas")
+       .write_parquet(path, partition_cols=["list_id"]))
+    os.makedirs(path, exist_ok=True)
+    np.save(os.path.join(path, "_centroids.npy"), cent)
+    np.save(os.path.join(path, "_books.npy"), books)
+    return path
+
+
+def ivfpq_probe(
+    path: str, queries: "pd.DataFrame", k: int = 10, nprobe: int = 4,
+    refine: int | None = 50, id_col: str = "vec_id",
+    emb_col: str = "embedding", exclude_self: bool = True,
+) -> pd.DataFrame:
+    """Batched IVF-PQ search: every query reads only its ``nprobe`` nearest
+    inverted lists; the ADC scan touches code columns only; the exact
+    re-rank touches raw vectors for candidates only (``refine=None`` =
+    re-rank every probed row — with ``nprobe=num_centroids`` that makes the
+    whole path exact, the ``knn_ivf nprobe=nlist`` gating discipline).
+    Returns (query_id, vec_id, cosine), k rows per query."""
+    import ray.data as rd
+
+    cent = np.load(os.path.join(path, "_centroids.npy"))
+    books = np.load(os.path.join(path, "_books.npy"))
+    m = books.shape[0]
+    dsub = books.shape[2]
+    qids = queries["query_id"].to_numpy()
+    Qraw = np.stack([np.asarray(v, dtype=np.float64)
+                     for v in queries["vec"]])
+    Q = _l2_normalize(Qraw)
+    # per-query probed lists: RAW-space L2 to the coarse centroids (the
+    # centroids and the row assignment both live in raw space, like
+    # ivf_probe — selecting with the normalized query would rank lists by
+    # centroid norm, not proximity)
+    d2 = ((cent[None, :, :] - Qraw[:, None, :]) ** 2).sum(-1)
+    probe_lists = np.argsort(d2, axis=1)[:, :nprobe]
+    probed_union = sorted({int(c) for row in probe_lists for c in row})
+    allowed = {int(q): set(int(c) for c in probe_lists[i])
+               for i, q in enumerate(qids)}
+    dirs = [os.path.join(path, f"list_id={c}") for c in probed_union]
+    files = [os.path.join(d, f) for d in dirs if os.path.isdir(d)
+             for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+    empty = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                          "vec_id": pd.Series([], dtype=np.int64),
+                          "cosine": pd.Series([], dtype=np.float64)})
+    if not files:
+        return empty
+
+    tab = np.stack(
+        [Q[:, j * dsub:(j + 1) * dsub] @ books[j].T for j in range(m)], axis=1)
+    tab_ref = ray.put((qids, tab, allowed))
+
+    cand_per_q: dict | None = None
+    if refine is not None:
+        code_cols = [id_col, "list_id_col"] + [f"code_{j}" for j in range(m)]
+        codes_ds = rd.read_parquet(files, columns=code_cols)
+
+        def adc_local(df: pd.DataFrame) -> pd.DataFrame:
+            ids_q, t, allow = ray.get(tab_ref)
+            ids = df[id_col].to_numpy()
+            lists = df["list_id_col"].to_numpy()
+            acc = np.zeros((t.shape[0], len(df)), dtype=np.float64)
+            for j in range(t.shape[1]):
+                acc += t[:, j, :][:, df[f"code_{j}"].to_numpy()]
+            frames = []
+            for qi in range(t.shape[0]):
+                ok = np.fromiter((l in allow[int(ids_q[qi])] for l in lists),
+                                 dtype=bool, count=lists.size)
+                if exclude_self:
+                    ok &= ids != ids_q[qi]
+                s, vid = acc[qi][ok], ids[ok]
+                r_eff = min(refine, s.size)
+                if not r_eff:
+                    continue
+                idx = np.argpartition(-s, r_eff - 1)[:r_eff]
+                frames.append(pd.DataFrame({
+                    "query_id": np.full(r_eff, ids_q[qi]),
+                    "vec_id": vid[idx], "adc": s[idx]}))
+            if not frames:
+                return pd.DataFrame({
+                    "query_id": pd.Series([], dtype=np.int64),
+                    "vec_id": pd.Series([], dtype=np.int64),
+                    "adc": pd.Series([], dtype=np.float64)})
+            return pd.concat(frames, ignore_index=True)
+
+        def grouped_refine(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return df
+            return (df.sort_values(["query_id", "adc", "vec_id"],
+                                   ascending=[True, False, True],
+                                   kind="mergesort")
+                    .groupby("query_id", sort=False).head(refine))
+
+        parts = (codes_ds.map_batches(adc_local, batch_format="pandas",
+                                      batch_size=8192)
+                 .repartition(16)
+                 .map_batches(grouped_refine, batch_format="pandas",
+                              batch_size=None))
+        cand = grouped_refine(parts.to_pandas())
+        cand_per_q = {int(qid): set(g["vec_id"])
+                      for qid, g in cand.groupby("query_id", sort=False)}
+
+    vec_ds = rd.read_parquet(files, columns=[id_col, "list_id_col", emb_col])
+    state_ref = ray.put((qids, Q, allowed, cand_per_q))
+
+    def exact_local(df: pd.DataFrame) -> pd.DataFrame:
+        ids_q, qm, allow, per_q = ray.get(state_ref)
+        if per_q is not None:
+            union: set = set().union(*per_q.values()) if per_q else set()
+            df = df[df[id_col].isin(union)]
+        if not len(df):
+            return empty
+        emb = np.stack([np.asarray(e, dtype=np.float64) for e in df[emb_col]])
+        vnorm = np.linalg.norm(emb, axis=1)
+        vnorm[vnorm == 0] = 1.0
+        sims = (emb @ qm.T) / vnorm[:, None]
+        ids = df[id_col].to_numpy()
+        lists = df["list_id_col"].to_numpy()
+        frames = []
+        for qi in range(qm.shape[0]):
+            keep = np.fromiter((l in allow[int(ids_q[qi])] for l in lists),
+                               dtype=bool, count=lists.size)
+            if exclude_self:
+                keep &= ids != ids_q[qi]
+            if per_q is not None:
+                al = per_q.get(int(ids_q[qi]), set())
+                keep &= np.fromiter((v in al for v in ids), dtype=bool,
+                                    count=ids.size)
+            s, vid = sims[:, qi][keep], ids[keep]
+            k_eff = min(k, s.size)
+            if not k_eff:
+                continue
+            idx = np.argpartition(-s, k_eff - 1)[:k_eff]
+            frames.append(pd.DataFrame({
+                "query_id": np.full(k_eff, ids_q[qi]),
+                "vec_id": vid[idx], "cosine": s[idx]}))
+        return pd.concat(frames, ignore_index=True) if frames else empty
+
+    def grouped_topk(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df
+        return (df.sort_values(["query_id", "cosine", "vec_id"],
+                               ascending=[True, False, True], kind="mergesort")
+                .groupby("query_id", sort=False).head(k))
+
+    parts = (vec_ds.map_batches(exact_local, batch_format="pandas",
+                                batch_size=4096)
+             .repartition(16)
+             .map_batches(grouped_topk, batch_format="pandas",
+                          batch_size=None))
+    out = parts.to_pandas()
+    return (grouped_topk(out).reset_index(drop=True) if len(out) else out)
+
+
 def knn_bruteforce_multi(
     ds: Dataset, queries: "pd.DataFrame", k: int = 10,
     id_col: str = "vec_id", emb_col: str = "embedding",

@@ -154,3 +154,65 @@ def test_pq_dim_not_divisible_raises(emb_ds):
 
     with pytest.raises(ValueError):
         train_pq(emb_ds, m=5, ksub=8)
+
+
+# --- IVF-PQ composed index ---------------------------------------------------
+
+
+def test_ivfpq_full_probe_full_refine_exact(emb_ds, tmp_path):
+    from searchengine_ray.stages.knn import (
+        build_ivfpq_index, ivfpq_probe, knn_bruteforce_multi)
+
+    queries = _queries_from(emb_ds, {0, 1, 2})
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb_ds, path, num_centroids=8, m=4, ksub=16, seed=7)
+    exact = knn_bruteforce_multi(emb_ds, queries, k=10)
+    got = ivfpq_probe(path, queries, k=10, nprobe=8, refine=None)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True).round({"cosine": 9}),
+        exact.reset_index(drop=True).round({"cosine": 9}))
+
+
+def test_ivfpq_partial_probe_recall(emb_ds, tmp_path):
+    from searchengine_ray.stages.knn import (
+        build_ivfpq_index, ivfpq_probe, knn_bruteforce_multi)
+
+    queries = _queries_from(emb_ds, {0, 5, 11})
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb_ds, path, num_centroids=8, m=4, ksub=16, seed=7)
+    exact = knn_bruteforce_multi(emb_ds, queries, k=10)
+    got = ivfpq_probe(path, queries, k=10, nprobe=4, refine=40)
+    recalls = []
+    for qid in queries["query_id"]:
+        t = set(exact[exact["query_id"] == qid]["vec_id"])
+        p = set(got[got["query_id"] == qid]["vec_id"])
+        recalls.append(len(t & p) / len(t))
+    # measured 0.8/0.8/0.6: candidates are bounded by ADC ranking inside
+    # the (near-tied) query cluster at refine=40; refine=100 measures 1.0
+    assert np.mean(recalls) >= 0.7, recalls
+
+
+def test_ivfpq_probe_reads_only_probed_lists(emb_ds, tmp_path):
+    """nprobe=1 must answer from ONE list directory: every result id
+    belongs to the query's own list partition."""
+    import pyarrow.parquet as pq_mod
+
+    from searchengine_ray.stages.knn import build_ivfpq_index, ivfpq_probe
+
+    queries = _queries_from(emb_ds, {0})
+    path = str(tmp_path / "ivfpq")
+    build_ivfpq_index(emb_ds, path, num_centroids=8, m=4, ksub=16, seed=7)
+    got = ivfpq_probe(path, queries, k=10, nprobe=1, refine=20)
+    import os
+    member: dict[int, int] = {}
+    for d in os.listdir(path):
+        if not d.startswith("list_id="):
+            continue
+        lid = int(d.split("=")[1])
+        for f in os.listdir(os.path.join(path, d)):
+            t = pq_mod.read_table(os.path.join(path, d, f),
+                                  columns=["vec_id"])
+            for v in t["vec_id"].to_pylist():
+                member[v] = lid
+    lists_hit = {member[v] for v in got["vec_id"]}
+    assert len(lists_hit) == 1
