@@ -132,6 +132,12 @@ def main() -> None:
         "redact_entities": Q.q_redact_entities,
         "quantile_filter": Q.q_quantile_filter,
         "training_corpus": Q.q_training_corpus,
+        "repetition_stats": Q.q_repetition_stats,
+        "dup_window_stats": Q.q_dup_window_stats,
+        "bm25_search": Q.q_bm25_search,
+        "knn_pq": Q.q_knn_pq,
+        "knn_ivfpq": Q.q_knn_ivfpq,
+        "bpe_stats": Q.q_bpe_stats,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

@@ -122,7 +122,11 @@ def build_ivf_index(
     cent = build_centroids(ds, num_centroids, max_sample, emb_col, seed=seed)
     shutil.rmtree(path, ignore_errors=True)
     cent_ref = ray.put(cent)
+    # one block per list before the write — see build_ivfpq_index: hive
+    # partitioning alone writes (input blocks × nlist) tiny files
     (ds.map_batches(_assign_lists(cent_ref, emb_col), batch_format="pandas")
+       .groupby("list_id")
+       .map_groups(lambda g: g, batch_format="pandas")
        .write_parquet(path, partition_cols=["list_id"]))
     os.makedirs(path, exist_ok=True)  # an all-empty write creates no dir
     np.save(os.path.join(path, "_centroids.npy"), cent)
@@ -436,7 +440,15 @@ def build_ivfpq_index(
             df[f"code_{j}"] = codes[:, j]
         return df
 
+    # Co-locate each inverted list into one block before the partitioned
+    # write: without this, hive partitioning writes (input blocks × nlist)
+    # tiny files — measured 904 files / 9 s probe reads at sf0.1 vs 16
+    # files / sub-second after.  One all-to-all, amortized by build-once.
+    # (At corpus scale where one list exceeds a block, shard the shuffle
+    # key to (list_id, hash(id) % ceil(rows/nlist/target)) instead.)
     (ds.map_batches(prep, batch_format="pandas")
+       .groupby("list_id")
+       .map_groups(lambda g: g, batch_format="pandas")
        .write_parquet(path, partition_cols=["list_id"]))
     os.makedirs(path, exist_ok=True)
     np.save(os.path.join(path, "_centroids.npy"), cent)
