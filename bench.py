@@ -138,6 +138,7 @@ def main() -> None:
         "knn_pq": Q.q_knn_pq,
         "knn_ivfpq": Q.q_knn_ivfpq,
         "bpe_stats": Q.q_bpe_stats,
+        "pagerank": Q.q_pagerank,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

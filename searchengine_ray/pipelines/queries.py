@@ -2208,6 +2208,57 @@ def q_knn_ivfpq(sf_dir: str):
             .reset_index(drop=True))
 
 
+# --- 31c. PageRank over a deterministic link graph (stages/graph.py) --------
+
+
+def q_pagerank(sf_dir: str):
+    """3-iteration damped PageRank over a closed deterministic graph derived
+    from doc ids (dst = (src·31 + j) mod N, j ∈ 1..3, self-loops dropped —
+    31 is coprime to every sf's N, so each j-slice is a permutation and the
+    graph stays closed: every node keeps out- and in-edges).  Per iteration:
+    ONE hash_join co-shuffle + ONE pre_aggregate — the canonical iterative
+    graph shape; the rank vector never leaves the cluster.  The oracle
+    unrolls the same three iterations as nested CTEs."""
+    from searchengine_ray.stages.graph import pagerank
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id"])
+    n = ds.count()
+
+    def explode_edges(df: pd.DataFrame) -> pd.DataFrame:
+        src = np.repeat(df["doc_id"].to_numpy(np.int64), 3)
+        j = np.tile(np.array([1, 2, 3], dtype=np.int64), len(df))
+        dst = (src * 31 + j) % n
+        keep = src != dst
+        return pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+    edges = ds.map_batches(explode_edges, batch_format="pandas")
+    return pagerank(edges, num_nodes=n, iters=3, damping=0.85)
+
+
+SQL_PAGERANK = """
+WITH n AS (SELECT count(*) AS cnt FROM documents),
+e0 AS (SELECT doc_id AS src, (doc_id*31 + j.j) % n.cnt AS dst
+       FROM documents CROSS JOIN n
+       CROSS JOIN (VALUES (1), (2), (3)) AS j(j)),
+e AS (SELECT src, dst FROM e0 WHERE src <> dst),
+deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+r0 AS (SELECT doc_id AS node, 1.0 / n.cnt AS r FROM documents, n),
+r1 AS (SELECT e.dst AS node,
+              0.15 / n.cnt + 0.85 * sum(r0.r / deg.d) AS r
+       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src, n
+       GROUP BY e.dst, n.cnt),
+r2 AS (SELECT e.dst AS node,
+              0.15 / n.cnt + 0.85 * sum(r1.r / deg.d) AS r
+       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src, n
+       GROUP BY e.dst, n.cnt),
+r3 AS (SELECT e.dst AS node,
+              0.15 / n.cnt + 0.85 * sum(r2.r / deg.d) AS r
+       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src, n
+       GROUP BY e.dst, n.cnt)
+SELECT node, round(r, 6) AS pagerank FROM r3
+"""
+
+
 # --- 32. BPE tokenizer training + token stats (functions/bpe.py) ------------
 
 
@@ -2291,6 +2342,7 @@ QUERIES = {
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
+    "pagerank": q_pagerank,
 }
 
 ORACLE_SQL = {
@@ -2355,6 +2407,7 @@ ORACLE_SQL = {
     "bm25_search": SQL_BM25_SEARCH,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
+    "pagerank": SQL_PAGERANK,
     # crawl_bfs (stateful sequential-gate semantics) is the one remaining
     # non-SQL-expressible entry → rows-only check; its semantics are pinned
     # by the crawl conformance suite (tests/test_crawl.py incl. fuzz)

@@ -1,0 +1,89 @@
+"""Link-graph analytics: distributed PageRank.
+
+The canonical iterative graph op a web-scale crawl/index pipeline runs over
+its link graph (Brin & Page 1998; the reference crawls and indexes but never
+ranks — this is part of the §"beyond the reference" set).
+
+Scale shape: the rank vector and the edge list both stay Datasets end to
+end.  Per iteration the work is exactly TWO all-to-alls — one
+``hash_join`` co-shuffle of (edges ⨝ ranks on src) and one ``pre_aggregate``
+sum keyed by dst — so an iteration moves O(edges) rows and the driver sees
+only scalars.  Edges pre-join their out-degree ONCE before the loop.
+
+Semantics (mirrored exactly by the SQL oracle): the damped update
+``r'(v) = (1-d)/N + d · Σ_{u→v} r(u)/outdeg(u)`` with NO dangling-mass
+redistribution — callers whose graphs have dangling or in-edge-less nodes
+should close the graph first (the query fixture is closed by
+construction); nodes that never appear as ``dst`` drop out of the rank
+vector after one iteration, which also silences their later
+contributions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from searchengine_ray.stages.relational import hash_join, pre_aggregate
+
+
+def pagerank(edges: Dataset, num_nodes: int, iters: int = 3,
+             damping: float = 0.85,
+             src_col: str = "src", dst_col: str = "dst") -> Dataset:
+    """Fixed-iteration PageRank over an edge Dataset.
+
+    Requires every node to appear as both a ``src`` (out-degree ≥ 1) and a
+    ``dst`` (in-degree ≥ 1) — see module docstring.  Returns
+    (node, pagerank) with pagerank rounded to 6."""
+    if num_nodes <= 0:
+        raise ValueError("num_nodes must be positive")
+    base = (1.0 - damping) / num_nodes
+
+    # out-degree joins the edges ONCE (one co-shuffle), then MATERIALIZES:
+    # the edge side is loop-invariant, and Ray Data does not dedupe shared
+    # sub-plans — without this every iteration's join would re-execute the
+    # whole edge build (measured 3× the edge work at iters=3).  At cluster
+    # scale this is the standard iterative-algorithm shape: the big
+    # invariant operand lives in the object store across rounds.
+    deg = pre_aggregate(edges, [src_col], {"deg": (None, "count")})
+    edges_w = hash_join(edges, deg, on=src_col).materialize()
+
+    # uniform init: ranks derive from the edge list itself (distinct src),
+    # so no separate node table ships anywhere
+    ranks = pre_aggregate(edges, [src_col], {"_c": (None, "count")})
+
+    def init(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df[src_col],
+                             "r": np.full(len(df), 1.0 / num_nodes)})
+
+    ranks = ranks.map_batches(init, batch_format="pandas")
+
+    for _ in range(iters):
+        def as_src(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns={"node": src_col})
+
+        joined = hash_join(edges_w, ranks.map_batches(
+            as_src, batch_format="pandas"), on=src_col)
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": df[dst_col],
+                "c": df["r"].to_numpy(np.float64)
+                     / df["deg"].to_numpy(np.float64)})
+
+        agg = pre_aggregate(joined.map_batches(contrib, batch_format="pandas"),
+                            ["node"], {"s": ("c", "sum")})
+
+        def update(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": df["node"],
+                "r": base + damping * df["s"].to_numpy(np.float64)})
+
+        ranks = agg.map_batches(update, batch_format="pandas")
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"].astype(np.int64),
+                             "pagerank": df["r"].round(6)})
+
+    return ranks.map_batches(finish, batch_format="pandas")

@@ -1,0 +1,69 @@
+"""Distributed PageRank (stages/graph.py) vs a numpy reference."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+def _pagerank_ref(edges, n, iters, damping=0.85):
+    deg = np.zeros(n)
+    for s, _ in edges:
+        deg[s] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        nxt = np.full(n, (1 - damping) / n)
+        for s, d in edges:
+            nxt[d] += damping * r[s] / deg[s]
+        r = nxt
+    return r
+
+
+def test_pagerank_matches_numpy_reference(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.graph import pagerank
+
+    rng = np.random.RandomState(11)
+    n = 60
+    # closed graph: a ring (guarantees every node has in+out edges) plus
+    # random extra edges
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    for _ in range(150):
+        s, d = rng.randint(0, n, 2)
+        if s != d:
+            edges.append((int(s), int(d)))
+    edges = sorted(set(edges))
+    df = pd.DataFrame(edges, columns=["src", "dst"])
+    out = (pagerank(rd.from_pandas(df).repartition(4), num_nodes=n, iters=3)
+           .to_pandas().set_index("node").sort_index())
+    ref = _pagerank_ref(edges, n, iters=3)
+    assert len(out) == n
+    np.testing.assert_allclose(out["pagerank"].to_numpy(), np.round(ref, 6),
+                               atol=1.5e-6)
+    # a probability distribution (closed graph conserves mass)
+    assert out["pagerank"].sum() == pytest.approx(1.0, abs=1e-3)
+
+
+def test_pagerank_ranks_hub_highest(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.graph import pagerank
+
+    # star + ring: every node points at 0 (and to its ring successor)
+    n = 20
+    edges = [(i, 0) for i in range(1, n)] + [(i, (i + 1) % n)
+                                             for i in range(n)]
+    df = pd.DataFrame(sorted(set(edges)), columns=["src", "dst"])
+    out = (pagerank(rd.from_pandas(df), num_nodes=n, iters=3)
+           .to_pandas().sort_values("pagerank", ascending=False))
+    assert int(out.iloc[0]["node"]) == 0
+
+
+def test_pagerank_rejects_bad_n(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.graph import pagerank
+
+    df = pd.DataFrame({"src": [0], "dst": [1]})
+    with pytest.raises(ValueError):
+        pagerank(rd.from_pandas(df), num_nodes=0)
