@@ -28,17 +28,33 @@ from ray.data import Dataset
 from searchengine_ray.stages.relational import hash_join, pre_aggregate
 
 
+DEFAULT_BROADCAST_NODES = 2_000_000
+
+
 def pagerank(edges: Dataset, num_nodes: int, iters: int = 3,
              damping: float = 0.85,
-             src_col: str = "src", dst_col: str = "dst") -> Dataset:
+             src_col: str = "src", dst_col: str = "dst",
+             broadcast_threshold: int = DEFAULT_BROADCAST_NODES) -> Dataset:
     """Fixed-iteration PageRank over an edge Dataset.
 
     Requires every node to appear as both a ``src`` (out-degree ≥ 1) and a
     ``dst`` (in-degree ≥ 1) — see module docstring.  Returns
-    (node, pagerank) with pagerank rounded to 6."""
+    (node, pagerank) with pagerank rounded to 6.
+
+    SIZE-ROUTED (the connected-components discipline): when the rank
+    vector fits comfortably on the driver (``num_nodes ≤
+    broadcast_threshold``), each iteration broadcasts it via ``ray.put``
+    and runs ONE map pass + ONE ``pre_aggregate`` (driver pull = exactly N
+    rows/iter) — the edge-side join disappears.  Above the threshold the
+    fully distributed path runs: rank vector stays a Dataset, one
+    ``hash_join`` co-shuffle + one ``pre_aggregate`` per iteration.  Both
+    paths are pinned identical by tests."""
     if num_nodes <= 0:
         raise ValueError("num_nodes must be positive")
     base = (1.0 - damping) / num_nodes
+    if num_nodes <= broadcast_threshold:
+        return _pagerank_broadcast(edges, num_nodes, iters, damping,
+                                   src_col, dst_col)
 
     # out-degree joins the edges ONCE (one co-shuffle), then MATERIALIZES:
     # the edge side is loop-invariant, and Ray Data does not dedupe shared
@@ -87,3 +103,52 @@ def pagerank(edges: Dataset, num_nodes: int, iters: int = 3,
                              "pagerank": df["r"].round(6)})
 
     return ranks.map_batches(finish, batch_format="pandas")
+
+
+def _pagerank_broadcast(edges: Dataset, num_nodes: int, iters: int,
+                        damping: float, src_col: str,
+                        dst_col: str) -> Dataset:
+    """Broadcast-rank route: the O(N) rank vector lives on the driver and
+    ships to workers via ``ray.put`` each round; edges stream map-only and
+    reduce through one ``pre_aggregate`` keyed by dst (driver pull = N
+    rows/iter).  Bit-identical update expression to the distributed path."""
+    import ray
+
+    base = (1.0 - damping) / num_nodes
+    # the edge lineage is consumed once per iteration plus the degree pass
+    # — materialize so upstream edge construction runs once, not iters+1×
+    edges = edges.materialize()
+    deg = pre_aggregate(edges, [src_col],
+                        {"deg": (None, "count")}).to_pandas()
+    nodes = np.sort(deg[src_col].to_numpy(np.int64))
+    degv = deg.set_index(src_col)["deg"].loc[nodes].to_numpy(np.float64)
+    r = np.full(nodes.size, 1.0 / num_nodes)
+
+    for _ in range(iters):
+        w_ref = ray.put((nodes, r / degv))
+
+        def contrib(df: pd.DataFrame) -> pd.DataFrame:
+            nd, w = ray.get(w_ref)
+            pos = np.searchsorted(nd, df[src_col].to_numpy(np.int64))
+            return pd.DataFrame({"node": df[dst_col], "c": w[pos]})
+
+        agg = pre_aggregate(
+            edges.map_batches(contrib, batch_format="pandas"),
+            ["node"], {"s": ("c", "sum")}).to_pandas()
+        pos = np.searchsorted(nodes, agg["node"].to_numpy(np.int64))
+        nxt = np.full(nodes.size, np.nan)
+        nxt[pos] = base + damping * agg["s"].to_numpy(np.float64)
+        # module contract: every node has in-edges, so no NaN survives; a
+        # violated contract fails loudly here instead of silently leaking
+        if np.isnan(nxt).any():
+            raise ValueError("pagerank: node(s) without in-edges")
+        r = nxt
+
+    return _ranks_dataset(nodes, np.round(r, 6))
+
+
+def _ranks_dataset(nodes: np.ndarray, r: np.ndarray) -> Dataset:
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame({"node": nodes.astype(np.int64),
+                                        "pagerank": r}))

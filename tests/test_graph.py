@@ -59,6 +59,29 @@ def test_pagerank_ranks_hub_highest(ray_session):
     assert int(out.iloc[0]["node"]) == 0
 
 
+def test_pagerank_routes_identical(ray_session):
+    """Broadcast-rank route ≡ fully distributed route (forced via
+    broadcast_threshold=0) on the same graph."""
+    import ray.data as rd
+
+    from searchengine_ray.stages.graph import pagerank
+
+    rng = np.random.RandomState(4)
+    n = 40
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    for _ in range(80):
+        s, d = rng.randint(0, n, 2)
+        if s != d:
+            edges.append((int(s), int(d)))
+    df = pd.DataFrame(sorted(set(edges)), columns=["src", "dst"])
+    ds = rd.from_pandas(df).repartition(3)
+    a = (pagerank(ds, num_nodes=n, iters=3).to_pandas()
+         .sort_values("node").reset_index(drop=True))
+    b = (pagerank(ds, num_nodes=n, iters=3, broadcast_threshold=0)
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_pagerank_rejects_bad_n(ray_session):
     import ray.data as rd
 
