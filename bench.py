@@ -139,6 +139,7 @@ def main() -> None:
         "knn_ivfpq": Q.q_knn_ivfpq,
         "bpe_stats": Q.q_bpe_stats,
         "pagerank": Q.q_pagerank,
+        "phrase_search": Q.q_phrase_search,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

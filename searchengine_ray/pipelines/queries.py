@@ -2259,6 +2259,37 @@ SELECT node, round(r, 6) AS pagerank FROM r3
 """
 
 
+# --- 31d. positional phrase search (pipelines/search.phrase_search) ---------
+
+
+def q_phrase_search(sf_dir: str):
+    """Exact-phrase occurrence counts for "fast merge": map-only positional
+    explode restricted to the phrase terms, one doc-keyed co-shuffle, one
+    vectorized anchor-alignment kernel per bucket."""
+    from searchengine_ray.pipelines.search import phrase_search
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return phrase_search(ds, "fast merge")
+
+
+# zipped parallel unnest = positions; a match anchors t1 at p, t2 at p+1
+SQL_PHRASE_SEARCH = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+p AS (SELECT doc_id, unnest(ts) AS tok,
+             unnest(range(0, len(ts))) AS pos
+      FROM toks WHERE len(ts) > 0),
+t1 AS (SELECT doc_id, pos FROM p WHERE tok = 'fast'),
+t2 AS (SELECT doc_id, pos FROM p WHERE tok = 'merge')
+SELECT t1.doc_id, CAST(count(*) AS BIGINT) AS n_matches
+FROM t1 JOIN t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+GROUP BY t1.doc_id
+"""
+
+
 # --- 32. BPE tokenizer training + token stats (functions/bpe.py) ------------
 
 
@@ -2343,6 +2374,7 @@ QUERIES = {
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
     "pagerank": q_pagerank,
+    "phrase_search": q_phrase_search,
 }
 
 ORACLE_SQL = {
@@ -2408,6 +2440,7 @@ ORACLE_SQL = {
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,
+    "phrase_search": SQL_PHRASE_SEARCH,
     # crawl_bfs (stateful sequential-gate semantics) is the one remaining
     # non-SQL-expressible entry → rows-only check; its semantics are pinned
     # by the crawl conformance suite (tests/test_crawl.py incl. fuzz)

@@ -101,6 +101,70 @@ def boolean_search(
     return out.reset_index(drop=True)
 
 
+# --- positional phrase search ------------------------------------------------
+
+
+def phrase_search(
+    docs: Dataset, phrase: str, text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Exact phrase occurrence counting via positional postings — the
+    positional upgrade of the reference's bag-of-words index (its postings
+    carry counts only, idxer.py; phrase queries need positions).
+
+    Per batch (map-only): explode (doc, term_idx, pos) rows ONLY for the
+    phrase's terms — corpus tokens not in the phrase never leave the task.
+    Then one co-shuffle keyed by doc and a single vectorized kernel per
+    bucket: an anchor position p matches iff term i sits at p+i for all i,
+    i.e. the (doc, pos − term_idx) key collects all L distinct term_idx
+    values.  Returns (doc_id, n_matches) for docs with ≥ 1 match.
+    Overlapping matches count individually (same as the SQL mirror)."""
+    from searchengine_ray.stages.relational import bucketed_apply
+    from searchengine_ray.stages.text import simple_tokens
+
+    terms = simple_tokens(phrase)
+    if not terms:
+        raise ValueError("empty phrase")
+    L = len(terms)
+    term_idx: dict[str, list[int]] = {}
+    for i, t in enumerate(terms):
+        term_idx.setdefault(t, []).append(i)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, tix, anch = [], [], []
+        for doc_id, text in zip(df[id_col].to_numpy(), df[text_col]):
+            toks = simple_tokens(text or "")
+            for p, tok in enumerate(toks):
+                for i in term_idx.get(tok, ()):
+                    ids.append(doc_id)
+                    tix.append(i)
+                    anch.append(p - i)  # anchor = would-be phrase start
+        return pd.DataFrame({
+            "doc_id": np.array(ids, dtype=np.int64),
+            "ti": np.array(tix, dtype=np.int64),
+            "anchor": np.array(anch, dtype=np.int64)})
+
+    rows = docs.map_batches(explode, batch_format="pandas", batch_size=2048)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "n_matches": pd.Series([], dtype=np.int64)})
+        hit = (g[g["anchor"] >= 0]
+               .groupby(["doc_id", "anchor"], sort=False)["ti"]
+               .nunique())
+        full = hit[hit == L].reset_index()
+        if not len(full):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "n_matches": pd.Series([], dtype=np.int64)})
+        out = (full.groupby("doc_id", sort=False, as_index=False)
+               .agg(n_matches=("anchor", "size")))
+        out["n_matches"] = out["n_matches"].astype(np.int64)
+        return out
+
+    return bucketed_apply(rows, ["doc_id"], per_bucket)
+
+
 # --- BM25 ranked retrieval ---------------------------------------------------
 
 BM25_K1 = 1.2
