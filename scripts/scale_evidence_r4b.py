@@ -42,14 +42,17 @@ def main() -> None:
     out: dict = {}
 
     # --- PQ at 1M × 64 ------------------------------------------------------
+    # 15,625 clusters × 64 members: cluster sizes comparable to k so the
+    # recall@10-vs-exact metric is meaningful (64 giant clusters make the
+    # true top-10 a within-near-tie lottery no quantizer can win)
     n, d = 1_000_000, 64
     rng = np.random.RandomState(7)
-    base = rng.randn(64, d).astype(np.float32)
+    base = rng.randn(15_625, d).astype(np.float32)
 
     def gen(batch: pd.DataFrame) -> pd.DataFrame:
         ids = batch["id"].to_numpy(np.int64)
         r = np.random.RandomState(int(ids[0]) % (1 << 31))
-        x = base[ids % 64] + 0.1 * r.randn(ids.size, d).astype(np.float32)
+        x = base[ids % 15_625] + 0.1 * r.randn(ids.size, d).astype(np.float32)
         return pd.DataFrame({"vec_id": ids,
                              "embedding": list(x.astype(np.float32))})
 
@@ -108,6 +111,10 @@ def main() -> None:
     n_ranked = pr.count()
     out["pagerank_10m_edges_sec"] = round(time.perf_counter() - t0, 2)
     out["pagerank_nodes_ranked"] = int(n_ranked)
+    # regression pin for the hash_join widen dtype bug (zero-fill, see
+    # stages/relational.py): the iterated join used to silently lose ~85%
+    # of the rank vector per round at this scale
+    assert n_ranked == n_nodes, f"pagerank lost nodes: {n_ranked}"
 
     # --- BPE at 1M docs ------------------------------------------------------
     from searchengine_ray.stages.text import bpe_train

@@ -96,7 +96,17 @@ def pagerank(edges: Dataset, num_nodes: int, iters: int = 3,
                 "node": df["node"],
                 "r": base + damping * df["s"].to_numpy(np.float64)})
 
-        ranks = agg.map_batches(update, batch_format="pandas")
+        # materialize the N-row rank vector each round (the iterative-
+        # algorithm shape: state lives in the object store between rounds).
+        # Besides bounding plan depth, this is a CORRECTNESS requirement:
+        # leaving 3 iterations lazy chains groupby-inside-groupby plans
+        # deep enough that Ray Data 2.49 emits "RefBundle with a different
+        # schema" warnings and silently DROPS reduce buckets (measured:
+        # 145,079 of 1,000,000 nodes survived at 10M edges; 3/3 clean
+        # with per-round materialization, pinned by the 1M-node check in
+        # scripts/scale_evidence_r4b.py).
+        ranks = agg.map_batches(update,
+                                batch_format="pandas").materialize()
 
     def finish(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({"node": df["node"].astype(np.int64),

@@ -238,9 +238,27 @@ def hash_join(
 
     def widen(side_cols, all_cols):
         def fn(b: pa.Table) -> pa.Table:
+            import numpy as np
+
             for name, typ in all_cols:
                 if name not in b.column_names:
-                    b = b.append_column(name, pa.nulls(b.num_rows, typ))
+                    # filler columns are NEVER read (join_bucket selects
+                    # each side's own columns), so fill fixed-width types
+                    # with ZEROS, not nulls: Ray's union/sort machinery
+                    # converts some widened blocks through pandas, where
+                    # int64-with-nulls degrades to float64 — poisoning the
+                    # join output dtypes and, one iteration later, the
+                    # bucket HASH of an int64-vs-float64 key (measured:
+                    # iterated 1M-node pagerank silently lost 85% of its
+                    # rows per round before this)
+                    if (pa.types.is_integer(typ) or pa.types.is_floating(typ)
+                            or pa.types.is_boolean(typ)):
+                        filler = pa.array(
+                            np.zeros(b.num_rows, dtype=typ.to_pandas_dtype()))
+                        filler = filler.cast(typ)
+                    else:
+                        filler = pa.nulls(b.num_rows, typ)
+                    b = b.append_column(name, filler)
             return b.select([n for n, _ in all_cols] + ["_bucket", "_side"])
 
         return fn
