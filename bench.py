@@ -140,6 +140,7 @@ def main() -> None:
         "bpe_stats": Q.q_bpe_stats,
         "pagerank": Q.q_pagerank,
         "phrase_search": Q.q_phrase_search,
+        "snapshot_diff": Q.q_snapshot_diff,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

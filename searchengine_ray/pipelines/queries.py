@@ -2290,6 +2290,54 @@ GROUP BY t1.doc_id
 """
 
 
+# --- 31e. corpus snapshot diff (stages/dedup.snapshot_diff) -----------------
+
+
+def q_snapshot_diff(sf_dir: str):
+    """Diff two corpus snapshots (v1 = documents; v2 derived
+    deterministically: doc_id%7==0 removed, doc_id%5==0 edited, one new
+    doc per doc_id%11==0).  One co-shuffle on the id; each bucket resolves
+    with a single vectorized outer merge.  The incremental-crawl consumer
+    op: what to (re)process downstream between yesterday and today."""
+    from searchengine_ray.stages.dedup import snapshot_diff
+
+    v1 = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def derive_v2(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        keep = ids % 7 != 0
+        base = pd.DataFrame({
+            "doc_id": ids[keep],
+            "text": np.where(ids[keep] % 5 == 0,
+                             df["text"].to_numpy()[keep] + " v2",
+                             df["text"].to_numpy()[keep])})
+        new_ids = ids[ids % 11 == 0]
+        added = pd.DataFrame({
+            "doc_id": new_ids + 1_000_000,
+            "text": np.array([f"new doc {i}" for i in new_ids], dtype=object)})
+        return pd.concat([base, added], ignore_index=True)
+
+    v2 = v1.map_batches(derive_v2, batch_format="pandas")
+    return snapshot_diff(v1, v2)
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH v2 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, 'new doc ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 11 = 0)
+SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.doc_id IS NULL THEN 'added'
+            ELSE 'changed' END AS status
+FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.text <> b.text
+"""
+
+
 # --- 32. BPE tokenizer training + token stats (functions/bpe.py) ------------
 
 
@@ -2375,6 +2423,7 @@ QUERIES = {
     "bpe_stats": q_bpe_stats,
     "pagerank": q_pagerank,
     "phrase_search": q_phrase_search,
+    "snapshot_diff": q_snapshot_diff,
 }
 
 ORACLE_SQL = {
@@ -2441,6 +2490,7 @@ ORACLE_SQL = {
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,
     "phrase_search": SQL_PHRASE_SEARCH,
+    "snapshot_diff": SQL_SNAPSHOT_DIFF,
     # crawl_bfs (stateful sequential-gate semantics) is the one remaining
     # non-SQL-expressible entry → rows-only check; its semantics are pinned
     # by the crawl conformance suite (tests/test_crawl.py incl. fuzz)

@@ -742,3 +742,57 @@ def rd_from_empty_pairs() -> Dataset:
         "doc_a": pd.Series([], dtype=np.int64),
         "doc_b": pd.Series([], dtype=np.int64),
         "cosine": pd.Series([], dtype=np.float64)}))
+
+
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (incremental-crawl consumer op)
+
+
+def snapshot_diff(
+    old: "Dataset", new: "Dataset",
+    id_col: str = "doc_id", text_col: str = "text",
+) -> "Dataset":
+    """Diff two corpus snapshots: (id, status) for every id whose presence
+    or content changed — ``added`` (new only), ``removed`` (old only),
+    ``changed`` (both, different content).  Unchanged rows are dropped.
+
+    Shuffle shape: both sides tag a side column and co-shuffle ONCE on the
+    id (``bucketed_apply``); each bucket resolves with one vectorized
+    merge — no driver materialization, no second pass.  This is the step
+    an incremental pipeline runs between yesterday's and today's crawl to
+    decide what to (re)process downstream."""
+    import numpy as np
+    import pandas as pd
+
+    from searchengine_ray.stages.relational import bucketed_apply
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                id_col: df[id_col],
+                "_text": df[text_col],
+                "_side": np.full(len(df), side, dtype=np.int8)})
+        return fn
+
+    both = old.map_batches(tag(0), batch_format="pandas").union(
+        new.map_batches(tag(1), batch_format="pandas"))
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "status": pd.Series([], dtype=object)})
+        side = g["_side"].to_numpy()
+        o = g[side == 0][[id_col, "_text"]]
+        n = g[side == 1][[id_col, "_text"]]
+        m = o.merge(n, on=id_col, how="outer", suffixes=("_o", "_n"),
+                    indicator=True)
+        status = np.where(
+            m["_merge"].to_numpy() == "left_only", "removed",
+            np.where(m["_merge"].to_numpy() == "right_only", "added",
+                     np.where(m["_text_o"].to_numpy() != m["_text_n"].to_numpy(),
+                              "changed", "unchanged")))
+        out = pd.DataFrame({id_col: m[id_col].astype(np.int64),
+                            "status": status})
+        return out[out["status"] != "unchanged"]
+
+    return bucketed_apply(both, [id_col], per_bucket)

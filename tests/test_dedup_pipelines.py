@@ -193,3 +193,33 @@ def test_fingerprint_overlap_detects_shifted_copy(ray_session):
     row = out.iloc[0]
     assert row["shared"] == shared
     assert row["overlap"] == round(shared / min(len(fa), len(fb)), 6)
+
+
+def test_snapshot_diff_planted(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from searchengine_ray.stages.dedup import snapshot_diff
+
+    old = pd.DataFrame({"doc_id": np.arange(6, dtype=np.int64),
+                        "text": [f"doc {i}" for i in range(6)]})
+    new = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2, 4, 5, 99], dtype=np.int64),
+        "text": ["doc 0", "doc 1 EDITED", "doc 2", "doc 4 EDITED",
+                 "doc 5", "brand new"]})
+    out = (snapshot_diff(rd.from_pandas(old).repartition(2),
+                         rd.from_pandas(new).repartition(3))
+           .to_pandas().set_index("doc_id")["status"].to_dict())
+    assert out == {1: "changed", 3: "removed", 4: "changed", 99: "added"}
+
+
+def test_snapshot_diff_identical_is_empty(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from searchengine_ray.stages.dedup import snapshot_diff
+
+    df = pd.DataFrame({"doc_id": np.arange(10, dtype=np.int64),
+                       "text": [f"d{i}" for i in range(10)]})
+    out = snapshot_diff(rd.from_pandas(df), rd.from_pandas(df)).to_pandas()
+    assert len(out) == 0
