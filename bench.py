@@ -141,6 +141,7 @@ def main() -> None:
         "pagerank": Q.q_pagerank,
         "phrase_search": Q.q_phrase_search,
         "snapshot_diff": Q.q_snapshot_diff,
+        "table_profile": Q.q_table_profile,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

@@ -2338,6 +2338,48 @@ WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.text <> b.text
 """
 
 
+# --- 31f. table profiling (stages/profile.py) --------------------------------
+
+
+def q_table_profile(sf_dir: str):
+    """Per-column profile of lineitem (rows / nulls / distincts / typed
+    min-max): counts and extremes from per-batch scalar partials; exact
+    distincts from one (column, value-hash) co-shuffle."""
+    from searchengine_ray.stages.profile import table_profile
+
+    cols = ["l_quantity", "l_discount", "l_returnflag", "l_linestatus",
+            "l_shipdate"]
+    ds = _pq(sf_dir, "lineitem", columns=cols)
+    return table_profile(ds, cols)
+
+
+SQL_TABLE_PROFILE = """
+SELECT 'l_quantity' AS column, count(*) AS n_rows,
+       count(*) - count(l_quantity) AS n_null,
+       count(DISTINCT l_quantity) AS n_distinct,
+       CAST(min(l_quantity) AS VARCHAR) AS min_v,
+       CAST(max(l_quantity) AS VARCHAR) AS max_v FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*), count(*) - count(l_discount),
+       count(DISTINCT l_discount),
+       CAST(min(l_discount) AS VARCHAR),
+       CAST(max(l_discount) AS VARCHAR) FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+       count(DISTINCT l_returnflag),
+       min(l_returnflag), max(l_returnflag) FROM lineitem
+UNION ALL
+SELECT 'l_linestatus', count(*), count(*) - count(l_linestatus),
+       count(DISTINCT l_linestatus),
+       min(l_linestatus), max(l_linestatus) FROM lineitem
+UNION ALL
+SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
+       count(DISTINCT l_shipdate),
+       CAST(min(l_shipdate) AS VARCHAR),
+       CAST(max(l_shipdate) AS VARCHAR) FROM lineitem
+"""
+
+
 # --- 32. BPE tokenizer training + token stats (functions/bpe.py) ------------
 
 
@@ -2424,6 +2466,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "phrase_search": q_phrase_search,
     "snapshot_diff": q_snapshot_diff,
+    "table_profile": q_table_profile,
 }
 
 ORACLE_SQL = {
@@ -2491,6 +2534,7 @@ ORACLE_SQL = {
     "pagerank": SQL_PAGERANK,
     "phrase_search": SQL_PHRASE_SEARCH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
+    "table_profile": SQL_TABLE_PROFILE,
     # crawl_bfs (stateful sequential-gate semantics) is the one remaining
     # non-SQL-expressible entry → rows-only check; its semantics are pinned
     # by the crawl conformance suite (tests/test_crawl.py incl. fuzz)

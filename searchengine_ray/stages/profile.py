@@ -1,0 +1,92 @@
+"""Table profiling: per-column statistics in one streaming pass (+ one
+small shuffle for distinct counts).
+
+The "profile this table before you process 100 TB of it" utility op: row
+count, null count, distinct count, min/max per column.  Counts and typed
+extremes reduce through per-batch scalar partials (driver sees
+columns × batches rows, never data rows); distinct counting co-shuffles
+ONE row per distinct (column, value-hash) pair per batch — the exact
+path (the HLL sketch in stages/sketches.py is the unbounded-cardinality
+alternative; hash-collision caveat is the usual 2^-64 contract).
+min/max report as strings so heterogeneous column types share one output
+schema (the SQL mirror casts the same way).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from ray.data import Dataset
+
+from searchengine_ray.stages.relational import bucketed_apply, pre_aggregate
+
+
+def _fmt(v) -> str:
+    """Rendering that matches DuckDB's CAST(x AS VARCHAR) for the profiled
+    types: str(float) keeps the trailing .0 exactly like DuckDB ('24.0'),
+    str(pd.Timestamp) prints 'YYYY-MM-DD HH:MM:SS' like a DuckDB
+    timestamp cast."""
+    return str(v)
+
+
+def table_profile(ds: Dataset, columns: list[str]) -> Dataset:
+    """Returns one row per profiled column:
+    (column, n_rows, n_null, n_distinct, min_v, max_v)."""
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for c in columns:
+            s = df[c]
+            sv = s.dropna()
+            rows.append({"column": c, "n_rows": len(s),
+                         "n_null": int(s.isna().sum()),
+                         "mn": sv.min() if len(sv) else None,
+                         "mx": sv.max() if len(sv) else None})
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas",
+                           batch_size=65536).to_pandas()
+
+    # distinct counts: one (column, hash) row per distinct value per batch,
+    # co-shuffled so each hash is counted once globally
+    def dhash(df: pd.DataFrame) -> pd.DataFrame:
+        cols, hs = [], []
+        for ci, c in enumerate(columns):
+            u = df[c].dropna().drop_duplicates()
+            h = np.unique(pd.util.hash_pandas_object(
+                u, index=False).to_numpy(dtype=np.uint64).view(np.int64))
+            hs.append(h)
+            cols.append(np.full(h.size, ci, dtype=np.int64))
+        if not cols:
+            return pd.DataFrame({"ci": pd.Series([], dtype=np.int64),
+                                 "h": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"ci": np.concatenate(cols),
+                             "h": np.concatenate(hs)})
+
+    def count_distinct(g: pd.DataFrame) -> pd.DataFrame:
+        u = g.drop_duplicates(["ci", "h"])
+        return (u.groupby("ci", sort=False, as_index=False)
+                .agg(nd=("h", "size")))
+
+    nd_parts = bucketed_apply(
+        ds.map_batches(dhash, batch_format="pandas", batch_size=65536),
+        ["ci", "h"], count_distinct)
+    nd = pre_aggregate(nd_parts, ["ci"],
+                       {"n_distinct": ("nd", "sum")}).to_pandas()
+    nd_map = dict(zip(nd["ci"], nd["n_distinct"]))
+
+    out_rows = []
+    for ci, c in enumerate(columns):
+        g = parts[parts["column"] == c]
+        mn, mx = g["mn"].dropna(), g["mx"].dropna()
+        out_rows.append({
+            "column": c,
+            "n_rows": np.int64(g["n_rows"].sum()),
+            "n_null": np.int64(g["n_null"].sum()),
+            "n_distinct": np.int64(nd_map.get(ci, 0)),
+            "min_v": _fmt(mn.min()) if len(mn) else None,
+            "max_v": _fmt(mx.max()) if len(mx) else None,
+        })
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(out_rows))
