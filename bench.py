@@ -142,6 +142,7 @@ def main() -> None:
         "phrase_search": Q.q_phrase_search,
         "snapshot_diff": Q.q_snapshot_diff,
         "table_profile": Q.q_table_profile,
+        "chunk_documents": Q.q_chunk_documents,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

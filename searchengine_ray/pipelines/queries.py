@@ -2380,6 +2380,36 @@ SELECT 'l_shipdate', count(*), count(*) - count(l_shipdate),
 """
 
 
+# --- 31g. long-document chunking (stages/sampling.chunk_documents) ----------
+
+
+def q_chunk_documents(sf_dir: str):
+    """Overlapping token-window chunking (32-token chunks, 8-token
+    overlap) — the long-document → context-window prep step; map-only."""
+    from searchengine_ray.stages.sampling import chunk_documents
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return chunk_documents(ds, chunk_tokens=32, overlap=8)
+
+
+SQL_CHUNK_DOCUMENTS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+nn AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+starts AS (SELECT doc_id, ts, n,
+                  unnest(range(0, greatest(n - 8, 1), 24)) AS start
+           FROM nn)
+SELECT doc_id,
+       start // 24 AS chunk_id,
+       least(32, n - start) AS n_tokens,
+       array_to_string(ts[start+1 : start+32], ' ') AS chunk
+FROM starts
+"""
+
+
 # --- 32. BPE tokenizer training + token stats (functions/bpe.py) ------------
 
 
@@ -2467,6 +2497,7 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "snapshot_diff": q_snapshot_diff,
     "table_profile": q_table_profile,
+    "chunk_documents": q_chunk_documents,
 }
 
 ORACLE_SQL = {
@@ -2535,6 +2566,7 @@ ORACLE_SQL = {
     "phrase_search": SQL_PHRASE_SEARCH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "table_profile": SQL_TABLE_PROFILE,
+    "chunk_documents": SQL_CHUNK_DOCUMENTS,
     # crawl_bfs (stateful sequential-gate semantics) is the one remaining
     # non-SQL-expressible entry → rows-only check; its semantics are pinned
     # by the crawl conformance suite (tests/test_crawl.py incl. fuzz)

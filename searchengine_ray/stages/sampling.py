@@ -148,3 +148,50 @@ def pack_sequences(
         return g
 
     return bucketed_apply(ds, [part_col], per_bucket)
+
+
+def chunk_documents(
+    ds: "Dataset", chunk_tokens: int = 32, overlap: int = 8,
+    text_col: str = "text", id_col: str = "doc_id",
+    batch_size: int = 1024,
+) -> "Dataset":
+    """Split documents into overlapping token-window chunks — the
+    long-document → context-window preparation step of an LLM data
+    pipeline.  MAP-ONLY (each chunk derives from one doc), so it scales
+    embarrassingly; chunk boundaries are token-aligned with stride
+    ``chunk_tokens - overlap`` and the last chunk keeps the tail (emitted
+    iff it adds ≥ 1 new token, i.e. start < n_tokens - overlap or it is
+    the only chunk).
+
+    Output: (doc_id, chunk_id, n_tokens, chunk) with ``chunk`` the
+    space-joined tokens (SQL mirror: array slices of the same token
+    array).  Empty docs emit nothing."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+
+    from searchengine_ray.stages.text import simple_tokens
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        ids, cids, lens, chunks = [], [], [], []
+        for doc_id, text in zip(df[id_col].to_numpy(), df[text_col]):
+            toks = simple_tokens(text or "")
+            n = len(toks)
+            if not n:
+                continue
+            cid = 0
+            for start in range(0, max(n - overlap, 1), stride):
+                piece = toks[start:start + chunk_tokens]
+                ids.append(doc_id)
+                cids.append(cid)
+                lens.append(len(piece))
+                chunks.append(" ".join(piece))
+                cid += 1
+        return pd.DataFrame({
+            "doc_id": np.array(ids, dtype=np.int64),
+            "chunk_id": np.array(cids, dtype=np.int64),
+            "n_tokens": np.array(lens, dtype=np.int64),
+            "chunk": pd.Series(chunks, dtype=object)})
+
+    return ds.map_batches(explode, batch_format="pandas",
+                          batch_size=batch_size)

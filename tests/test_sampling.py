@@ -123,3 +123,42 @@ def test_pack_sequences_matches_brute_force(ray_session):
         c = g["chunk_id"].to_numpy()
         assert (np.diff(c) >= 0).all()
         assert c[0] == 0
+
+
+def test_chunk_documents_hand_cases(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from searchengine_ray.stages.sampling import chunk_documents
+
+    texts = {
+        0: " ".join(f"w{i}" for i in range(40)),  # chunks @0(32) @24(16)
+        1: "a b c",                               # single short chunk
+        2: "",                                    # nothing
+        3: " ".join(f"x{i}" for i in range(24)),  # n-overlap=16 → one chunk
+    }
+    df = pd.DataFrame({"doc_id": np.array(list(texts), dtype=np.int64),
+                       "text": list(texts.values())})
+    out = (chunk_documents(rd.from_pandas(df).repartition(2),
+                           chunk_tokens=32, overlap=8)
+           .to_pandas().sort_values(["doc_id", "chunk_id"])
+           .reset_index(drop=True))
+    d0 = out[out.doc_id == 0]
+    assert list(d0["chunk_id"]) == [0, 1]
+    assert list(d0["n_tokens"]) == [32, 16]
+    assert d0.iloc[1]["chunk"].split()[0] == "w24"  # overlap of 8
+    assert list(out[out.doc_id == 1]["n_tokens"]) == [3]
+    assert 2 not in set(out["doc_id"])
+    assert list(out[out.doc_id == 3]["n_tokens"]) == [24]
+
+
+def test_chunk_documents_rejects_bad_overlap(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from searchengine_ray.stages.sampling import chunk_documents
+
+    df = pd.DataFrame({"doc_id": np.array([0], dtype=np.int64),
+                       "text": ["x"]})
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_pandas(df), chunk_tokens=8, overlap=8)
