@@ -143,6 +143,7 @@ def main() -> None:
         "snapshot_diff": Q.q_snapshot_diff,
         "table_profile": Q.q_table_profile,
         "chunk_documents": Q.q_chunk_documents,
+        "doc_embeddings": Q.q_doc_embeddings,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

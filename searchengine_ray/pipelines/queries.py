@@ -2418,6 +2418,40 @@ FROM starts
 """
 
 
+# --- 31h. embedding-inference stage (stages/embed.py) -----------------------
+
+
+def q_doc_embeddings(sf_dir: str):
+    """Batched model inference over the corpus (deterministic stand-in
+    model — feature hashing + fixed sinusoidal projection; the actor-pool
+    plumbing, per-worker weight load and batch matmul are the real
+    pattern).  SQL-gated: the whole model is expressible as
+    sum-of-ords % 257 buckets and sin() weights."""
+    from searchengine_ray.stages.embed import embed_documents
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return embed_documents(ds)
+
+
+SQL_DOC_EMBEDDINGS = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS tok
+  FROM documents),
+toks2 AS (SELECT * FROM toks WHERE tok <> ''),
+b AS (SELECT doc_id,
+             list_sum(list_transform(string_split(tok, ''),
+                                     c -> unicode(c))) % 257 AS bucket
+      FROM toks2)
+SELECT doc_id, count(*) AS n_tokens,
+       round(sum(sin(bucket*31 + 7)), 6) AS emb_0,
+       round(sum(sin(bucket*31 + 14)), 6) AS emb_1,
+       round(sum(sin(bucket*31 + 21)), 6) AS emb_2,
+       round(sum(sin(bucket*31 + 28)), 6) AS emb_3
+FROM b GROUP BY doc_id
+"""
+
+
 # --- 32. BPE tokenizer training + token stats (functions/bpe.py) ------------
 
 
@@ -2506,6 +2540,7 @@ QUERIES = {
     "snapshot_diff": q_snapshot_diff,
     "table_profile": q_table_profile,
     "chunk_documents": q_chunk_documents,
+    "doc_embeddings": q_doc_embeddings,
 }
 
 ORACLE_SQL = {
@@ -2575,6 +2610,7 @@ ORACLE_SQL = {
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "table_profile": SQL_TABLE_PROFILE,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
+    "doc_embeddings": SQL_DOC_EMBEDDINGS,
     # crawl_bfs (stateful sequential-gate semantics) is the one remaining
     # non-SQL-expressible entry → rows-only check; its semantics are pinned
     # by the crawl conformance suite (tests/test_crawl.py incl. fuzz)
