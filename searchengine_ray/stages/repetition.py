@@ -26,8 +26,10 @@ is the crawl-side near-dup gate, ngrams.py:80-101):
 
 Both use the SQL-parity tokenizer (``stages/text.simple_tokens``
 semantics) so DuckDB oracles can mirror them exactly; window identity is
-the stable 64-bit hash of the space-joined window (hash collisions are
-the usual 2^-64 caveat, same contract as every hashed family here).
+a vectorized int64 polynomial over stable token hashes — any injective
+identity works because both sides group independently and compare
+per-doc counts (hash collisions are the usual 2^-64 caveat, same
+contract as every hashed family here).
 """
 
 from __future__ import annotations
@@ -122,34 +124,63 @@ def repetition_stats(ds: Dataset, text_col: str = "text",
 DEFAULT_WINDOW_K = 8
 
 
+# per-worker token→hash cache (Zipf ⇒ high hit rate; module import is
+# once per worker process — the minhash/simhash workspace discipline)
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+_TOKEN_HASH_CAP = 500_000
+
+
+def _hash_tokens(toks: list[str]) -> np.ndarray:
+    cache = _TOKEN_HASH_CACHE
+    out = np.empty(len(toks), dtype=np.int64)
+    for i, t in enumerate(toks):
+        h = cache.get(t)
+        if h is None:
+            h = stable_hash64(t)
+            if len(cache) < _TOKEN_HASH_CAP:
+                cache[t] = h
+        out[i] = h
+    return out
+
+
 def window_hash_counts(texts, ids, k: int) -> pd.DataFrame:
     """One batch → per-(window_hash, doc) POSITION counts.
 
-    Window identity = stable_hash64 of the space-joined k tokens (the SQL
-    mirror is ``array_to_string(ts[i:i+k-1], ' ')``); every position
-    counts, so a window repeated within one doc weighs that doc's
-    denominator accordingly — same as the SQL COUNT(*) over unnested
-    windows."""
-    hs, ds_, cs = [], [], []
+    Window identity = an int64 wraparound polynomial over the k token
+    hashes — injective up to the usual 2^-64 collision caveat, which is
+    all the operator needs: the oracle compares per-doc COUNTS of
+    duplicated window positions, and both sides group by window identity
+    independently (SQL groups the space-joined string).  The polynomial
+    is VECTORIZED across the whole batch: one flat token-hash array, k
+    shifted-slice multiply-adds, a parent mask to kill windows straddling
+    doc boundaries — no per-window Python, no per-window blake2b."""
+    empty = pd.DataFrame({"h": pd.Series([], dtype=np.int64),
+                          "doc_id": pd.Series([], dtype=np.int64),
+                          "cnt": pd.Series([], dtype=np.int64)})
+    tok_arrays, doc_ids, lens = [], [], []
     for doc_id, text in zip(ids, texts):
         toks = simple_tokens(text or "")
-        n = len(toks) - k + 1
-        if n <= 0:
-            continue
-        arr = np.fromiter(
-            (stable_hash64(" ".join(toks[i:i + k])) for i in range(n)),
-            dtype=np.int64, count=n)
-        uniq, cnt = np.unique(arr, return_counts=True)
-        hs.append(uniq)
-        ds_.append(np.full(uniq.size, doc_id, dtype=np.int64))
-        cs.append(cnt.astype(np.int64))
-    if not hs:
-        return pd.DataFrame({"h": pd.Series([], dtype=np.int64),
-                             "doc_id": pd.Series([], dtype=np.int64),
-                             "cnt": pd.Series([], dtype=np.int64)})
-    return pd.DataFrame({"h": np.concatenate(hs),
-                         "doc_id": np.concatenate(ds_),
-                         "cnt": np.concatenate(cs)})
+        if len(toks) >= k:
+            tok_arrays.append(_hash_tokens(toks))
+            doc_ids.append(doc_id)
+            lens.append(len(toks))
+    if not tok_arrays:
+        return empty
+    lens = np.asarray(lens, dtype=np.int64)
+    flat = np.concatenate(tok_arrays)
+    parents = np.repeat(np.arange(len(tok_arrays), dtype=np.int64), lens)
+    m = flat.size - k + 1
+    w = np.zeros(m, dtype=np.int64)
+    for j in range(k):  # wraparound polynomial, int64 bits
+        w = w * _MUL + flat[j:j + m]
+    valid = parents[:m] == parents[k - 1:]
+    w, p = w[valid], parents[:m][valid]
+    df = (pd.DataFrame({"h": w, "p": p})
+          .groupby(["p", "h"], sort=False).size().reset_index(name="cnt"))
+    return pd.DataFrame({
+        "h": df["h"].to_numpy(np.int64),
+        "doc_id": np.asarray(doc_ids, dtype=np.int64)[df["p"].to_numpy()],
+        "cnt": df["cnt"].to_numpy(np.int64)})
 
 
 def dup_window_stats(ds: Dataset, k: int = DEFAULT_WINDOW_K,
