@@ -1535,12 +1535,33 @@ class CrawlEngine:
             if self.config.checkpoint_dir else None,
         )
 
-    def shutdown(self) -> None:
-        for g in self.gates:
-            ray.kill(g)
+    def shutdown(self, timeout_s: float = 15.0) -> None:
+        """Terminate the engine's actors and WAIT for their resources to
+        release.  Fire-and-forget ``ray.kill`` is a cross-engine deadlock:
+        the KillActor RPC can race worker reassignment and be dropped
+        ("Mismatched ActorID: ignoring KillActor"), leaving an actor
+        holding its CPU reservation — the NEXT engine on a small session
+        then can't schedule (gates are 0.5 CPU each; two engines' worth
+        exceeds the 4-CPU test fixture, measured as an infinite
+        ``ray.get`` hang in the suite).  Graceful ``__ray_terminate__``
+        drains and releases deterministically; anything still alive at
+        ``timeout_s`` gets a force-kill."""
+        actors = list(self.gates)
         if self.content_gate is not None:
-            ray.kill(self.content_gate)
+            actors.append(self.content_gate)
         if self.probe_tier is not None:
-            for s in self.probe_tier:
-                ray.kill(s)
-        ray.kill(self.robots)
+            actors.extend(self.probe_tier)
+        actors.append(self.robots)
+        refs, by_ref = [], {}
+        for a in actors:
+            try:
+                r = a.__ray_terminate__.remote()
+                refs.append(r)
+                by_ref[r] = a
+            except Exception:
+                ray.kill(a)
+        if refs:
+            _, pending = ray.wait(refs, num_returns=len(refs),
+                                  timeout=timeout_s)
+            for r in pending:
+                ray.kill(by_ref[r])
