@@ -176,8 +176,9 @@ def main() -> None:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "scaling": "run `python bench.py --scaling` (8 vs 32 CPUs, fresh "
-                   "processes); recorded in BASELINE.md (round 4): eff "
-                   "0.95 @8->32 (585.8 -> 2226.8 pages/s, 150k pages)",
+                   "processes); recorded in BASELINE.md (round 4): samples "
+                   "0.95 / 1.139 / 1.09 @8->32 (all above the 0.8 bar; "
+                   "round-close 692.5 -> 3019.7 pages/s, 150k pages)",
     }))
     ray.shutdown()
 
