@@ -2117,6 +2117,48 @@ GROUP BY w.doc_id
 """
 
 
+def q_remove_dup_spans(sf_dir: str):
+    """Exact-substring DEDUP as a cleaning operator (Lee et al. 2021
+    ExactSubstr, token-window form): cut every token covered by an
+    8-token window occurring ≥ 2 times anywhere in the corpus, emit the
+    cleaned text + removal counts.  ``dup_window_stats`` is the signal;
+    this is the op that produces the training corpus."""
+    from searchengine_ray.stages.repetition import remove_dup_spans
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return remove_dup_spans(ds, k=8)
+
+
+SQL_REMOVE_DUP_SPANS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+pos AS (SELECT doc_id, unnest(range(1, len(ts) + 1)) AS p, unnest(ts) AS tok
+        FROM toks WHERE len(ts) > 0),
+w AS (SELECT doc_id,
+             unnest(range(1, len(ts) - 6)) AS p,
+             unnest(list_transform(range(1, len(ts) - 6),
+                                   i -> array_to_string(ts[i:i+7], ' '))) AS s
+      FROM toks WHERE len(ts) >= 8),
+freq AS (SELECT s FROM w GROUP BY s HAVING count(*) >= 2),
+dupw AS (SELECT w.doc_id, w.p FROM w JOIN freq USING (s)),
+cov AS (SELECT DISTINCT t.doc_id, t.p
+        FROM pos t JOIN dupw d
+          ON t.doc_id = d.doc_id AND t.p >= d.p AND t.p < d.p + 8)
+SELECT t.doc_id,
+       CAST(len(t.ts) AS BIGINT) AS n_tokens,
+       CAST(count(c.p) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN c.p IS NULL THEN p2.tok END,
+                           ' ' ORDER BY p2.p), '') AS clean_text
+FROM toks t
+LEFT JOIN pos p2 USING (doc_id)
+LEFT JOIN cov c ON c.doc_id = p2.doc_id AND c.p = p2.p
+GROUP BY t.doc_id, len(t.ts)
+"""
+
+
 # --- 30. BM25 ranked retrieval (pipelines/search.bm25_search) ---------------
 
 
@@ -2531,6 +2573,7 @@ QUERIES = {
     "quantile_filter": q_quantile_filter,
     "repetition_stats": q_repetition_stats,
     "dup_window_stats": q_dup_window_stats,
+    "remove_dup_spans": q_remove_dup_spans,
     "bm25_search": q_bm25_search,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
@@ -2602,6 +2645,7 @@ ORACLE_SQL = {
     "quantile_filter": SQL_QUANTILE_FILTER,
     "repetition_stats": SQL_REPETITION_STATS,
     "dup_window_stats": SQL_DUP_WINDOW_STATS,
+    "remove_dup_spans": SQL_REMOVE_DUP_SPANS,
     "bm25_search": SQL_BM25_SEARCH,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact

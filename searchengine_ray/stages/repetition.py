@@ -143,20 +143,21 @@ def _hash_tokens(toks: list[str]) -> np.ndarray:
     return out
 
 
-def window_hash_counts(texts, ids, k: int) -> pd.DataFrame:
-    """One batch → per-(window_hash, doc) POSITION counts.
+def _batch_windows(texts, ids, k: int):
+    """Vectorized sliding-window hashes for one batch.
 
     Window identity = an int64 wraparound polynomial over the k token
     hashes — injective up to the usual 2^-64 collision caveat, which is
-    all the operator needs: the oracle compares per-doc COUNTS of
-    duplicated window positions, and both sides group by window identity
-    independently (SQL groups the space-joined string).  The polynomial
-    is VECTORIZED across the whole batch: one flat token-hash array, k
-    shifted-slice multiply-adds, a parent mask to kill windows straddling
-    doc boundaries — no per-window Python, no per-window blake2b."""
-    empty = pd.DataFrame({"h": pd.Series([], dtype=np.int64),
-                          "doc_id": pd.Series([], dtype=np.int64),
-                          "cnt": pd.Series([], dtype=np.int64)})
+    all the consumers need: oracles group by window TEXT and both sides
+    group by window identity independently.  The polynomial is VECTORIZED
+    across the whole batch: one flat token-hash array, k shifted-slice
+    multiply-adds, a parent mask to kill windows straddling doc
+    boundaries — no per-window Python, no per-window blake2b.
+
+    Returns ``(w, p, pos, doc_ids)``: window hashes, per-window index into
+    ``doc_ids``, 0-based token position of each window start within its
+    doc, and the np.array of doc ids that had ≥ k tokens."""
+    z = np.array([], dtype=np.int64)
     tok_arrays, doc_ids, lens = [], [], []
     for doc_id, text in zip(ids, texts):
         toks = simple_tokens(text or "")
@@ -165,7 +166,7 @@ def window_hash_counts(texts, ids, k: int) -> pd.DataFrame:
             doc_ids.append(doc_id)
             lens.append(len(toks))
     if not tok_arrays:
-        return empty
+        return z, z, z, z
     lens = np.asarray(lens, dtype=np.int64)
     flat = np.concatenate(tok_arrays)
     parents = np.repeat(np.arange(len(tok_arrays), dtype=np.int64), lens)
@@ -174,12 +175,27 @@ def window_hash_counts(texts, ids, k: int) -> pd.DataFrame:
     for j in range(k):  # wraparound polynomial, int64 bits
         w = w * _MUL + flat[j:j + m]
     valid = parents[:m] == parents[k - 1:]
-    w, p = w[valid], parents[:m][valid]
+    idx = np.flatnonzero(valid)
+    w, p = w[idx], parents[idx]
+    starts = np.concatenate([np.zeros(1, dtype=np.int64),
+                             np.cumsum(lens)[:-1]])
+    pos = idx - starts[p]
+    return w, p, pos, np.asarray(doc_ids, dtype=np.int64)
+
+
+def window_hash_counts(texts, ids, k: int) -> pd.DataFrame:
+    """One batch → per-(window_hash, doc) POSITION counts (see
+    ``_batch_windows`` for the vectorized hashing core)."""
+    w, p, _, doc_ids = _batch_windows(texts, ids, k)
+    if not w.size:
+        return pd.DataFrame({"h": pd.Series([], dtype=np.int64),
+                             "doc_id": pd.Series([], dtype=np.int64),
+                             "cnt": pd.Series([], dtype=np.int64)})
     df = (pd.DataFrame({"h": w, "p": p})
           .groupby(["p", "h"], sort=False).size().reset_index(name="cnt"))
     return pd.DataFrame({
         "h": df["h"].to_numpy(np.int64),
-        "doc_id": np.asarray(doc_ids, dtype=np.int64)[df["p"].to_numpy()],
+        "doc_id": doc_ids[df["p"].to_numpy()],
         "cnt": df["cnt"].to_numpy(np.int64)})
 
 
@@ -229,3 +245,111 @@ def dup_window_stats(ds: Dataset, k: int = DEFAULT_WINDOW_K,
         })
 
     return agg.map_batches(finish, batch_format="pandas")
+
+
+# --- exact duplicated-span REMOVAL (the cleaning op, not just the signal) ----
+
+
+def remove_dup_spans(ds: Dataset, k: int = DEFAULT_WINDOW_K,
+                     text_col: str = "text", id_col: str = "doc_id",
+                     min_count: int = 2,
+                     batch_size: int = 1024) -> Dataset:
+    """Exact-substring deduplication, the CLEANING operator (Lee et al.
+    2021 §3.1 ExactSubstr, token-window form): cut every token position
+    covered by a k-token sliding window whose window text occurs
+    ≥ ``min_count`` times in the WHOLE corpus (within- or cross-doc).
+    ``dup_window_stats`` is the per-doc signal; this emits the cleaned
+    corpus a training pipeline actually consumes.
+
+    Output per doc: ``(doc_id, n_tokens, n_removed, clean_text)`` where
+    ``clean_text`` is the surviving tokens joined by single spaces — the
+    operator is defined over the SQL-parity token stream
+    (``simple_tokens``), the same contract every text op here shares, so
+    a DuckDB oracle can mirror it exactly.  Docs with < k tokens have no
+    windows and pass through with ``n_removed = 0``.
+
+    Scale shape (the suffix-array step of the paper re-expressed as
+    shuffles): stage 1 is a map-only explode to (window_hash, doc, pos)
+    rows — O(corpus tokens), the same magnitude as the postings build;
+    stage 2 co-shuffles by hash and keeps only positions of duplicated
+    windows (output O(dup positions) — the ~few-% tail at web scale);
+    stage 3 co-shuffles docs with their dup positions by doc id and cuts
+    with one vectorized delta/cumsum coverage mask per doc.  Nothing is
+    ever doc- or window-scaled on the driver."""
+    from searchengine_ray.stages.relational import bucketed_apply
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        w, p, pos, doc_ids = _batch_windows(
+            df[text_col], df[id_col].to_numpy(), k)
+        return pd.DataFrame({
+            "h": w, "doc_id": doc_ids[p] if w.size else w, "pos": pos})
+
+    windows = ds.map_batches(explode, batch_format="pandas",
+                             batch_size=batch_size)
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "pos": pd.Series([], dtype=np.int64)})
+        occ = g.groupby("h", sort=False)["h"].transform("size").to_numpy()
+        keep = g[occ >= min_count]
+        return keep[["doc_id", "pos"]].reset_index(drop=True)
+
+    dups = bucketed_apply(windows, ["h"], dup_positions)
+
+    # tagged union co-shuffle (the snapshot_diff pattern): docs carry text,
+    # dup rows carry positions; one all-to-all co-locates each doc with all
+    # its duplicated window starts
+    def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df[id_col].astype(np.int64),
+            "_text": df[text_col].fillna("").astype(str),
+            "_pos": np.full(len(df), -1, dtype=np.int64),
+            "_side": np.zeros(len(df), dtype=np.int8)})
+
+    def tag_pos(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "_text": np.full(len(df), "", dtype=object),
+            "_pos": df["pos"].astype(np.int64),
+            "_side": np.ones(len(df), dtype=np.int8)})
+
+    both = ds.map_batches(tag_docs, batch_format="pandas").union(
+        dups.map_batches(tag_pos, batch_format="pandas"))
+
+    def cut_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out_id, out_n, out_rm, out_txt = [], [], [], []
+        if len(g):
+            side = g["_side"].to_numpy()
+            starts_by_doc = {
+                d: grp["_pos"].to_numpy()
+                for d, grp in g[side == 1].groupby("doc_id", sort=False)}
+            docs = g[side == 0]
+            for doc_id, text in zip(docs["doc_id"].to_numpy(),
+                                    docs["_text"]):
+                toks = simple_tokens(text or "")
+                n = len(toks)
+                starts = starts_by_doc.get(doc_id)
+                if starts is None or n == 0:
+                    removed, clean = 0, " ".join(toks)
+                else:
+                    # coverage mask: +1 at each dup-window start, -1 past
+                    # its end; cumsum > 0 = covered (one numpy pass/doc)
+                    delta = np.zeros(n + 1, dtype=np.int64)
+                    np.add.at(delta, starts, 1)
+                    np.add.at(delta, np.minimum(starts + k, n), -1)
+                    covered = np.cumsum(delta[:-1]) > 0
+                    removed = int(covered.sum())
+                    clean = " ".join(
+                        t for t, c in zip(toks, covered) if not c)
+                out_id.append(doc_id)
+                out_n.append(n)
+                out_rm.append(removed)
+                out_txt.append(clean)
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_id, dtype=np.int64),
+            "n_tokens": pd.Series(out_n, dtype=np.int64),
+            "n_removed": pd.Series(out_rm, dtype=np.int64),
+            "clean_text": pd.Series(out_txt, dtype=object)})
+
+    return bucketed_apply(both, ["doc_id"], cut_bucket)

@@ -93,3 +93,71 @@ def test_dup_window_within_doc_repeat_not_cross(ray_session):
     out = dup_window_stats(rd.from_pandas(docs), k=8).to_pandas()
     assert out.loc[0, "n_windows"] == 9
     assert out.loc[0, "n_dup_windows"] == 0
+
+
+def test_remove_dup_spans_planted(ray_session):
+    """ExactSubstr cleaning: tokens covered by any 8-token window occurring
+    >= 2 times anywhere in the corpus are cut; everything else survives."""
+    import ray.data as rd
+
+    from searchengine_ray.stages.repetition import remove_dup_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10-token shared run
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": [
+            shared + " tail0 tail1",               # shares the run with doc 1
+            "head0 head1 " + shared,               # shares the run with doc 0
+            " ".join(f"u{i}" for i in range(12)),  # unique -> untouched
+            "short text",                          # < 8 tokens -> untouched
+        ],
+    })
+    out = (remove_dup_spans(rd.from_pandas(docs).repartition(3), k=8)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert list(out.index) == [0, 1, 2, 3]
+    # docs 0/1: every position of the shared 10-token run is covered by a
+    # duplicated window; the flanking tokens survive
+    assert out.loc[0, "n_tokens"] == 12 and out.loc[0, "n_removed"] == 10
+    assert out.loc[0, "clean_text"] == "tail0 tail1"
+    assert out.loc[1, "n_removed"] == 10
+    assert out.loc[1, "clean_text"] == "head0 head1"
+    assert out.loc[2, "n_removed"] == 0
+    assert out.loc[2, "clean_text"] == " ".join(f"u{i}" for i in range(12))
+    assert out.loc[3, "n_removed"] == 0
+    assert out.loc[3, "clean_text"] == "short text"
+
+
+def test_remove_dup_spans_within_doc_repeat(ray_session):
+    """min_count counts TOTAL occurrences (Lee et al. semantics): a window
+    repeated twice within ONE doc is duplicated and gets cut there too."""
+    import ray.data as rd
+
+    from searchengine_ray.stages.repetition import remove_dup_spans
+
+    run = " ".join(f"r{i}" for i in range(8))
+    docs = pd.DataFrame({
+        "doc_id": np.array([7], dtype=np.int64),
+        "text": ["lead " + run + " mid " + run + " trail"],  # 19 tokens
+    })
+    out = remove_dup_spans(rd.from_pandas(docs), k=8).to_pandas()
+    assert out.loc[0, "n_tokens"] == 19
+    # both copies of the 8-token run are cut; lead/mid/trail survive
+    assert out.loc[0, "n_removed"] == 16
+    assert out.loc[0, "clean_text"] == "lead mid trail"
+
+
+def test_remove_dup_spans_all_removed_and_empty(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.repetition import remove_dup_spans
+
+    run = " ".join(f"d{i}" for i in range(8))
+    docs = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2], dtype=np.int64),
+        "text": [run, run, ""],  # exact 8-token dups + an empty doc
+    })
+    out = (remove_dup_spans(rd.from_pandas(docs), k=8)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert (out.loc[[0, 1], "n_removed"] == 8).all()
+    assert (out.loc[[0, 1], "clean_text"] == "").all()
+    assert out.loc[2, "n_tokens"] == 0 and out.loc[2, "clean_text"] == ""
