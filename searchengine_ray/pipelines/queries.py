@@ -2159,6 +2159,53 @@ GROUP BY t.doc_id, len(t.ts)
 """
 
 
+def q_lm_perplexity(sf_dir: str):
+    """CCNet-style quality scoring (Wenzek et al. 2020): train an
+    add-one-smoothed bigram LM on a small reference split (doc_id % 5 == 0
+    — the bounded 'Wikipedia' side of the CCNet design), broadcast it
+    once, score every corpus doc map-only with vectorized searchsorted
+    count probes.  Output: per-doc negative mean bigram log-likelihood
+    (log-perplexity) — the signal CCNet buckets the crawl by."""
+    from searchengine_ray.stages.lm import lm_perplexity, train_bigram_lm
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    train = ds.map_batches(lambda df: df[df["doc_id"] % 5 == 0],
+                           batch_format="pandas")
+    model = train_bigram_lm(train)
+    return lm_perplexity(ds, model)
+
+
+SQL_LM_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+train AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+uni AS (SELECT tok, count(*) AS c
+        FROM (SELECT unnest(ts) AS tok FROM train) GROUP BY tok),
+bg AS (SELECT prev, cur, count(*) AS c
+       FROM (SELECT unnest(ts[1:len(ts)-1]) AS prev,
+                    unnest(ts[2:len(ts)]) AS cur
+             FROM train WHERE len(ts) >= 2)
+       GROUP BY prev, cur),
+v AS (SELECT count(*) + 1 AS vsz FROM uni),
+sbg AS (SELECT doc_id,
+               unnest(ts[1:len(ts)-1]) AS prev,
+               unnest(ts[2:len(ts)]) AS cur
+        FROM toks WHERE len(ts) >= 2)
+SELECT s.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(-avg(ln((coalesce(bg.c, 0) + 1.0)
+                     / (coalesce(uni.c, 0) + v.vsz))), 6) AS logppl
+FROM sbg s
+LEFT JOIN bg ON s.prev = bg.prev AND s.cur = bg.cur
+LEFT JOIN uni ON s.prev = uni.tok
+CROSS JOIN v
+GROUP BY s.doc_id
+"""
+
+
 # --- 30. BM25 ranked retrieval (pipelines/search.bm25_search) ---------------
 
 
@@ -2574,6 +2621,7 @@ QUERIES = {
     "repetition_stats": q_repetition_stats,
     "dup_window_stats": q_dup_window_stats,
     "remove_dup_spans": q_remove_dup_spans,
+    "lm_perplexity": q_lm_perplexity,
     "bm25_search": q_bm25_search,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
@@ -2646,6 +2694,7 @@ ORACLE_SQL = {
     "repetition_stats": SQL_REPETITION_STATS,
     "dup_window_stats": SQL_DUP_WINDOW_STATS,
     "remove_dup_spans": SQL_REMOVE_DUP_SPANS,
+    "lm_perplexity": SQL_LM_PERPLEXITY,
     "bm25_search": SQL_BM25_SEARCH,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
