@@ -153,6 +153,136 @@ def write_index(
     return summary
 
 
+def merge_index(
+    out_dir: str,
+    delta_docs: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    url_col: str | None = None,
+    mode: str = "simple",
+    target_dir: str | None = None,
+    broadcast_vocab_limit: int = 2_000_000,
+    max_delta_ids: int = 50_000_000,
+) -> dict:
+    """Incremental index maintenance: merge a DELTA corpus into the
+    persisted index WITHOUT re-tokenizing the existing corpus — the
+    partial→final merge the reference started and never finished
+    (idxer.py:125-164, SURVEY.md §7 bug 7), generalized to the
+    incremental-crawl consumer op (pair of ``stages/dedup.snapshot_diff``:
+    diff says what changed, this folds it in).
+
+    Semantics: delta docs REPLACE same-id docs (changed pages re-index;
+    new pages append).  idf is GLOBAL — n_docs and df(token) both shift —
+    so EVERY posting's tf_idf is re-derived as ``tf × idf'``; the old
+    side streams read → drop-replaced → rescale and never passes through
+    the tokenizer, which is the expensive stage this op exists to skip
+    (tokenize/lemmatize dominates the rebuild; the rescale is one
+    columnar multiply).  Result ≡ a from-scratch rebuild of the merged
+    corpus (that equivalence IS the oracle gate).
+
+    Scale shape: delta ids broadcast once (``ray.put``, capped at
+    ``max_delta_ids`` — a delta is incremental by contract); df'/n' come
+    from two ``pre_aggregate`` passes over a materialized (doc, token)
+    union (materialized because Ray re-executes shared lazy sub-plans per
+    consumer); idf' broadcasts below ``broadcast_vocab_limit`` and
+    attaches via distributed ``hash_join`` above it (the
+    ``tfidf_postings`` discipline).  The write is the same atomic
+    tmp+rename ``write_index`` path."""
+    import ray
+
+    from searchengine_ray.stages.relational import hash_join, pre_aggregate
+
+    # --- delta term counts (the only tokenizer work in the whole op) -----
+    delta_tc = text_stage.doc_term_counts(
+        delta_docs, mode=mode, text_col=text_col, id_col=id_col
+    ).materialize()
+
+    delta_ids_df = pre_aggregate(
+        delta_tc, [id_col], {"c": (None, "count")}).to_pandas()
+    if len(delta_ids_df) > max_delta_ids:
+        raise ValueError(
+            f"delta has {len(delta_ids_df)} distinct ids > max_delta_ids="
+            f"{max_delta_ids}: a delta is incremental by contract — "
+            f"rebuild instead")
+    # docs whose tokenization yields zero tokens still replace their old
+    # postings: take ids from the raw delta, not the term counts
+    raw_ids = pre_aggregate(delta_docs.select_columns([id_col]), [id_col],
+                            {"c": (None, "count")}).to_pandas()
+    delta_id_arr = np.sort(raw_ids[id_col].to_numpy(np.int64))
+    ids_ref = ray.put(delta_id_arr)
+
+    def drop_replaced(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(ids_ref)  # sorted; plasma-local after first touch
+        keep = ~np.isin(df[id_col].to_numpy(np.int64), ids)
+        return df[keep]
+
+    old_kept = (load_postings(out_dir)
+                .map_batches(drop_replaced, batch_format="pandas"))
+
+    # --- unified (doc_id, token, tf, weight) postings, tf_idf pending ----
+    def old_project(df: pd.DataFrame) -> pd.DataFrame:
+        return df[["doc_id", "token", "tf", "weight"]]
+
+    def delta_project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "token": df["token"],
+            "tf": df["cnt"].to_numpy() / df["doc_len"].to_numpy(),
+            "weight": np.ones(len(df), dtype=np.float64)})
+
+    combined = old_kept.map_batches(old_project, batch_format="pandas").union(
+        delta_tc.map_batches(delta_project, batch_format="pandas")
+    ).materialize()  # consumed 3× below (df', n', rescale)
+
+    # --- global df' and n' over the merged corpus ------------------------
+    df_ds = pre_aggregate(combined.select_columns(["doc_id", "token"]),
+                          ["token"], {"df": (None, "count")}).materialize()
+    n_docs = pre_aggregate(combined.select_columns(["doc_id"]),
+                           ["doc_id"], {"c": (None, "count")}).count()
+    n_vocab = df_ds.count()
+
+    if n_vocab <= broadcast_vocab_limit:
+        df_tbl = df_ds.to_pandas()
+        idf = {t: float(np.log(n_docs / d))
+               for t, d in zip(df_tbl["token"], df_tbl["df"])}
+        idf_ref = ray.put(idf)
+
+        def rescale(df: pd.DataFrame) -> pd.DataFrame:
+            table = ray.get(idf_ref)
+            idf_v = np.array([table[t] for t in df["token"]])
+            df["tf_idf"] = df["tf"].to_numpy() * idf_v
+            return df[["doc_id", "token", "tf", "weight", "tf_idf"]]
+
+        merged = combined.map_batches(rescale, batch_format="pandas")
+    else:  # web-scale vocabulary: distributed idf attach
+        joined = hash_join(combined, df_ds, on="token")
+
+        def rescale_join(df: pd.DataFrame) -> pd.DataFrame:
+            idf_v = np.log(n_docs / df["df"].to_numpy(dtype=np.float64))
+            out = pd.DataFrame({
+                "doc_id": df["doc_id"].to_numpy(),
+                "token": df["token"].to_numpy(),
+                "tf": df["tf"].to_numpy(),
+                "weight": df["weight"].to_numpy()})
+            out["tf_idf"] = out["tf"].to_numpy() * idf_v
+            return out
+
+        merged = joined.map_batches(rescale_join, batch_format="pandas")
+
+    # --- doc map: old minus replaced, plus the delta's ------------------
+    docs_for_map = None
+    dm_dir = os.path.join(out_dir, "doc_map")
+    if url_col is not None and os.path.isdir(dm_dir):
+        old_map = (rd.read_parquet(dm_dir)
+                   .map_batches(drop_replaced, batch_format="pandas"))
+        docs_for_map = old_map.union(
+            delta_docs.select_columns([id_col, url_col]))
+
+    out = target_dir or out_dir
+    return write_index(merged, out, docs=docs_for_map,
+                       id_col=id_col, url_col=url_col or "url")
+
+
 def load_postings(out_dir: str, terms: list[str] | None = None) -> Dataset:
     """Index loader with term-filter pushdown (S7/J1).  ``terms=None``
     loads everything; else only row groups containing the terms are read."""

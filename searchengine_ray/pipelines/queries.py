@@ -2159,6 +2159,73 @@ GROUP BY t.doc_id, len(t.ts)
 """
 
 
+def q_index_merge(sf_dir: str):
+    """Incremental index merge, gated by REBUILD EQUIVALENCE: build the
+    index on doc_id%10!=0, then fold in a delta (new docs %10==0 +
+    changed docs %10==5 with appended text) via
+    ``index_pipeline.merge_index`` — old postings rescale tf×idf' without
+    re-tokenizing.  The oracle computes the postings of the final merged
+    corpus from scratch in SQL; the merge must equal the rebuild.
+    (n_docs here = docs with ≥1 token — merge_index's corpus-count
+    contract; this corpus has no empty docs so it equals count(*).)"""
+    import tempfile
+
+    from searchengine_ray.pipelines.index_pipeline import (
+        build_postings, load_postings, merge_index, write_index)
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    base = ds.map_batches(lambda df: df[df["doc_id"] % 10 != 0],
+                          batch_format="pandas")
+
+    def derive_delta(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        new = df[ids % 10 == 0]
+        changed = df[ids % 10 == 5].copy()
+        changed["text"] = changed["text"] + " merged update"
+        return pd.concat([new, changed], ignore_index=True)
+
+    delta = ds.map_batches(derive_delta, batch_format="pandas")
+
+    scratch = tempfile.mkdtemp(prefix="graft_index_merge_")
+    write_index(build_postings(base, mode="simple"), scratch)
+    merge_index(scratch, delta, mode="simple")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "token": df["token"],
+            "tf": df["tf"].round(6),
+            "tf_idf": df["tf_idf"].round(6)})
+
+    return load_postings(scratch).map_batches(project,
+                                              batch_format="pandas")
+
+
+SQL_INDEX_MERGE = """
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 5 THEN text || ' merged update'
+              ELSE text END AS text
+  FROM documents),
+toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                  AS token
+         FROM corpus),
+toks2 AS (SELECT * FROM toks WHERE token <> ''),
+doc_len AS (SELECT doc_id, count(*) AS n FROM toks2 GROUP BY doc_id),
+tc AS (SELECT doc_id, token, count(*) AS cnt FROM toks2
+       GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks2
+          GROUP BY token),
+n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM toks2)
+SELECT tc.doc_id, tc.token,
+       round(CAST(tc.cnt AS DOUBLE) / doc_len.n, 6) AS tf,
+       round((CAST(tc.cnt AS DOUBLE) / doc_len.n)
+             * ln(CAST(n_docs.n AS DOUBLE) / dfreq.df), 6) AS tf_idf
+FROM tc JOIN doc_len USING (doc_id) JOIN dfreq USING (token), n_docs
+"""
+
+
 def q_lm_perplexity(sf_dir: str):
     """CCNet-style quality scoring (Wenzek et al. 2020): train an
     add-one-smoothed bigram LM on a small reference split (doc_id % 5 == 0
@@ -2622,6 +2689,7 @@ QUERIES = {
     "dup_window_stats": q_dup_window_stats,
     "remove_dup_spans": q_remove_dup_spans,
     "lm_perplexity": q_lm_perplexity,
+    "index_merge": q_index_merge,
     "bm25_search": q_bm25_search,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
@@ -2695,6 +2763,7 @@ ORACLE_SQL = {
     "dup_window_stats": SQL_DUP_WINDOW_STATS,
     "remove_dup_spans": SQL_REMOVE_DUP_SPANS,
     "lm_perplexity": SQL_LM_PERPLEXITY,
+    "index_merge": SQL_INDEX_MERGE,
     "bm25_search": SQL_BM25_SEARCH,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact

@@ -105,3 +105,44 @@ def test_html_weighted_postings(ray_session):
     assert math.isclose(p.loc["dog", "weight"], 1.0)
     assert math.isclose(p.loc["story", "weight"], 3.0)
     assert np.isclose(p.loc["cat", "tf"], 3 / 5)
+
+
+def test_merge_index_equals_rebuild(ray_session, tmp_path):
+    """Incremental merge ≡ from-scratch rebuild of the merged corpus:
+    replaced docs drop their old postings, new docs append, and every
+    surviving posting's tf_idf is rescaled to the merged-corpus idf."""
+    from searchengine_ray.pipelines.index_pipeline import merge_index
+
+    base = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2], dtype=np.int64),
+        "text": ["cat dog", "dog bird", "cat cat fish"],
+        "url": ["u0", "u1", "u2"],
+    })
+    # delta: doc 1 CHANGES, doc 3 is NEW
+    delta = pd.DataFrame({
+        "doc_id": np.array([1, 3], dtype=np.int64),
+        "text": ["bird bird snail", "cat snail"],
+        "url": ["u1b", "u3"],
+    })
+    final = pd.concat([base[base.doc_id != 1], delta], ignore_index=True)
+
+    out = str(tmp_path / "idx")
+    write_index(build_postings(rd.from_pandas(base), mode="simple"), out,
+                docs=rd.from_pandas(base))
+    summary = merge_index(out, rd.from_pandas(delta), mode="simple",
+                          url_col="url")
+
+    merged = (load_postings(out).to_pandas()
+              .sort_values(["doc_id", "token"]).reset_index(drop=True))
+    rebuilt = (build_postings(rd.from_pandas(final), mode="simple")
+               .to_pandas()
+               .sort_values(["doc_id", "token"]).reset_index(drop=True))
+    assert merged[["doc_id", "token"]].equals(rebuilt[["doc_id", "token"]])
+    assert np.allclose(merged["tf"], rebuilt["tf"])
+    assert np.allclose(merged["tf_idf"], rebuilt["tf_idf"])
+    assert summary["n_postings"] == len(rebuilt)
+
+    # doc map: replaced id 1 now maps to the delta's url
+    r = search_index(out, "snail")
+    assert set(r["doc_id"]) == {1, 3}
+    assert set(r["url"]) == {"u1b", "u3"}
