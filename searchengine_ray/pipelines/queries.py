@@ -2273,6 +2273,74 @@ GROUP BY s.doc_id
 """
 
 
+def q_lm_quality_buckets(sf_dir: str):
+    """The CCNet OUTPUT step (Wenzek et al. 2020 §4.3): bucket the corpus
+    into head/middle/tail by the corpus-wide log-perplexity TERCILES.
+    Composes ``lm_perplexity`` (map-only scoring) with two
+    ``exact_global_quantile`` passes (O(bins) driver state each); the
+    bucket assignment itself is map-only against two broadcast scalars.
+    Threshold comparisons are fp-safe: an interpolated tercile either
+    equals a data value exactly (frac=0 / tie plateau) or lies strictly
+    between two adjacent data values, so no doc sits on the boundary."""
+    from searchengine_ray.stages.lm import lm_perplexity, train_bigram_lm
+    from searchengine_ray.stages.sketches import exact_global_quantile
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    train = ds.map_batches(lambda df: df[df["doc_id"] % 5 == 0],
+                           batch_format="pandas")
+    model = train_bigram_lm(train)
+    scored = lm_perplexity(ds, model).materialize()  # consumed 3×
+    t1 = exact_global_quantile(scored, "logppl", 1 / 3)
+    t2 = exact_global_quantile(scored, "logppl", 2 / 3)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["logppl"].to_numpy(np.float64)
+        b = np.where(v <= t1, "head",
+                     np.where(v <= t2, "middle", "tail"))
+        return pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                             "logppl": v, "bucket": b})
+
+    return scored.map_batches(bucket, batch_format="pandas")
+
+
+SQL_LM_QUALITY_BUCKETS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+train AS (SELECT * FROM toks WHERE doc_id % 5 = 0),
+uni AS (SELECT tok, count(*) AS c
+        FROM (SELECT unnest(ts) AS tok FROM train) GROUP BY tok),
+bg AS (SELECT prev, cur, count(*) AS c
+       FROM (SELECT unnest(ts[1:len(ts)-1]) AS prev,
+                    unnest(ts[2:len(ts)]) AS cur
+             FROM train WHERE len(ts) >= 2)
+       GROUP BY prev, cur),
+v AS (SELECT count(*) + 1 AS vsz FROM uni),
+sbg AS (SELECT doc_id,
+               unnest(ts[1:len(ts)-1]) AS prev,
+               unnest(ts[2:len(ts)]) AS cur
+        FROM toks WHERE len(ts) >= 2),
+scored AS (
+  SELECT s.doc_id,
+         round(-avg(ln((coalesce(bg.c, 0) + 1.0)
+                       / (coalesce(uni.c, 0) + v.vsz))), 6) AS logppl
+  FROM sbg s
+  LEFT JOIN bg ON s.prev = bg.prev AND s.cur = bg.cur
+  LEFT JOIN uni ON s.prev = uni.tok
+  CROSS JOIN v
+  GROUP BY s.doc_id),
+th AS (SELECT quantile_cont(logppl, 1.0/3) AS t1,
+              quantile_cont(logppl, 2.0/3) AS t2 FROM scored)
+SELECT doc_id, logppl,
+       CASE WHEN logppl <= th.t1 THEN 'head'
+            WHEN logppl <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM scored, th
+"""
+
+
 # --- 30. BM25 ranked retrieval (pipelines/search.bm25_search) ---------------
 
 
@@ -2690,6 +2758,7 @@ QUERIES = {
     "remove_dup_spans": q_remove_dup_spans,
     "lm_perplexity": q_lm_perplexity,
     "index_merge": q_index_merge,
+    "lm_quality_buckets": q_lm_quality_buckets,
     "bm25_search": q_bm25_search,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
@@ -2764,6 +2833,7 @@ ORACLE_SQL = {
     "remove_dup_spans": SQL_REMOVE_DUP_SPANS,
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "index_merge": SQL_INDEX_MERGE,
+    "lm_quality_buckets": SQL_LM_QUALITY_BUCKETS,
     "bm25_search": SQL_BM25_SEARCH,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact

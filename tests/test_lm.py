@@ -58,3 +58,42 @@ def test_lm_model_cap(ray_session):
     train = rd.from_pandas(_docs(["a b c d e f g h"]))
     with pytest.raises(ValueError, match="max_model_rows"):
         train_bigram_lm(train, max_model_rows=3)
+
+
+def test_lm_tercile_buckets(ray_session):
+    """head/middle/tail terciles: ordered by logppl, sizes n/3 each when
+    scores are distinct, boundaries at the interpolated terciles."""
+    import ray.data as rd
+
+    from searchengine_ray.stages.sketches import exact_global_quantile
+
+    train = rd.from_pandas(_docs(["common words here"] * 3))
+    model = train_bigram_lm(train)
+    # 9 docs with increasingly OOV content -> strictly rising perplexity
+    rows = ["common words here",          # fully in-domain
+            "common words here common words",
+            "common words oov1",
+            "common oov1 oov2",
+            "oov1 oov2 oov3",
+            "oov1 oov2 oov3 oov4",
+            "oov1 oov2 oov3 oov4 oov5",
+            "oov1 oov2 oov3 oov4 oov5 oov6",
+            "oov1 oov2 oov3 oov4 oov5 oov6 oov7"]
+    scored = lm_perplexity(rd.from_pandas(_docs(rows)), model).materialize()
+    t1 = exact_global_quantile(scored, "logppl", 1 / 3)
+    t2 = exact_global_quantile(scored, "logppl", 2 / 3)
+    df = scored.to_pandas()
+    head = df[df.logppl <= t1]
+    mid = df[(df.logppl > t1) & (df.logppl <= t2)]
+    tail = df[df.logppl > t2]
+    assert len(df) == 9
+    assert len(head) >= 3 and len(tail) >= 1
+    assert len(head) + len(mid) + len(tail) == 9
+    if len(head) and len(mid):
+        assert head["logppl"].max() <= mid["logppl"].min()
+    if len(mid) and len(tail):
+        assert mid["logppl"].max() <= tail["logppl"].min()
+    # the fully in-domain doc is in head; the most SURPRISING doc — a
+    # well-known context followed by an unseen token (p = 1/(c(prev)+V),
+    # smaller than the all-OOV 1/V) — is in tail
+    assert 0 in set(head["doc_id"]) and 3 in set(tail["doc_id"])
