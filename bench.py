@@ -134,6 +134,10 @@ def main() -> None:
         "training_corpus": Q.q_training_corpus,
         "repetition_stats": Q.q_repetition_stats,
         "dup_window_stats": Q.q_dup_window_stats,
+        "remove_dup_spans": Q.q_remove_dup_spans,
+        "lm_perplexity": Q.q_lm_perplexity,
+        "lm_quality_buckets": Q.q_lm_quality_buckets,
+        "index_merge": Q.q_index_merge,
         "bm25_search": Q.q_bm25_search,
         "knn_pq": Q.q_knn_pq,
         "knn_ivfpq": Q.q_knn_ivfpq,
