@@ -138,6 +138,7 @@ def main() -> None:
         "lm_perplexity": Q.q_lm_perplexity,
         "lm_quality_buckets": Q.q_lm_quality_buckets,
         "index_merge": Q.q_index_merge,
+        "event_value_bands": Q.q_event_value_bands,
         "bm25_search": Q.q_bm25_search,
         "knn_pq": Q.q_knn_pq,
         "knn_ivfpq": Q.q_knn_ivfpq,

@@ -2341,6 +2341,32 @@ FROM scored, th
 """
 
 
+def q_event_value_bands(sf_dir: str):
+    """Range-containment dimension join (the IP-geo / price-band lookup):
+    attach each event's value band from a small half-open interval table
+    via `relational.broadcast_interval_join` — one broadcast + one
+    vectorized searchsorted per batch, zero shuffles.  The top band stops
+    at 400, so higher-valued events fall outside every interval and the
+    inner join drops them (mirrored by the SQL inner range join)."""
+    from searchengine_ray.stages.relational import broadcast_interval_join
+
+    bands = pd.DataFrame({
+        "lo": [0.0, 5.0, 50.0, 200.0],
+        "hi": [5.0, 50.0, 200.0, 400.0],
+        "band": ["nano", "small", "mid", "large"]})
+    ds = _pq(sf_dir, "events", columns=["event_id", "value"])
+    return broadcast_interval_join(ds, bands, "value", how="inner")
+
+
+SQL_EVENT_VALUE_BANDS = """
+WITH bands(lo, hi, band) AS (VALUES
+  (0.0, 5.0, 'nano'), (5.0, 50.0, 'small'),
+  (50.0, 200.0, 'mid'), (200.0, 400.0, 'large'))
+SELECT e.event_id, e.value, b.band
+FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+"""
+
+
 # --- 30. BM25 ranked retrieval (pipelines/search.bm25_search) ---------------
 
 
@@ -2759,6 +2785,7 @@ QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "index_merge": q_index_merge,
     "lm_quality_buckets": q_lm_quality_buckets,
+    "event_value_bands": q_event_value_bands,
     "bm25_search": q_bm25_search,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
@@ -2834,6 +2861,7 @@ ORACLE_SQL = {
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "index_merge": SQL_INDEX_MERGE,
     "lm_quality_buckets": SQL_LM_QUALITY_BUCKETS,
+    "event_value_bands": SQL_EVENT_VALUE_BANDS,
     "bm25_search": SQL_BM25_SEARCH,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact

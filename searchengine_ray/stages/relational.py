@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
 import pandas as pd
 import ray
 from ray.data import Dataset
@@ -130,6 +131,64 @@ def broadcast_join(
         return batch.merge(ray.get(ref), on=on, how=how)
 
     return ds.map_batches(join_fn, batch_format="pandas", batch_size=batch_size)
+
+
+def broadcast_interval_join(
+    ds: Dataset,
+    intervals: pd.DataFrame,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    how: str = "inner",
+    batch_size: int = 65536,
+) -> Dataset:
+    """Range-containment dimension lookup: attach the interval row whose
+    half-open ``[lo, hi)`` contains ``value_col`` — the IP-geolocation /
+    price-band / grade-boundary join shape.
+
+    ``intervals`` is a SMALL NON-OVERLAPPING dimension table (both
+    validated here — overlap would make containment ambiguous): the join
+    is then one ``ray.put`` broadcast + one vectorized ``searchsorted``
+    per batch — map-only, ZERO shuffles at any fact-table size.  The
+    shuffle alternative (range-key co-partition) moves the whole fact
+    table for a dimension of a few thousand bands; never worth it.
+    Payload column names must not collide with fact columns.
+
+    ``how='inner'`` drops facts outside every band and NaN facts;
+    ``'left'`` keeps them with null band columns."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how!r}")
+    iv = intervals.sort_values(lo_col).reset_index(drop=True)
+    los = iv[lo_col].to_numpy(np.float64)
+    his = iv[hi_col].to_numpy(np.float64)
+    if np.any(his <= los):
+        raise ValueError("empty interval: hi must be > lo")
+    if los.size > 1 and np.any(los[1:] < his[:-1]):
+        raise ValueError("intervals overlap: containment is ambiguous")
+    payload = iv.drop(columns=[lo_col, hi_col])
+    clash = set(payload.columns) & (set(ds.schema().names) or set())
+    if clash:
+        raise ValueError(f"payload columns collide with facts: {clash}")
+    ref = ray.put((los, his, payload))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        los_, his_, pay = ray.get(ref)
+        v = df[value_col].to_numpy(np.float64)
+        idx = np.searchsorted(los_, v, side="right") - 1
+        safe = np.clip(idx, 0, len(his_) - 1)
+        with np.errstate(invalid="ignore"):
+            ok = (idx >= 0) & (v < his_[safe]) & ~np.isnan(v)
+        if how == "inner":
+            out = df[ok].reset_index(drop=True)
+            rows = pay.iloc[idx[ok]].reset_index(drop=True)
+            return pd.concat([out, rows], axis=1)
+        out = df.reset_index(drop=True)
+        rows = pay.iloc[safe].reset_index(drop=True)
+        rows = rows.mask(~pd.Series(ok))
+        return pd.concat([out, rows], axis=1)
+
+    return ds.map_batches(attach, batch_format="pandas",
+                          batch_size=batch_size)
 
 
 def bucketed_map_groups(

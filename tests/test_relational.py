@@ -125,3 +125,48 @@ def test_semi_anti_null_keys_not_exists_semantics(ray_session):
 
     anti = hash_semi_anti_join(lds, rds, on="k", anti=True).to_pandas()
     assert sorted(anti["v"]) == ["a", "c", "d"]
+
+
+def test_broadcast_interval_join(ray_session):
+    """Half-open [lo,hi) containment: inner drops out-of-band and NaN
+    facts, left keeps them with null payload."""
+    import ray.data as rd
+
+    from searchengine_ray.stages.relational import broadcast_interval_join
+
+    bands = pd.DataFrame({"lo": [0.0, 10.0], "hi": [10.0, 20.0],
+                          "band": ["lo", "hi"]})
+    facts = pd.DataFrame({
+        "fact_id": np.arange(6, dtype=np.int64),
+        "v": [0.0, 9.999, 10.0, 19.99, 25.0, np.nan]})
+
+    inner = (broadcast_interval_join(rd.from_pandas(facts), bands, "v")
+             .to_pandas().sort_values("fact_id").reset_index(drop=True))
+    assert inner["fact_id"].tolist() == [0, 1, 2, 3]
+    assert inner["band"].tolist() == ["lo", "lo", "hi", "hi"]
+
+    left = (broadcast_interval_join(rd.from_pandas(facts), bands, "v",
+                                    how="left")
+            .to_pandas().sort_values("fact_id").reset_index(drop=True))
+    assert len(left) == 6
+    assert left["band"].isna().tolist() == [False] * 4 + [True, True]
+
+
+def test_broadcast_interval_join_validation(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.relational import broadcast_interval_join
+
+    facts = rd.from_pandas(pd.DataFrame({"v": [1.0]}))
+    with pytest.raises(ValueError, match="overlap"):
+        broadcast_interval_join(
+            facts, pd.DataFrame({"lo": [0.0, 5.0], "hi": [6.0, 10.0],
+                                 "band": ["a", "b"]}), "v")
+    with pytest.raises(ValueError, match="empty interval"):
+        broadcast_interval_join(
+            facts, pd.DataFrame({"lo": [5.0], "hi": [5.0],
+                                 "band": ["a"]}), "v")
+    with pytest.raises(ValueError, match="collide"):
+        broadcast_interval_join(
+            facts, pd.DataFrame({"lo": [0.0], "hi": [9.0],
+                                 "v": ["clash"]}), "v")
