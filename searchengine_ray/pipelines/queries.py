@@ -2367,6 +2367,58 @@ FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
 """
 
 
+def q_domain_quality_filter(sf_dir: str):
+    """Domain-level aggregate gate (the RefinedWeb/C4 move: score the
+    DOMAIN, drop all its docs): per-source mean token count + doc count
+    via one ``pre_aggregate`` (the verdict table is O(domains) — tiny),
+    predicate on the driver, surviving domains broadcast back as a
+    ``broadcast_semi_filter`` — the big side never shuffles.  Avg
+    comparisons are fp-exact (integer token sums / int counts)."""
+    from searchengine_ray.stages.relational import (broadcast_semi_filter,
+                                                    pre_aggregate)
+    from searchengine_ray.stages.text import simple_tokens
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": df["source"],
+            "n_tokens": np.fromiter(
+                (len(simple_tokens(t or "")) for t in df["text"]),
+                dtype=np.int64, count=len(df))})
+
+    agg = pre_aggregate(ds.map_batches(toks, batch_format="pandas"),
+                        ["source"],
+                        {"n_docs": (None, "count"),
+                         "tok_sum": ("n_tokens", "sum")}).to_pandas()
+    ok = agg[(agg["tok_sum"] / agg["n_docs"] >= 52.0)
+             & (agg["n_docs"] >= 10)]
+    keep = set(ok["source"])
+    out = broadcast_semi_filter(ds.select_columns(["doc_id", "source"]),
+                                keep, "source")
+    return out.map_batches(
+        lambda df: pd.DataFrame({"doc_id": df["doc_id"].astype(np.int64),
+                                 "source": df["source"]}),
+        batch_format="pandas")
+
+
+SQL_DOMAIN_QUALITY_FILTER = """
+WITH per_doc AS (
+  SELECT doc_id, source,
+         len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         t -> t <> '')) AS n_tokens
+  FROM documents),
+verdict AS (
+  SELECT source
+  FROM per_doc
+  GROUP BY source
+  HAVING CAST(sum(n_tokens) AS DOUBLE) / count(*) >= 52.0
+     AND count(*) >= 10)
+SELECT d.doc_id, d.source
+FROM documents d JOIN verdict USING (source)
+"""
+
+
 # --- 30. BM25 ranked retrieval (pipelines/search.bm25_search) ---------------
 
 
@@ -2786,6 +2838,7 @@ QUERIES = {
     "index_merge": q_index_merge,
     "lm_quality_buckets": q_lm_quality_buckets,
     "event_value_bands": q_event_value_bands,
+    "domain_quality_filter": q_domain_quality_filter,
     "bm25_search": q_bm25_search,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
@@ -2862,6 +2915,7 @@ ORACLE_SQL = {
     "index_merge": SQL_INDEX_MERGE,
     "lm_quality_buckets": SQL_LM_QUALITY_BUCKETS,
     "event_value_bands": SQL_EVENT_VALUE_BANDS,
+    "domain_quality_filter": SQL_DOMAIN_QUALITY_FILTER,
     "bm25_search": SQL_BM25_SEARCH,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
