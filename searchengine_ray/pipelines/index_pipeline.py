@@ -140,12 +140,36 @@ def write_index(
         md = pq.read_metadata(f)
         n_postings += md.num_rows
         size_kb += os.path.getsize(f) / 1024
-    uniq = pq.read_table(idx_dir, columns=["token"])
-    n_unique = pc.count_distinct(uniq["token"]).as_py()
+
+    # df side table + corpus doc count, computed from the WRITTEN files
+    # (cheap columnar re-read — never re-executes the upstream pipeline).
+    # These are what make ``merge_index`` delta-scale: the next merge
+    # updates df/n_docs arithmetically instead of re-aggregating the
+    # whole postings table.
+    from searchengine_ray.stages.relational import pre_aggregate
+
+    written = rd.read_parquet(idx_dir, columns=["doc_id", "token"])
+    df_ds = pre_aggregate(written, ["token"],
+                          {"df": (None, "count")}).materialize()
+    n_unique = df_ds.count()
+    n_docs = pre_aggregate(
+        rd.read_parquet(idx_dir, columns=["doc_id"]),
+        ["doc_id"], {"c": (None, "count")}).count()
+    df_dir = os.path.join(out_dir, "token_df")
+    tmp = df_dir + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    df_ds.write_parquet(tmp)
+    os.makedirs(tmp, exist_ok=True)
+    if os.path.exists(df_dir):
+        shutil.rmtree(df_dir)
+    os.replace(tmp, df_dir)
+
     summary = {
         "n_postings": int(n_postings),
         "n_unique_tokens": int(n_unique),  # A5
         "index_size_kb": round(size_kb, 1),  # A6
+        "n_docs": int(n_docs),  # docs with ≥1 token (merge_index contract)
     }
     from searchengine_ray.sources import storage
 
@@ -231,20 +255,65 @@ def merge_index(
             "weight": np.ones(len(df), dtype=np.float64)})
 
     combined = old_kept.map_batches(old_project, batch_format="pandas").union(
-        delta_tc.map_batches(delta_project, batch_format="pandas")
-    ).materialize()  # consumed 3× below (df', n', rescale)
+        delta_tc.map_batches(delta_project, batch_format="pandas"))
 
     # --- global df' and n' over the merged corpus ------------------------
-    df_ds = pre_aggregate(combined.select_columns(["doc_id", "token"]),
-                          ["token"], {"df": (None, "count")}).materialize()
-    n_docs = pre_aggregate(combined.select_columns(["doc_id"]),
-                           ["doc_id"], {"c": (None, "count")}).count()
-    n_vocab = df_ds.count()
+    # FAST PATH (the scale story): the index persists its (token, df) side
+    # table and n_docs (write_index), so df'/n' are DELTA-SCALE driver
+    # arithmetic — old_df − replaced-doc contributions + delta
+    # contributions — and the whole merge performs exactly ONE
+    # postings-scale all-to-all (the write sort).  Without it (pre-side-
+    # table indexes, or vocabulary above the broadcast limit) fall back to
+    # re-aggregating df/n over the combined postings (3 all-to-alls).
+    import json
 
-    if n_vocab <= broadcast_vocab_limit:
-        df_tbl = df_ds.to_pandas()
-        idf = {t: float(np.log(n_docs / d))
-               for t, d in zip(df_tbl["token"], df_tbl["df"])}
+    df_dir = os.path.join(out_dir, "token_df")
+    summ_path = os.path.join(out_dir, "summary.json")
+    old_summary: dict = {}
+    if os.path.exists(summ_path):
+        with open(summ_path) as f:
+            old_summary = json.load(f)
+    fast = (os.path.isdir(df_dir) and "n_docs" in old_summary
+            and old_summary.get("n_unique_tokens", 0) <= broadcast_vocab_limit)
+
+    idf: dict | None = None
+    if fast:
+        def only_replaced(df: pd.DataFrame) -> pd.DataFrame:
+            ids = ray.get(ids_ref)
+            m = np.isin(df[id_col].to_numpy(np.int64), ids)
+            return df[m][[id_col, "token"]]
+
+        # one column-pruned scan; output is replaced-docs-scale (delta
+        # contract) so the driver pull is bounded like the delta itself
+        removed = (load_postings(out_dir)
+                   .map_batches(only_replaced, batch_format="pandas")
+                   .to_pandas())
+        delta_df = pre_aggregate(delta_tc, ["token"],
+                                 {"df": (None, "count")}).to_pandas()
+        old_df = pq.read_table(df_dir).to_pandas()
+        s = old_df.set_index("token")["df"].astype(np.int64)
+        if len(removed):
+            s = s.sub(removed.groupby("token").size(), fill_value=0)
+        if len(delta_df):
+            s = s.add(delta_df.set_index("token")["df"], fill_value=0)
+        s = s[s > 0]
+        n_docs = (int(old_summary["n_docs"])
+                  - int(removed[id_col].nunique() if len(removed) else 0)
+                  + len(delta_ids_df))
+        idf = {t: float(np.log(n_docs / d)) for t, d in s.items()}
+    else:
+        combined = combined.materialize()  # consumed 3× below
+        df_ds = pre_aggregate(combined.select_columns(["doc_id", "token"]),
+                              ["token"], {"df": (None, "count")}).materialize()
+        n_docs = pre_aggregate(combined.select_columns(["doc_id"]),
+                               ["doc_id"], {"c": (None, "count")}).count()
+        n_vocab = df_ds.count()
+        if n_vocab <= broadcast_vocab_limit:
+            df_tbl = df_ds.to_pandas()
+            idf = {t: float(np.log(n_docs / d))
+                   for t, d in zip(df_tbl["token"], df_tbl["df"])}
+
+    if idf is not None:
         idf_ref = ray.put(idf)
 
         def rescale(df: pd.DataFrame) -> pd.DataFrame:
