@@ -253,7 +253,8 @@ def dup_window_stats(ds: Dataset, k: int = DEFAULT_WINDOW_K,
 def remove_dup_spans(ds: Dataset, k: int = DEFAULT_WINDOW_K,
                      text_col: str = "text", id_col: str = "doc_id",
                      min_count: int = 2,
-                     batch_size: int = 1024) -> Dataset:
+                     batch_size: int = 1024,
+                     broadcast_dup_limit: int = 20_000_000) -> Dataset:
     """Exact-substring deduplication, the CLEANING operator (Lee et al.
     2021 §3.1 ExactSubstr, token-window form): cut every token position
     covered by a k-token sliding window whose window text occurs
@@ -272,10 +273,16 @@ def remove_dup_spans(ds: Dataset, k: int = DEFAULT_WINDOW_K,
     shuffles): stage 1 is a map-only explode to (window_hash, doc, pos)
     rows — O(corpus tokens), the same magnitude as the postings build;
     stage 2 co-shuffles by hash and keeps only positions of duplicated
-    windows (output O(dup positions) — the ~few-% tail at web scale);
-    stage 3 co-shuffles docs with their dup positions by doc id and cuts
-    with one vectorized delta/cumsum coverage mask per doc.  Nothing is
-    ever doc- or window-scaled on the driver."""
+    windows (output O(dup positions) — the ~few-% tail at web scale).
+    The CUT is SIZE-ROUTED (the pagerank/connected-components
+    discipline): up to ``broadcast_dup_limit`` dup positions (~16 B
+    each) they broadcast once via ``ray.put`` and the cut is MAP-ONLY —
+    the doc texts never shuffle; above it, docs co-shuffle with their
+    dup positions by doc id (texts move once) and each bucket cuts with
+    the same vectorized delta/cumsum coverage mask.  Routes are pinned
+    identical by tests.  Nothing is ever corpus-scaled on the driver
+    (the broadcast route pulls O(dup positions), which the limit
+    bounds)."""
     from searchengine_ray.stages.relational import bucketed_apply
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -295,11 +302,67 @@ def remove_dup_spans(ds: Dataset, k: int = DEFAULT_WINDOW_K,
         keep = g[occ >= min_count]
         return keep[["doc_id", "pos"]].reset_index(drop=True)
 
-    dups = bucketed_apply(windows, ["h"], dup_positions)
+    dups = bucketed_apply(windows, ["h"], dup_positions).materialize()
+    n_dup = dups.count()
 
-    # tagged union co-shuffle (the snapshot_diff pattern): docs carry text,
-    # dup rows carry positions; one all-to-all co-locates each doc with all
-    # its duplicated window starts
+    def _cut_rows(ids, texts, get_starts) -> pd.DataFrame:
+        out_id, out_n, out_rm, out_txt = [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            toks = simple_tokens(text or "")
+            n = len(toks)
+            starts = get_starts(doc_id)
+            if starts is None or not len(starts) or n == 0:
+                removed, clean = 0, " ".join(toks)
+            else:
+                # coverage mask: +1 at each dup-window start, -1 past
+                # its end; cumsum > 0 = covered (one numpy pass/doc)
+                delta = np.zeros(n + 1, dtype=np.int64)
+                np.add.at(delta, starts, 1)
+                np.add.at(delta, np.minimum(starts + k, n), -1)
+                covered = np.cumsum(delta[:-1]) > 0
+                removed = int(covered.sum())
+                clean = " ".join(
+                    t for t, c in zip(toks, covered) if not c)
+            out_id.append(doc_id)
+            out_n.append(n)
+            out_rm.append(removed)
+            out_txt.append(clean)
+        return pd.DataFrame({
+            "doc_id": pd.Series(out_id, dtype=np.int64),
+            "n_tokens": pd.Series(out_n, dtype=np.int64),
+            "n_removed": pd.Series(out_rm, dtype=np.int64),
+            "clean_text": pd.Series(out_txt, dtype=object)})
+
+    if n_dup <= broadcast_dup_limit:
+        # broadcast route: dup positions as two sorted numpy arrays (the
+        # compact-broadcast house rule, ~16 B/position); cut is MAP-ONLY
+        # and the doc texts never shuffle
+        import ray
+
+        dup_df = dups.to_pandas()
+        order = np.lexsort((dup_df["pos"].to_numpy(np.int64),
+                            dup_df["doc_id"].to_numpy(np.int64)))
+        doc_arr = dup_df["doc_id"].to_numpy(np.int64)[order]
+        pos_arr = dup_df["pos"].to_numpy(np.int64)[order]
+        ref = ray.put((doc_arr, pos_arr))
+
+        def cut_map(df: pd.DataFrame) -> pd.DataFrame:
+            docs_, pos_ = ray.get(ref)
+
+            def get_starts(doc_id):
+                a = np.searchsorted(docs_, doc_id, side="left")
+                b = np.searchsorted(docs_, doc_id, side="right")
+                return pos_[a:b] if b > a else None
+
+            return _cut_rows(df[id_col].to_numpy(np.int64),
+                             df[text_col], get_starts)
+
+        return ds.map_batches(cut_map, batch_format="pandas",
+                              batch_size=batch_size)
+
+    # co-shuffle route (dup tail too big to broadcast): tagged union (the
+    # snapshot_diff pattern) — docs carry text, dup rows carry positions;
+    # one all-to-all co-locates each doc with all its dup window starts
     def tag_docs(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "doc_id": df[id_col].astype(np.int64),
@@ -318,38 +381,14 @@ def remove_dup_spans(ds: Dataset, k: int = DEFAULT_WINDOW_K,
         dups.map_batches(tag_pos, batch_format="pandas"))
 
     def cut_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out_id, out_n, out_rm, out_txt = [], [], [], []
-        if len(g):
-            side = g["_side"].to_numpy()
-            starts_by_doc = {
-                d: grp["_pos"].to_numpy()
-                for d, grp in g[side == 1].groupby("doc_id", sort=False)}
-            docs = g[side == 0]
-            for doc_id, text in zip(docs["doc_id"].to_numpy(),
-                                    docs["_text"]):
-                toks = simple_tokens(text or "")
-                n = len(toks)
-                starts = starts_by_doc.get(doc_id)
-                if starts is None or n == 0:
-                    removed, clean = 0, " ".join(toks)
-                else:
-                    # coverage mask: +1 at each dup-window start, -1 past
-                    # its end; cumsum > 0 = covered (one numpy pass/doc)
-                    delta = np.zeros(n + 1, dtype=np.int64)
-                    np.add.at(delta, starts, 1)
-                    np.add.at(delta, np.minimum(starts + k, n), -1)
-                    covered = np.cumsum(delta[:-1]) > 0
-                    removed = int(covered.sum())
-                    clean = " ".join(
-                        t for t, c in zip(toks, covered) if not c)
-                out_id.append(doc_id)
-                out_n.append(n)
-                out_rm.append(removed)
-                out_txt.append(clean)
-        return pd.DataFrame({
-            "doc_id": pd.Series(out_id, dtype=np.int64),
-            "n_tokens": pd.Series(out_n, dtype=np.int64),
-            "n_removed": pd.Series(out_rm, dtype=np.int64),
-            "clean_text": pd.Series(out_txt, dtype=object)})
+        if not len(g):
+            return _cut_rows([], [], lambda d: None)
+        side = g["_side"].to_numpy()
+        starts_by_doc = {
+            d: grp["_pos"].to_numpy()
+            for d, grp in g[side == 1].groupby("doc_id", sort=False)}
+        docs = g[side == 0]
+        return _cut_rows(docs["doc_id"].to_numpy(), docs["_text"],
+                         starts_by_doc.get)
 
     return bucketed_apply(both, ["doc_id"], cut_bucket)

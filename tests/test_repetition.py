@@ -161,3 +161,29 @@ def test_remove_dup_spans_all_removed_and_empty(ray_session):
     assert (out.loc[[0, 1], "n_removed"] == 8).all()
     assert (out.loc[[0, 1], "clean_text"] == "").all()
     assert out.loc[2, "n_tokens"] == 0 and out.loc[2, "clean_text"] == ""
+
+
+def test_remove_dup_spans_routes_identical(ray_session):
+    """Broadcast-cut and co-shuffle-cut routes produce identical output
+    (the size-routing discipline: pagerank/CC pattern)."""
+    import ray.data as rd
+
+    from searchengine_ray.stages.repetition import remove_dup_spans
+
+    rng = np.random.RandomState(11)
+    shared = " ".join(f"s{i}" for i in range(9))
+    texts = []
+    for i in range(60):
+        words = [f"w{rng.randint(0, 40)}" for _ in range(14)]
+        if i % 4 == 0:
+            words[3:12] = shared.split()
+        texts.append(" ".join(words))
+    docs = pd.DataFrame({"doc_id": np.arange(60, dtype=np.int64),
+                         "text": texts})
+    ds = rd.from_pandas(docs).repartition(5)
+    a = (remove_dup_spans(ds, k=8)  # broadcast route (default limit)
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    b = (remove_dup_spans(ds, k=8, broadcast_dup_limit=0)  # co-shuffle
+         .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_removed"] > 0).any()
