@@ -7,12 +7,14 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``: one callable per implemented operator/pipeline
   (SURVEY.md §2); each takes ``sf_dir``.
 - ``oracle_sql()``: DuckDB-equivalent SQL for each SQL-expressible query —
-  25 of 28, including the dedup families (verified MinHash output ≡ exact
-  all-pairs jaccard; embedding LSH ≡ all-pairs cosine) and the full
-  text_features row.  Only crawl_bfs (stateful sequential gates),
-  simhash_pairs (64-bit bitwise majority vote) and image_pipeline (binary
-  codec) stay rows-only; their semantics are pinned by the pytest
-  conformance suites.
+  76 of 80, including every near-dup family (verified MinHash ≡ exact
+  all-pairs jaccard; embedding LSH ≡ all-pairs cosine; simhash / phash /
+  audio fingerprints ≡ bit_count(xor) over engine-materialized scratch
+  tables) and the image/audio pipelines (golden-table TRUE-flag gates).
+  Only crawl_bfs (stateful sequential gates), bpe_stats (iterative merge
+  training), distinct_users_hll and event_value_quantiles_sketch
+  (approximate by design, error-bounded) stay rows-only; their semantics
+  are pinned by the pytest conformance suites.
 """
 
 from __future__ import annotations

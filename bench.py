@@ -162,6 +162,10 @@ def main() -> None:
         sec, _ = _timed(bench_image_phash_neardup)
         timings["image_phash_neardup"] = round(sec, 3)
 
+    if not BENCH_ONLY or "audio_fp_neardup" in BENCH_ONLY.split(","):
+        sec, _ = _timed(bench_audio_fp_neardup)
+        timings["audio_fp_neardup"] = round(sec, 3)
+
     if not BENCH_ONLY or "crawl" in BENCH_ONLY.split(","):
         crawl_sec, pages_per_sec = bench_crawl()
         timings["crawl"] = round(crawl_sec, 3)
@@ -200,6 +204,37 @@ def bench_image_phash_neardup():
                               n_images=2500)
     ds = rd.read_parquet(path, columns=["image_id", "phash"])
     return hash_neardup_pairs(ds, hash_col="phash", id_col="image_id",
+                              max_hamming=4)
+
+
+def bench_audio_fp_neardup():
+    """WAV decode → 64-bit time×frequency fingerprint → banded near-dup
+    pairs over a bench-sized audio corpus (~40 MB of real RIFF/WAVE
+    payloads; generation cached on disk and excluded from the timing).
+    Times the full multimodal hot path: binary decode, per-clip DSP,
+    pigeonhole band shuffle, vectorized hamming verify."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from searchengine_ray.sources.audio_table import ensure_audio_table
+    from searchengine_ray.stages.audio import DecodeWav, fingerprint64
+    from searchengine_ray.stages.dedup import hash_neardup_pairs
+
+    import numpy as np
+
+    path = ensure_audio_table(path="/tmp/graft_audio_table/bench_audio.parquet",
+                              n_clips=2000)
+    ds = rd.read_parquet(path, columns=["audio_id", "bytes"])
+
+    def to_fp(batch: pa.Table) -> pa.Table:
+        decoded = DecodeWav()(batch)
+        fps = [fingerprint64(np.frombuffer(p, dtype="<i2"))
+               for p in decoded["pcm"].to_pylist()]
+        return pa.table({"audio_id": decoded["audio_id"],
+                         "afp": pa.array(fps, pa.int64())})
+
+    sigs = ds.map_batches(to_fp, batch_format="pyarrow", batch_size=128)
+    return hash_neardup_pairs(sigs, hash_col="afp", id_col="audio_id",
                               max_hamming=4)
 
 

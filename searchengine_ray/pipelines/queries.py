@@ -1556,6 +1556,147 @@ SELECT node AS image_id, min(lab) AS cluster_id FROM r GROUP BY node
 """)
 
 
+# --- 19d. audio-corpus queries (real RIFF/WAVE PCM16 payloads) ---------------
+# The audio analog of the image input-hint table: opaque binary payloads +
+# typed metadata, REAL decodable WAV files (functions/audiocodec — pure
+# numpy/struct, unlike the image codec no env package is missing here).
+
+def _audio_table_ds(columns=None):
+    from searchengine_ray.sources.audio_table import ensure_audio_table
+
+    return rd.read_parquet(ensure_audio_table(), columns=columns)
+
+
+def q_audio_stats(sf_dir: str):
+    """Per-sample-rate corpus stats (clip count, total samples, total
+    transcript tokens) — integer-exact aggregates; column pruning keeps
+    the WAV payloads in storage."""
+    ds = _audio_table_ds(columns=["sr", "n_samples", "transcript"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "sr": df["sr"].astype(np.int32),
+            "n_samples": df["n_samples"].astype(np.int64),
+            "n_tokens": df["transcript"].str.split(" ").str.len()
+                                        .astype(np.int64),
+        })
+
+    return pre_aggregate(
+        ds.map_batches(prep, batch_format="pandas"), ["sr"],
+        {"n_clips": (None, "count"), "sum_samples": ("n_samples", "sum"),
+         "sum_transcript_tokens": ("n_tokens", "sum")})
+
+
+_AUDIO_FP_SCRATCH = "/tmp/graft_scratch/audio_fp"
+
+
+def q_audio_fingerprint_neardup(sf_dir: str):
+    """Audio near-dup pairs: decode every WAV payload, compute the 64-bit
+    time×frequency energy-delta fingerprint (stages/audio.fingerprint64 —
+    the Haitsma-Kalker/chromaprint family), and band with the same
+    pigeonhole machinery as ``image_phash_neardup`` (hamming ≤ 4, exact
+    recall).  The fingerprint column is materialized to the scratch table
+    the oracle SQL reads, so the pair semantics are oracle-gated while the
+    DSP stays engine-side (pinned by the planted-dup pytest: exact dups →
+    hamming 0, ±2-LSB near-dups ≤ 1, independent clips ≥ 20)."""
+    import shutil
+
+    from searchengine_ray.stages.audio import DecodeWav, fingerprint64
+
+    ds = _audio_table_ds(columns=["audio_id", "bytes"])
+
+    def to_fp(batch: pa.Table) -> pa.Table:
+        decoded = DecodeWav()(batch)
+        fps = [fingerprint64(np.frombuffer(p, dtype="<i2"))
+               for p in decoded["pcm"].to_pylist()]
+        return pa.table({"audio_id": decoded["audio_id"],
+                         "afp": pa.array(fps, pa.int64())})
+
+    shutil.rmtree(_AUDIO_FP_SCRATCH, ignore_errors=True)
+    ds.map_batches(to_fp, batch_format="pyarrow").write_parquet(
+        _AUDIO_FP_SCRATCH)
+    sigs = rd.read_parquet(_AUDIO_FP_SCRATCH)
+    out = dedup_stage.hash_neardup_pairs(sigs, hash_col="afp",
+                                         id_col="audio_id", max_hamming=4)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"id_a": "audio_a", "id_b": "audio_b"})
+
+    return out.map_batches(rename, batch_format="pandas")
+
+
+def q_audio_pipeline(sf_dir: str):
+    """decode → validate → feature-extract actor-pool stages over the
+    audio corpus, gated on the PER-ROW INVARIANT: PCM16 is lossless, so
+    the decoded frames must equal the generator's pre-encode samples
+    byte-exactly and the container sample rate must match the metadata.
+    The oracle reads the generator golden table and expects every flag
+    TRUE plus the exact duration — a hash match proves the engine decoded
+    every payload correctly (non-circular: the golden samples predate the
+    codec)."""
+    from searchengine_ray.sources.audio_table import (
+        ensure_audio_table, ensure_golden_table)
+    from searchengine_ray.stages.audio import AudioFeatures, ValidateAudio
+
+    corpus = ensure_audio_table()
+    golden = ensure_golden_table()
+    ds = rd.read_parquet(corpus)
+    # autoscaling (1, 2) pool — fixed pools deadlock small test sessions
+    out = ds.map_batches(ValidateAudio,
+                         fn_constructor_kwargs={"golden_path": golden},
+                         batch_format="pyarrow", batch_size=64,
+                         concurrency=(1, 2))
+    out = out.map_batches(AudioFeatures(), batch_format="pyarrow",
+                          batch_size=64)
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "audio_id": t["audio_id"],
+            "sr": t["sr"],
+            "n_samples": t["n_samples"],
+            "duration_s": t["duration_s"],
+            "decode_ok": t["decode_ok"],
+            "pcm_exact": t["pcm_exact"],
+            "sr_match": t["sr_match"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+from searchengine_ray.sources.audio_table import (  # noqa: E402
+    CANONICAL_PATH as _AUDIO_PATH, GOLDEN_PATH as _AUDIO_GOLDEN_PATH)
+
+SQL_AUDIO_STATS = f"""
+SELECT sr, count(*) AS n_clips,
+       CAST(sum(CAST(n_samples AS BIGINT)) AS BIGINT) AS sum_samples,
+       CAST(sum(len(string_split(transcript, ' '))) AS BIGINT)
+           AS sum_transcript_tokens
+FROM read_parquet('{_AUDIO_PATH}')
+GROUP BY sr
+"""
+
+SQL_AUDIO_FP_NEARDUP = f"""
+SELECT a.audio_id AS audio_a, b.audio_id AS audio_b,
+       CAST(bit_count(xor(a.afp, b.afp)) AS BIGINT) AS hamming
+FROM read_parquet('{_AUDIO_FP_SCRATCH}/*.parquet') a
+JOIN read_parquet('{_AUDIO_FP_SCRATCH}/*.parquet') b
+  ON a.audio_id < b.audio_id
+WHERE bit_count(xor(a.afp, b.afp)) <= 4
+"""
+
+# golden `samples` is int16-LE frames: n_samples = octet_length/2 — the
+# oracle re-derives the metadata the engine reads from the corpus columns,
+# cross-validating generator consistency on top of the TRUE-flag gate
+SQL_AUDIO_PIPELINE = f"""
+SELECT g.audio_id,
+       g.sr,
+       CAST(octet_length(g.samples) / 2 AS INTEGER) AS n_samples,
+       CAST(octet_length(g.samples) / 2 AS DOUBLE) / g.sr AS duration_s,
+       TRUE AS decode_ok, TRUE AS pcm_exact, TRUE AS sr_match
+FROM read_parquet('{_AUDIO_GOLDEN_PATH}') g
+"""
+
+
 # --- 23. dataset assembly: split / stratified sample / mix / pack -----------
 # (stages/sampling.py — deterministic hash-based, so every operator is
 # SQL-oracle-checkable; thresholds are baked from the SAME frac_to_hex the
@@ -2822,6 +2963,9 @@ QUERIES = {
     "image_stats": q_image_stats,
     "image_multimodal_neardup": q_image_multimodal_neardup,
     "image_multimodal_clusters": q_image_multimodal_clusters,
+    "audio_stats": q_audio_stats,
+    "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
+    "audio_pipeline": q_audio_pipeline,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
     "weighted_mix": q_weighted_mix,
@@ -2899,6 +3043,9 @@ ORACLE_SQL = {
     "image_stats": SQL_IMAGE_STATS,
     "image_multimodal_neardup": SQL_IMAGE_MULTIMODAL_NEARDUP,
     "image_multimodal_clusters": SQL_IMAGE_MM_CLUSTERS,
+    "audio_stats": SQL_AUDIO_STATS,
+    "audio_fingerprint_neardup": SQL_AUDIO_FP_NEARDUP,
+    "audio_pipeline": SQL_AUDIO_PIPELINE,
     "split_assign": SQL_SPLIT_ASSIGN,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "weighted_mix": SQL_WEIGHTED_MIX,

@@ -13,11 +13,13 @@ pandas object dtype.
 - ``ImageFeatures``: small numeric feature vector per image (mean/std per
   channel, edge energy, phash) — the feature-extract stage shape for a
   training-data pipeline.
-- ``DecodeAudio`` / ``SampleVideoFrames``: STUBS — no audio/video codec
-  ships in this environment.  The Ray-side plumbing (schema contract,
-  actor signature, batch layout, metadata passthrough) is real and tested;
-  the decode kernel raises ``NotImplementedError`` unless
-  ``fake_decode=True`` supplies the deterministic fake used in tests.
+- ``DecodeAudio`` / ``SampleVideoFrames``: generic-codec STUBS for
+  formats with no decoder in this environment (mp3/opus/h264...).  The
+  Ray-side plumbing (schema contract, actor signature, batch layout,
+  metadata passthrough) is real and tested; the decode kernel raises
+  ``NotImplementedError`` unless ``fake_decode=True`` supplies the
+  deterministic fake used in tests.  WAV/PCM16 audio has a REAL path:
+  ``stages/audio.DecodeWav`` over ``functions/audiocodec``.
 """
 
 from __future__ import annotations
