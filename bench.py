@@ -166,6 +166,10 @@ def main() -> None:
         sec, _ = _timed(bench_audio_fp_neardup)
         timings["audio_fp_neardup"] = round(sec, 3)
 
+    if not BENCH_ONLY or "video_frame_neardup" in BENCH_ONLY.split(","):
+        sec, _ = _timed(bench_video_frame_neardup)
+        timings["video_frame_neardup"] = round(sec, 3)
+
     if not BENCH_ONLY or "crawl" in BENCH_ONLY.split(","):
         crawl_sec, pages_per_sec = bench_crawl()
         timings["crawl"] = round(crawl_sec, 3)
@@ -236,6 +240,45 @@ def bench_audio_fp_neardup():
     sigs = ds.map_batches(to_fp, batch_format="pyarrow", batch_size=128)
     return hash_neardup_pairs(sigs, hash_col="afp", id_col="audio_id",
                               max_hamming=4)
+
+
+def bench_video_frame_neardup():
+    """Frame-level video near-dup over a bench-sized MPNG corpus (~25 MB,
+    ~14k real PNG frame decodes + phashes; generation cached on disk and
+    excluded).  Times demux, per-frame decode/hash, the frame-pair band
+    shuffle and the per-video-pair count aggregate."""
+    import pandas as pd
+    import ray.data as rd
+
+    from searchengine_ray.sources.video_table import ensure_video_table
+    from searchengine_ray.stages.dedup import hash_neardup_pairs
+    from searchengine_ray.stages.relational import pre_aggregate
+    from searchengine_ray.stages.video import SampleFramePhashes
+
+    path = ensure_video_table(path="/tmp/graft_video_table/bench_videos.parquet",
+                              n_videos=800)
+    ds = rd.read_parquet(path, columns=["video_id", "bytes"])
+    frames = ds.map_batches(SampleFramePhashes(every_n=1),
+                            batch_format="pyarrow", batch_size=32)
+
+    def fid(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "fid": df["video_id"] + "#" + df["frame_idx"].astype(str),
+            "phash": df["phash"]})
+
+    pairs = hash_neardup_pairs(frames.map_batches(fid, batch_format="pandas"),
+                               hash_col="phash", id_col="fid", max_hamming=4)
+
+    def split_ids(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "video_a": df["id_a"].str.rsplit("#", n=1).str[0],
+            "video_b": df["id_b"].str.rsplit("#", n=1).str[0]})
+        return out[out["video_a"] != out["video_b"]]
+
+    agg = pre_aggregate(pairs.map_batches(split_ids, batch_format="pandas"),
+                        ["video_a", "video_b"], {"shared": (None, "count")})
+    return agg.map_batches(lambda df: df[df["shared"] >= 8],
+                           batch_format="pandas")
 
 
 def bench_crawl_scale() -> tuple[float, float]:

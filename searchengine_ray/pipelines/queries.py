@@ -1697,6 +1697,156 @@ FROM read_parquet('{_AUDIO_GOLDEN_PATH}') g
 """
 
 
+# --- 19e. video-corpus queries (real MPNG = length-prefixed PNG frames) -----
+
+def _video_table_ds(columns=None):
+    from searchengine_ray.sources.video_table import ensure_video_table
+
+    return rd.read_parquet(ensure_video_table(), columns=columns)
+
+
+def q_video_stats(sf_dir: str):
+    """Per-fps corpus stats (video count, total frames, total title
+    tokens) — integer-exact aggregates; payload bytes stay in storage."""
+    ds = _video_table_ds(columns=["fps", "n_frames", "title"])
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "fps": df["fps"].astype(np.float64),
+            "n_frames": df["n_frames"].astype(np.int64),
+            "n_tokens": df["title"].str.split(" ").str.len().astype(np.int64),
+        })
+
+    return pre_aggregate(
+        ds.map_batches(prep, batch_format="pandas"), ["fps"],
+        {"n_videos": (None, "count"), "sum_frames": ("n_frames", "sum"),
+         "sum_title_tokens": ("n_tokens", "sum")})
+
+
+_VIDEO_FRAME_SCRATCH = "/tmp/graft_scratch/video_frames"
+_VIDEO_FRAME_HAMMING = 4
+_VIDEO_MIN_SHARED = 8
+
+
+def q_video_neardup(sf_dir: str):
+    """Frame-level video near-dup (the published shape: per-frame
+    perceptual hashes → LSH banding → count matching frame pairs per
+    video pair).  Demux is real (length-prefix skip), PNG decode is real,
+    phash per sampled frame; the frame table is materialized to scratch
+    for the oracle, frame pairs come from the generic pigeonhole banding
+    (exact recall at hamming ≤ 4), and ONE count pre-aggregate per video
+    pair applies the ≥ 8-shared-frames threshold.  Robust where a single
+    per-video signature is not: temporal trims keep their surviving
+    frames byte-identical, so they match at full strength (measured —
+    see stages/video.py docstring)."""
+    import shutil
+
+    from searchengine_ray.stages.video import SampleFramePhashes
+
+    ds = _video_table_ds(columns=["video_id", "bytes"])
+    frames = ds.map_batches(SampleFramePhashes(every_n=1),
+                            batch_format="pyarrow", batch_size=32)
+    shutil.rmtree(_VIDEO_FRAME_SCRATCH, ignore_errors=True)
+    frames.write_parquet(_VIDEO_FRAME_SCRATCH)
+    fr = rd.read_parquet(_VIDEO_FRAME_SCRATCH)
+
+    def fid(df: pd.DataFrame) -> pd.DataFrame:
+        # frame id = video_id + '#' + idx: '#' never appears in video ids
+        # and sorts below every id character, so cross-video fid order ==
+        # video-id order even for prefix ids (orientation stays stable
+        # through the split below).  NUL would be the obvious separator
+        # but pandas hash_pandas_object historically mishandled NUL
+        # strings (see relational._hash_bucket) — printable is safer.
+        return pd.DataFrame({
+            "fid": df["video_id"] + "#" + df["frame_idx"].astype(str),
+            "phash": df["phash"],
+        })
+
+    pairs = dedup_stage.hash_neardup_pairs(
+        fr.map_batches(fid, batch_format="pandas"),
+        hash_col="phash", id_col="fid",
+        max_hamming=_VIDEO_FRAME_HAMMING)
+
+    def split_ids(df: pd.DataFrame) -> pd.DataFrame:
+        va = df["id_a"].str.rsplit("#", n=1).str[0]
+        vb = df["id_b"].str.rsplit("#", n=1).str[0]
+        out = pd.DataFrame({"video_a": va, "video_b": vb})
+        return out[out["video_a"] != out["video_b"]]
+
+    cross = pairs.map_batches(split_ids, batch_format="pandas")
+    agg = pre_aggregate(cross, ["video_a", "video_b"],
+                        {"shared": (None, "count")})
+
+    def thresh(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["shared"] >= _VIDEO_MIN_SHARED]
+
+    return agg.map_batches(thresh, batch_format="pandas")
+
+
+def q_video_pipeline(sf_dir: str):
+    """demux → decode → validate over the video corpus, gated on the
+    PER-ROW INVARIANT: PNG frames are lossless, so the decoded frame
+    pixels concatenated must equal the generator's raw frames
+    byte-exactly, and the container header must match the metadata
+    columns.  The oracle reads the golden table and expects every flag
+    TRUE plus the exact duration."""
+    from searchengine_ray.sources.video_table import (
+        ensure_golden_table, ensure_video_table)
+    from searchengine_ray.stages.video import ValidateVideo
+
+    corpus = ensure_video_table()
+    golden = ensure_golden_table()
+    ds = rd.read_parquet(corpus)
+    out = ds.map_batches(ValidateVideo,
+                         fn_constructor_kwargs={"golden_path": golden},
+                         batch_format="pyarrow", batch_size=32,
+                         concurrency=(1, 2))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "video_id": t["video_id"],
+            "n_frames": t["n_frames"],
+            "fps": t["fps"],
+            "duration_s": t["duration_s"],
+            "decode_ok": t["decode_ok"],
+            "pixels_exact": t["pixels_exact"],
+            "meta_match": t["meta_match"],
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+from searchengine_ray.sources.video_table import (  # noqa: E402
+    CANONICAL_PATH as _VIDEO_PATH, GOLDEN_PATH as _VIDEO_GOLDEN_PATH)
+
+SQL_VIDEO_STATS = f"""
+SELECT fps, count(*) AS n_videos,
+       CAST(sum(CAST(n_frames AS BIGINT)) AS BIGINT) AS sum_frames,
+       CAST(sum(len(string_split(title, ' '))) AS BIGINT)
+           AS sum_title_tokens
+FROM read_parquet('{_VIDEO_PATH}')
+GROUP BY fps
+"""
+
+SQL_VIDEO_NEARDUP = f"""
+SELECT a.video_id AS video_a, b.video_id AS video_b,
+       CAST(count(*) AS BIGINT) AS shared
+FROM read_parquet('{_VIDEO_FRAME_SCRATCH}/*.parquet') a
+JOIN read_parquet('{_VIDEO_FRAME_SCRATCH}/*.parquet') b
+  ON a.video_id < b.video_id
+ AND bit_count(xor(a.phash, b.phash)) <= {_VIDEO_FRAME_HAMMING}
+GROUP BY 1, 2
+HAVING count(*) >= {_VIDEO_MIN_SHARED}
+"""
+
+SQL_VIDEO_PIPELINE = f"""
+SELECT g.video_id, g.n_frames, g.fps,
+       CAST(g.n_frames AS DOUBLE) / g.fps AS duration_s,
+       TRUE AS decode_ok, TRUE AS pixels_exact, TRUE AS meta_match
+FROM read_parquet('{_VIDEO_GOLDEN_PATH}') g
+"""
+
+
 # --- 23. dataset assembly: split / stratified sample / mix / pack -----------
 # (stages/sampling.py — deterministic hash-based, so every operator is
 # SQL-oracle-checkable; thresholds are baked from the SAME frac_to_hex the
@@ -2966,6 +3116,9 @@ QUERIES = {
     "audio_stats": q_audio_stats,
     "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
     "audio_pipeline": q_audio_pipeline,
+    "video_stats": q_video_stats,
+    "video_neardup": q_video_neardup,
+    "video_pipeline": q_video_pipeline,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
     "weighted_mix": q_weighted_mix,
@@ -3046,6 +3199,9 @@ ORACLE_SQL = {
     "audio_stats": SQL_AUDIO_STATS,
     "audio_fingerprint_neardup": SQL_AUDIO_FP_NEARDUP,
     "audio_pipeline": SQL_AUDIO_PIPELINE,
+    "video_stats": SQL_VIDEO_STATS,
+    "video_neardup": SQL_VIDEO_NEARDUP,
+    "video_pipeline": SQL_VIDEO_PIPELINE,
     "split_assign": SQL_SPLIT_ASSIGN,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "weighted_mix": SQL_WEIGHTED_MIX,

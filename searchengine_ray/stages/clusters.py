@@ -43,8 +43,10 @@ def _label_fingerprint(labels: Dataset) -> int:
     summed mod 2^64 detects that without shipping the table anywhere."""
 
     def part(df: pd.DataFrame) -> pd.DataFrame:
-        h = (pd.util.hash_pandas_object(df["node"], index=False).to_numpy(np.uint64)
-             ^ pd.util.hash_pandas_object(df["label"], index=False).to_numpy(np.uint64))
+        h = (pd.util.hash_pandas_object(df["node"], index=False,
+                                        categorize=False).to_numpy(np.uint64)
+             ^ pd.util.hash_pandas_object(df["label"], index=False,
+                                          categorize=False).to_numpy(np.uint64))
         # int64 view: uint64 reductions hit this host's slow path
         return pd.DataFrame({"s": [int(h.view(np.int64).sum())]})
 

@@ -54,7 +54,8 @@ def table_profile(ds: Dataset, columns: list[str]) -> Dataset:
         for ci, c in enumerate(columns):
             u = df[c].dropna().drop_duplicates()
             h = np.unique(pd.util.hash_pandas_object(
-                u, index=False).to_numpy(dtype=np.uint64).view(np.int64))
+                u, index=False, categorize=False).to_numpy(
+                dtype=np.uint64).view(np.int64))
             hs.append(h)
             cols.append(np.full(h.size, ci, dtype=np.int64))
         if not cols:

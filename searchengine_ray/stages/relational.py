@@ -42,12 +42,22 @@ def _hash_bucket(df: pd.DataFrame, keys: Sequence[str], nb: int):
     (this sandbox's included) execute uint64 array arithmetic (notably
     ``%`` and array×array multiply) ~50-300× slower than int64.  The top
     bit is masked off before the mod so the value is nonnegative; that
-    loses 1 of 64 hash bits, irrelevant for bucketing."""
+    loses 1 of 64 hash bits, irrelevant for bucketing.
+
+    ``categorize=False`` everywhere hash_pandas_object hashes a KEY: the
+    default categorize path hashes NUL-containing strings differently
+    from the direct path (it siphashes the full bytes; the direct path
+    stops at the first NUL), and pandas picks the path per FRAME — the
+    same value hashed in two blocks could land in two buckets, silently
+    breaking every co-shuffle (measured: duplicate pairs survived
+    dedup).  For NUL-free values both paths agree bit-for-bit, so this
+    costs nothing on existing data."""
     import numpy as np
 
     h = np.zeros(len(df), dtype=np.int64)
     for k in keys:
-        hk = pd.util.hash_pandas_object(df[k], index=False).to_numpy(
+        hk = pd.util.hash_pandas_object(df[k], index=False,
+                                        categorize=False).to_numpy(
             dtype=np.uint64).view(np.int64)
         h = h * np.int64(1000003) + hk  # wraparound combine, same bits
     return (h & np.int64((1 << 63) - 1)) % nb
@@ -281,7 +291,7 @@ def hash_join(
     def tag(side: int):
         def fn(b: pa.Table) -> pa.Table:
             h = pd.util.hash_pandas_object(
-                b[on].to_pandas(), index=False
+                b[on].to_pandas(), index=False, categorize=False
             ).to_numpy(dtype=np.uint64).view(np.int64)
             # int64 view + top-bit mask: uint64 % is a slow path on some
             # numpy builds (see _hash_bucket)
@@ -382,7 +392,7 @@ def hash_semi_anti_join(
 
     def bucket_of(tbl: pa.Table) -> "np.ndarray":
         h = pd.util.hash_pandas_object(
-            tbl[on].to_pandas(), index=False).to_numpy(
+            tbl[on].to_pandas(), index=False, categorize=False).to_numpy(
             dtype=np.uint64).view(np.int64)
         return (h & np.int64((1 << 63) - 1)) % num_buckets
 

@@ -70,7 +70,7 @@ def asof_join(
             # int64 view + top-bit mask: uint64 % is a slow path on some
             # numpy builds (see relational._hash_bucket)
             h = pd.util.hash_pandas_object(
-                b[key].to_pandas(), index=False).to_numpy(
+                b[key].to_pandas(), index=False, categorize=False).to_numpy(
                 dtype=np.uint64).view(np.int64)
             b = b.append_column(
                 "_bucket",

@@ -195,7 +195,8 @@ def hll_distinct_aggregate(
         gidx = gb.ngroup().to_numpy()
         first_idx = np.unique(gidx, return_index=True)[1]
         key_tbl = df[keys].iloc[first_idx].reset_index(drop=True)
-        h = pd.util.hash_pandas_object(df[col], index=False).to_numpy(
+        h = pd.util.hash_pandas_object(df[col], index=False,
+                                       categorize=False).to_numpy(
             dtype=np.uint64)
         reg, rho = _hll_rho(h, p)
         # register-max per (group, reg) in one scatter over a flat arena
