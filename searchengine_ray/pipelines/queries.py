@@ -1728,17 +1728,12 @@ _VIDEO_FRAME_HAMMING = 4
 _VIDEO_MIN_SHARED = 8
 
 
-def q_video_neardup(sf_dir: str):
-    """Frame-level video near-dup (the published shape: per-frame
-    perceptual hashes → LSH banding → count matching frame pairs per
-    video pair).  Demux is real (length-prefix skip), PNG decode is real,
-    phash per sampled frame; the frame table is materialized to scratch
-    for the oracle, frame pairs come from the generic pigeonhole banding
-    (exact recall at hamming ≤ 4), and ONE count pre-aggregate per video
-    pair applies the ≥ 8-shared-frames threshold.  Robust where a single
-    per-video signature is not: temporal trims keep their surviving
-    frames byte-identical, so they match at full strength (measured —
-    see stages/video.py docstring)."""
+def _video_frame_pairs():
+    """Shared frame-matching stage for the video near-dup family:
+    materialize the per-frame phash table to scratch (read by the SQL
+    oracles too), band-match frames at hamming ≤ 4 (pigeonhole — exact
+    recall), and return cross-video matches with parsed
+    (video_a, idx_a, video_b, idx_b), oriented id_a < id_b."""
     import shutil
 
     from searchengine_ray.stages.video import SampleFramePhashes
@@ -1768,12 +1763,30 @@ def q_video_neardup(sf_dir: str):
         max_hamming=_VIDEO_FRAME_HAMMING)
 
     def split_ids(df: pd.DataFrame) -> pd.DataFrame:
-        va = df["id_a"].str.rsplit("#", n=1).str[0]
-        vb = df["id_b"].str.rsplit("#", n=1).str[0]
-        out = pd.DataFrame({"video_a": va, "video_b": vb})
+        sa = df["id_a"].str.rsplit("#", n=1)
+        sb = df["id_b"].str.rsplit("#", n=1)
+        out = pd.DataFrame({
+            "video_a": sa.str[0],
+            "idx_a": sa.str[1].astype(np.int64),
+            "video_b": sb.str[0],
+            "idx_b": sb.str[1].astype(np.int64)})
         return out[out["video_a"] != out["video_b"]]
 
-    cross = pairs.map_batches(split_ids, batch_format="pandas")
+    return pairs.map_batches(split_ids, batch_format="pandas")
+
+
+def q_video_neardup(sf_dir: str):
+    """Frame-level video near-dup (the published shape: per-frame
+    perceptual hashes → LSH banding → count matching frame pairs per
+    video pair).  Demux is real (length-prefix skip), PNG decode is real,
+    phash per sampled frame; the frame table is materialized to scratch
+    for the oracle, frame pairs come from the generic pigeonhole banding
+    (exact recall at hamming ≤ 4), and ONE count pre-aggregate per video
+    pair applies the ≥ 8-shared-frames threshold.  Robust where a single
+    per-video signature is not: temporal trims keep their surviving
+    frames byte-identical, so they match at full strength (measured —
+    see stages/video.py docstring)."""
+    cross = _video_frame_pairs()
     agg = pre_aggregate(cross, ["video_a", "video_b"],
                         {"shared": (None, "count")})
 
@@ -1781,6 +1794,48 @@ def q_video_neardup(sf_dir: str):
         return df[df["shared"] >= _VIDEO_MIN_SHARED]
 
     return agg.map_batches(thresh, batch_format="pandas")
+
+
+def q_video_aligned_neardup(sf_dir: str):
+    """Temporal-alignment video near-dup: matched frame pairs vote on
+    their offset (idx_b − idx_a); a pair's alignment score is the best
+    single offset's match count (ties → smallest offset).  This is the
+    temporal-verification step a video-dedup pipeline runs after frame
+    matching: a true excerpt/clip puts every match at ONE constant
+    offset (the planted tail-clips sit at s ≥ 2), while coincidental
+    frame collisions scatter across offsets and never clear the
+    threshold.  Shape: the frame-pair stage is shared with
+    ``video_neardup``; one count pre-aggregate per (pair, offset), then
+    keep-best per pair as a single vectorized sort+drop_duplicates per
+    bucket (no per-pair Python)."""
+    from searchengine_ray.stages.relational import bucketed_apply
+
+    cross = _video_frame_pairs()
+
+    def off(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "video_a": df["video_a"], "video_b": df["video_b"],
+            "best_offset": df["idx_b"] - df["idx_a"]})
+
+    per_off = pre_aggregate(
+        cross.map_batches(off, batch_format="pandas"),
+        ["video_a", "video_b", "best_offset"],
+        {"aligned": (None, "count")})
+
+    def best(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["video_a", "video_b", "aligned",
+                               "best_offset"],
+                              ascending=[True, True, False, True],
+                              kind="mergesort")
+                .drop_duplicates(["video_a", "video_b"], keep="first"))
+
+    out = bucketed_apply(per_off, ["video_a", "video_b"], best)
+
+    def thresh(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["aligned"] >= _VIDEO_MIN_SHARED]
+
+    return out.map_batches(thresh, batch_format="pandas").select_columns(
+        ["video_a", "video_b", "best_offset", "aligned"])
 
 
 def q_video_pipeline(sf_dir: str):
@@ -1837,6 +1892,24 @@ JOIN read_parquet('{_VIDEO_FRAME_SCRATCH}/*.parquet') b
  AND bit_count(xor(a.phash, b.phash)) <= {_VIDEO_FRAME_HAMMING}
 GROUP BY 1, 2
 HAVING count(*) >= {_VIDEO_MIN_SHARED}
+"""
+
+SQL_VIDEO_ALIGNED_NEARDUP = f"""
+SELECT video_a, video_b, best_offset, aligned
+FROM (
+  SELECT video_a, video_b, best_offset, aligned,
+         row_number() OVER (PARTITION BY video_a, video_b
+                            ORDER BY aligned DESC, best_offset) AS rn
+  FROM (
+    SELECT a.video_id AS video_a, b.video_id AS video_b,
+           CAST(b.frame_idx AS BIGINT) - a.frame_idx AS best_offset,
+           CAST(count(*) AS BIGINT) AS aligned
+    FROM read_parquet('{_VIDEO_FRAME_SCRATCH}/*.parquet') a
+    JOIN read_parquet('{_VIDEO_FRAME_SCRATCH}/*.parquet') b
+      ON a.video_id < b.video_id
+     AND bit_count(xor(a.phash, b.phash)) <= {_VIDEO_FRAME_HAMMING}
+    GROUP BY 1, 2, 3))
+WHERE rn = 1 AND aligned >= {_VIDEO_MIN_SHARED}
 """
 
 SQL_VIDEO_PIPELINE = f"""
@@ -3118,6 +3191,7 @@ QUERIES = {
     "audio_pipeline": q_audio_pipeline,
     "video_stats": q_video_stats,
     "video_neardup": q_video_neardup,
+    "video_aligned_neardup": q_video_aligned_neardup,
     "video_pipeline": q_video_pipeline,
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
@@ -3201,6 +3275,7 @@ ORACLE_SQL = {
     "audio_pipeline": SQL_AUDIO_PIPELINE,
     "video_stats": SQL_VIDEO_STATS,
     "video_neardup": SQL_VIDEO_NEARDUP,
+    "video_aligned_neardup": SQL_VIDEO_ALIGNED_NEARDUP,
     "video_pipeline": SQL_VIDEO_PIPELINE,
     "split_assign": SQL_SPLIT_ASSIGN,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,

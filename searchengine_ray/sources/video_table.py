@@ -14,6 +14,9 @@ Planted ground truth:
   the lossless encode — frame phashes shift a few bits),
 - ~4% TEMPORAL TRIMS (an earlier video minus its last ≤⅓ frames — the
   re-cut/re-upload shape; frame-hash aggregation must still match),
+- ~4% TEMPORAL CLIPS (an earlier video's tail starting at frame s ≥ 2 —
+  the excerpt/re-post shape; frame matches line up at a NONZERO constant
+  offset, which is what the aligned near-dup operator must recover),
 - the rest independent clips (moving shapes over a gradient background).
 
 Pure function of (n_videos, seed); canonical corpus at one versioned
@@ -32,7 +35,7 @@ from searchengine_ray.functions.videocontainer import mux_frames
 
 N_CANONICAL = 300
 SEED = 20260819
-GEN_VERSION = 1
+GEN_VERSION = 2
 CANONICAL_PATH = (f"/tmp/graft_video_table/"
                   f"video_v{GEN_VERSION}_n{N_CANONICAL}_s{SEED}.parquet")
 GOLDEN_PATH = (f"/tmp/graft_video_table/"
@@ -44,6 +47,7 @@ _VOCAB = ["clip", "scene", "pan", "zoom", "cut", "fade", "motion", "still",
 EXACT_DUP_FRAC = 0.04
 NOISY_DUP_FRAC = 0.06
 TRIM_DUP_FRAC = 0.04
+CLIP_DUP_FRAC = 0.04
 NOISE_LSB = 2
 
 
@@ -95,14 +99,17 @@ def build_golden_table(n_videos: int, seed: int = SEED) -> pa.Table:
 def _build(n_videos: int, seed: int) -> tuple[pa.Table, pa.Table]:
     ids, blobs, ws, hs, nfs, fpss, titles = [], [], [], [], [], [], []
     raws = []
+    dup_of, dup_kind, dup_offset = [], [], []
     originals: list[tuple[list[np.ndarray], float]] = []
     rng_plan = np.random.RandomState(seed)
     for i in range(n_videos):
         rng = np.random.RandomState((seed * 999983 + i) % (2**31 - 1))
         u = rng_plan.uniform()
+        kind, of, off = "", -1, 0
         if i > 10 and u < EXACT_DUP_FRAC:
             j = rng_plan.randint(0, i)
             frames, fps = originals[j]
+            kind, of = "exact", j
         elif i > 10 and u < EXACT_DUP_FRAC + NOISY_DUP_FRAC:
             j = rng_plan.randint(0, i)
             base, fps = originals[j]
@@ -110,13 +117,35 @@ def _build(n_videos: int, seed: int) -> tuple[pa.Table, pa.Table]:
                               + rng.randint(-NOISE_LSB, NOISE_LSB + 1,
                                             f.shape),
                               0, 255).astype(np.uint8) for f in base]
+            kind, of = "noisy", j
         elif i > 10 and u < EXACT_DUP_FRAC + NOISY_DUP_FRAC + TRIM_DUP_FRAC:
             j = rng_plan.randint(0, i)
             base, fps = originals[j]
             keep = len(base) - int(rng.randint(1, max(2, len(base) // 3)))
             frames = [f.copy() for f in base[:max(keep, 4)]]
+            kind, of = "trim", j
+        elif i > 10 and u < (EXACT_DUP_FRAC + NOISY_DUP_FRAC
+                             + TRIM_DUP_FRAC + CLIP_DUP_FRAC):
+            # tail excerpt from frame s ≥ 2: frame k of the clip equals
+            # frame s+k of the base, so every cross match sits at the
+            # SAME nonzero offset — the aligned operator's ground truth.
+            # Every base has ≥ 12 frames, so ≥ 9 survive (> the 8-shared
+            # pair threshold).
+            j = rng_plan.randint(0, i)
+            base, fps = originals[j]
+            if len(base) < 12:  # a short derived dup — take the first
+                # long-enough earlier video instead (v0 is synth, ≥ 12)
+                j = next(k for k in range(i)
+                         if len(originals[k][0]) >= 12)
+                base, fps = originals[j]
+            s = int(rng.randint(2, len(base) - 8))
+            frames = [f.copy() for f in base[s:]]
+            kind, of, off = "clip", j, s
         else:
             frames, fps = _synth_frames(rng)
+        dup_kind.append(kind)
+        dup_of.append(of)
+        dup_offset.append(off)
         originals.append((frames, fps))
         h, w = frames[0].shape[:2]
         host = int(rng.randint(0, 8))
@@ -142,6 +171,11 @@ def _build(n_videos: int, seed: int) -> tuple[pa.Table, pa.Table]:
         "n_frames": pa.array(nfs, pa.int32()),
         "fps": pa.array(fpss, pa.float64()),
         "pixels": pa.array(raws, pa.binary()),
+        # planted ground truth (dup_of = source row index, -1 = original;
+        # dup_offset = head frames removed, nonzero only for 'clip')
+        "dup_kind": pa.array(dup_kind, pa.string()),
+        "dup_of": pa.array(dup_of, pa.int32()),
+        "dup_offset": pa.array(dup_offset, pa.int32()),
     })
     return corpus, golden
 

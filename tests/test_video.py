@@ -1,7 +1,8 @@
 """Video modality: MPNG container round-trips, frame-level near-dup
-detection of planted duplicates (exact / noisy / temporal trim), validate
-stage invariants — plus the NUL-key hash-determinism regression the video
-work uncovered in the co-shuffle machinery."""
+detection of planted duplicates (exact / noisy / temporal trim / tail
+clip), temporal-alignment offset recovery, validate stage invariants —
+plus the NUL-key hash-determinism regression the video work uncovered in
+the co-shuffle machinery."""
 
 import numpy as np
 import pandas as pd
@@ -51,36 +52,67 @@ def test_mpng_rejects_malformed():
                     np.zeros((5, 5, 3), np.uint8)], 12.0)
 
 
-def _planted_layout(n, seed):
-    from searchengine_ray.sources import video_table as vt
-
-    rng_plan = np.random.RandomState(seed)
-    pairs = []
-    for i in range(n):
-        u = rng_plan.uniform()
-        if i > 10 and u < (vt.EXACT_DUP_FRAC + vt.NOISY_DUP_FRAC
-                           + vt.TRIM_DUP_FRAC):
-            pairs.append((int(rng_plan.randint(0, i)), i))
-    return pairs
+def _planted(golden):
+    """(base_id, dup_id, kind, offset) per planted dup, from the golden
+    ground-truth columns."""
+    ids = golden["video_id"].to_pylist()
+    out = []
+    for i, (kind, of, off) in enumerate(zip(golden["dup_kind"].to_pylist(),
+                                            golden["dup_of"].to_pylist(),
+                                            golden["dup_offset"].to_pylist())):
+        if kind:
+            out.append((ids[of], ids[i], kind, off))
+    return out
 
 
 def test_video_neardup_detects_all_planted(ray_session):
-    """Every planted pair (exact, ±2-noise re-encode, temporal trim) must
-    appear in the frame-match output — including the trims a single
-    per-video signature was measured to miss."""
+    """Every planted pair (exact, ±2-noise re-encode, temporal trim,
+    tail clip) must appear in the frame-match output — including the
+    trims a single per-video signature was measured to miss."""
     from searchengine_ray.pipelines.queries import q_video_neardup
     from searchengine_ray.sources.video_table import N_CANONICAL, SEED, _build
 
-    corpus, _ = _build(N_CANONICAL, SEED)
-    ids = corpus["video_id"].to_pylist()
-    planted = {(min(ids[a], ids[b]), max(ids[a], ids[b]))
-               for a, b in _planted_layout(N_CANONICAL, SEED)}
+    _, golden = _build(N_CANONICAL, SEED)
+    planted = {(min(a, b), max(a, b)) for a, b, _, _ in _planted(golden)}
     assert len(planted) >= 10
 
     got = q_video_neardup("unused").to_pandas()
     got_pairs = set(zip(got["video_a"], got["video_b"]))
     missing = planted - got_pairs
     assert not missing, f"planted pairs missed: {sorted(missing)[:5]}"
+
+
+def test_video_aligned_neardup_recovers_clip_offsets(ray_session):
+    """The temporal-alignment operator must recover each planted tail
+    clip at its TRUE offset: base frame s+k equals clip frame k, and
+    ids ascend with build order, so with a = base (smaller id) the best
+    offset is idx_clip − idx_base = −s.  Exact/noisy/trim dups align at
+    offset 0 (every surviving frame matches its own index, which no
+    other single offset can beat)."""
+    from searchengine_ray.pipelines.queries import q_video_aligned_neardup
+    from searchengine_ray.sources.video_table import N_CANONICAL, SEED, _build
+
+    _, golden = _build(N_CANONICAL, SEED)
+    clips = [(a, b, off) for a, b, kind, off in _planted(golden)
+             if kind == "clip"]
+    assert len(clips) >= 3, "corpus must plant enough clips to test"
+
+    got = q_video_aligned_neardup("unused").to_pandas()
+    best = {(r.video_a, r.video_b): (r.best_offset, r.aligned)
+            for r in got.itertuples()}
+    for base_id, clip_id, s in clips:
+        key = (min(base_id, clip_id), max(base_id, clip_id))
+        assert key in best, f"clip pair missing: {key}"
+        off, aligned = best[key]
+        expect = -s if base_id < clip_id else s
+        assert off == expect, (key, off, expect)
+        assert aligned >= 8
+    # zero-offset families still align at 0
+    zeros = [(a, b) for a, b, kind, _ in _planted(golden) if kind == "exact"]
+    for a, b in zeros:
+        key = (min(a, b), max(a, b))
+        if key in best:
+            assert best[key][0] == 0, (key, best[key])
 
 
 def test_video_pipeline_invariants(ray_session):

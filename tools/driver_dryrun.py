@@ -42,8 +42,12 @@ def main() -> None:
 
     queries = entry.queries()
     oracles = entry.oracle_sql()
+    # optional 2nd arg: comma-separated query names to gate (default all)
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     failures = []
     for name, fn in queries.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.perf_counter()
         try:
             res = fn(sf_dir)
