@@ -599,17 +599,64 @@ def hash_neardup_pairs(
 
     bands = ds.map_batches(explode, batch_format="pandas")
 
+    # chunk bound for the per-group hamming workspace: m×k ≤ 2M elements
+    # (~16 MB uint64) no matter how hot the bucket gets
+    _WS_ELEMS = 2_097_152
+
     def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.merge(g, on=["band_id", "band_val"], suffixes=("_a", "_b"))
-        m = m[m["id_a"] < m["id_b"]]
-        if len(m):
-            ham = hamming64_pairs(m["sig_a"].to_numpy(dtype=np.int64),
-                                  m["sig_b"].to_numpy(dtype=np.int64))
-            m = m.assign(hamming=ham)
-            m = m[m["hamming"] <= max_hamming]
+        # Candidates inside a hot (band_id, band_val) group are quadratic
+        # — a pandas self-merge MATERIALIZES them all as string-id rows
+        # before filtering (measured: 36M candidate rows from 70k frames
+        # on the skew-heavy synthetic video corpus).  Instead: sort so
+        # groups are contiguous, then per group compute the upper
+        # triangle's hamming in bounded numpy chunks and materialize
+        # only the survivors.
+        g = g.sort_values(["band_id", "band_val"], kind="mergesort",
+                          ignore_index=True)
+        sig = g["sig"].to_numpy(dtype=np.int64)
+        ids = g["id"].to_numpy()
+        bid = g["band_id"].to_numpy()
+        bval = g["band_val"].to_numpy()
+        n = len(g)
+        if n:
+            brk = np.nonzero((bid[1:] != bid[:-1])
+                             | (bval[1:] != bval[:-1]))[0] + 1
+            bounds = np.concatenate(([0], brk, [n]))
         else:
-            m = m.assign(hamming=np.array([], dtype=np.int64))
-        return m[["id_a", "id_b", "hamming"]]
+            bounds = np.array([0, 0])
+        gi_parts, gj_parts, h_parts = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            k = int(e - s)
+            if k < 2:
+                continue
+            ss = sig[s:e]
+            step = max(1, min(k - 1, _WS_ELEMS // k))
+            cols = np.arange(k)[None, :]
+            for c0 in range(0, k - 1, step):
+                c1 = min(c0 + step, k - 1)
+                ham = hamming64_pairs(ss[c0:c1, None], ss[None, :])
+                ok = ((ham <= max_hamming)
+                      & (cols > np.arange(c0, c1)[:, None]))
+                ri, ci = np.nonzero(ok)
+                if len(ri):
+                    gi_parts.append(s + c0 + ri)
+                    gj_parts.append(s + ci)
+                    h_parts.append(ham[ri, ci])
+        if not gi_parts:
+            return pd.DataFrame({"id_a": g["id"].iloc[:0],
+                                 "id_b": g["id"].iloc[:0],
+                                 "hamming": pd.Series([], dtype=np.int64)})
+        gi = np.concatenate(gi_parts)
+        gj = np.concatenate(gj_parts)
+        a_ids, b_ids = ids[gi], ids[gj]
+        # orient id_a < id_b (the merge-based version kept one direction
+        # of the product and dropped equal-id pairs — same here)
+        swap = a_ids > b_ids
+        out_a = np.where(swap, b_ids, a_ids)
+        out_b = np.where(swap, a_ids, b_ids)
+        keep = out_a != out_b
+        return pd.DataFrame({"id_a": out_a[keep], "id_b": out_b[keep],
+                             "hamming": np.concatenate(h_parts)[keep]})
 
     cand = bucketed_apply(bands, ["band_id", "band_val"], pairs_bucket)
     return bucketed_apply(cand, ["id_a", "id_b"],
