@@ -3118,6 +3118,53 @@ FROM b GROUP BY doc_id
 """
 
 
+# --- 31b. resumable partitioned sink (sources/resumable.py) -----------------
+
+_RESUMABLE_SINK_DIR = "/tmp/graft_scratch/resumable_docs"
+
+
+def q_resumable_sink(sf_dir: str):
+    """Partition-atomic sink round-trip: write the documents table as one
+    atomic parquet directory per ``source`` (durable _SUCCESS marker per
+    partition, manifest written LAST), then aggregate the result FROM
+    DISK — so the gate proves the written bytes, not the in-memory
+    pipeline.  Resume semantics (finished partitions skipped
+    bit-identically after a mid-commit crash) are pinned by
+    tests/test_resumable.py."""
+    import shutil
+
+    from searchengine_ray.sources.resumable import (
+        resumable_read, resumable_write)
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    shutil.rmtree(_RESUMABLE_SINK_DIR, ignore_errors=True)
+    resumable_write(ds, _RESUMABLE_SINK_DIR, "source", order_by=["doc_id"])
+
+    back = resumable_read(_RESUMABLE_SINK_DIR)
+
+    def prep(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": df["source"],
+            "n_chars": df["text"].str.len().astype(np.int64),
+            "doc_id": df["doc_id"].astype(np.int64)})
+
+    return pre_aggregate(
+        back.map_batches(prep, batch_format="pandas"), ["source"],
+        {"n_rows": (None, "count"), "sum_chars": ("n_chars", "sum"),
+         "min_doc": ("doc_id", "min"), "max_doc": ("doc_id", "max")})
+
+
+SQL_RESUMABLE_SINK = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc
+FROM documents
+GROUP BY source
+"""
+
+
 # --- 32. BPE tokenizer training + token stats (functions/bpe.py) ------------
 
 
@@ -3218,6 +3265,7 @@ QUERIES = {
     "phrase_search": q_phrase_search,
     "snapshot_diff": q_snapshot_diff,
     "table_profile": q_table_profile,
+    "resumable_sink": q_resumable_sink,
     "chunk_documents": q_chunk_documents,
     "doc_embeddings": q_doc_embeddings,
 }
@@ -3301,6 +3349,7 @@ ORACLE_SQL = {
     "phrase_search": SQL_PHRASE_SEARCH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "table_profile": SQL_TABLE_PROFILE,
+    "resumable_sink": SQL_RESUMABLE_SINK,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "doc_embeddings": SQL_DOC_EMBEDDINGS,
     # crawl_bfs (stateful sequential-gate semantics) is the one remaining
