@@ -28,9 +28,11 @@ import time
 
 sys.path.insert(0, ".")
 
-ONLY = set(os.environ.get("GRAFT_ONLY", "video,audio").split(","))
+ONLY = set(os.environ.get("GRAFT_ONLY", "video,audio,incdedup").split(","))
 VIDEO_N = int(os.environ.get("GRAFT_VIDEO_N", "4000"))
 AUDIO_N = int(os.environ.get("GRAFT_AUDIO_N", "6000"))
+BASE_N = int(os.environ.get("GRAFT_BASE_N", "200000"))
+DELTA_N = int(os.environ.get("GRAFT_DELTA_N", "2000"))
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 out: dict = {"metric": "scale_evidence_r4d", "num_cpus": NUM_CPUS}
@@ -137,6 +139,76 @@ def _audio() -> None:
     }
 
 
+def _incdedup() -> None:
+    """Incremental near-dup (persisted band store + delta signing +
+    selective verify) vs FULL recompute at BASE_N + DELTA_N docs — the
+    daily-increment claim measured."""
+    import shutil
+
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from searchengine_ray.stages.dedup import (
+        build_band_store, incremental_neardup_pairs,
+        minhash_lsh_candidates, verify_jaccard_pairs)
+
+    def text_of(i: int) -> str:
+        r = np.random.RandomState((1_000_003 * i + 12_345) % (2**31 - 1))
+        return " ".join(f"w{t}" for t in r.randint(0, 20_000, 40))
+
+    def gen(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["id"].to_numpy(np.int64)
+        texts = []
+        for i in ids:
+            if i >= BASE_N and i % 2 == 0:  # delta near-dup of a base doc
+                texts.append(text_of(int(i * 7 % BASE_N)) + " extra tail")
+            else:
+                texts.append(text_of(int(i)))
+        return pd.DataFrame({"doc_id": ids, "text": texts})
+
+    total = BASE_N + DELTA_N
+    # land the corpus on disk first — a real increment reads stored
+    # tables, and lazy re-generation would otherwise recompute the
+    # synthetic texts once per consumer in BOTH arms
+    corpus_dir = f"/tmp/graft_scratch/incdedup_corpus_{BASE_N}_{DELTA_N}"
+    if not os.path.isdir(corpus_dir):
+        rd.range(total).repartition(8 * NUM_CPUS).map_batches(
+            gen, batch_format="pandas").write_parquet(corpus_dir + ".tmp")
+        os.rename(corpus_dir + ".tmp", corpus_dir)
+    corpus = rd.read_parquet(corpus_dir)
+    base = corpus.map_batches(lambda d: d[d["doc_id"] < BASE_N],
+                              batch_format="pandas")
+    delta = corpus.map_batches(lambda d: d[d["doc_id"] >= BASE_N],
+                               batch_format="pandas")
+
+    store = "/tmp/graft_scratch/scale_band_store"
+    shutil.rmtree(store, ignore_errors=True)
+    t0 = time.perf_counter()
+    build_band_store(base, store)
+    t_store = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    n_inc = incremental_neardup_pairs(store, base, delta,
+                                      threshold=0.65).count()
+    t_inc = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    union = base.union(delta)
+    n_full = verify_jaccard_pairs(
+        union, minhash_lsh_candidates(union, dedup=False),
+        threshold=0.65).count()
+    t_full = time.perf_counter() - t0
+
+    out["incdedup"] = {
+        "base_docs": BASE_N, "delta_docs": DELTA_N,
+        "store_build_sec": round(t_store, 2),
+        "incremental_sec": round(t_inc, 2), "incremental_pairs": n_inc,
+        "full_recompute_sec": round(t_full, 2), "full_pairs": n_full,
+        "speedup": round(t_full / t_inc, 2) if t_inc else None,
+    }
+
+
 def main() -> None:
     import ray
 
@@ -150,6 +222,8 @@ def main() -> None:
         _video()
     if "audio" in ONLY:
         _audio()
+    if "incdedup" in ONLY:
+        _incdedup()
     print(json.dumps(out))
     ray.shutdown()
 

@@ -793,6 +793,33 @@ def q_minhash_pairs(sf_dir: str):
     return dedup_stage.verify_jaccard_pairs(ds, cand, threshold=0.65)
 
 
+# --- 15a2. incremental near-dup vs a persisted band store -------------------
+
+_BAND_STORE_DIR = "/tmp/graft_scratch/band_store"
+
+
+def q_incremental_neardup(sf_dir: str):
+    """Daily-increment dedup: persist the base corpus's LSH band store
+    once (doc_id%10 != 0), then near-dup a delta (doc_id%10 == 0)
+    against it — the delta is signed, the base is NOT re-signed, and
+    exact-jaccard verification re-tokenizes ONLY candidate-involved docs
+    (one semi-join).  Output: every verified pair touching the delta.
+    The oracle computes exact all-pairs jaccard over the merged corpus
+    in SQL and keeps pairs with ≥ 1 delta member — so the incremental
+    path must find exactly what a full recompute would."""
+    import shutil
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    base = ds.map_batches(lambda df: df[df["doc_id"] % 10 != 0],
+                          batch_format="pandas")
+    delta = ds.map_batches(lambda df: df[df["doc_id"] % 10 == 0],
+                           batch_format="pandas")
+    shutil.rmtree(_BAND_STORE_DIR, ignore_errors=True)
+    dedup_stage.build_band_store(base, _BAND_STORE_DIR)
+    return dedup_stage.incremental_neardup_pairs(
+        _BAND_STORE_DIR, base, delta, threshold=0.65)
+
+
 # --- 15b. exact n-gram Jaccard pairs (distributed form of reference D5) -----
 
 def q_ngram_jaccard(sf_dir: str):
@@ -875,6 +902,21 @@ FROM pairs
 JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) > 0.65
+"""
+
+SQL_INCREMENTAL_NEARDUP = _SQL_SHINGLES + """,
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id)
+SELECT doc_a, doc_b,
+       round(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) > 0.65
+  AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
 """
 
 
@@ -3213,6 +3255,7 @@ QUERIES = {
     "text_features": q_text_features,
     "image_pipeline": q_image_pipeline,
     "minhash_pairs": q_minhash_pairs,
+    "incremental_neardup": q_incremental_neardup,
     "simhash_pairs": q_simhash_pairs,
     "fingerprint_neardup": q_fingerprint_neardup,
     "neardup_clusters": q_neardup_clusters,
@@ -3299,6 +3342,7 @@ ORACLE_SQL = {
     "index_stats": SQL_INDEX_STATS,
     "text_features": SQL_TEXT_FEATURES,
     "minhash_pairs": SQL_MINHASH_PAIRS,
+    "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "semantic_survivors": SQL_SEMANTIC_SURVIVORS,

@@ -284,6 +284,130 @@ def minhash_lsh_candidates(
                           lambda g: g.drop_duplicates(["doc_a", "doc_b"]))
 
 
+def build_band_store(
+    ds: Dataset, store_dir: str, num_perm: int = 128, num_bands: int = 32,
+    shingle_n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+) -> None:
+    """Persist the corpus's LSH band table (doc_id, band_id, band_digest)
+    once, so future delta corpora can near-dup against it WITHOUT
+    re-signing the base (the dedup-side analog of the persisted index +
+    df side tables in ``index_pipeline.merge_index``).  ~num_bands × 20 B
+    per doc; deterministic coefficients (``make_coeffs``) make signatures
+    reproducible across runs, so store and delta always band-compare."""
+    stage = MinHashStage(num_perm=num_perm, num_bands=num_bands,
+                         shingle_n=shingle_n, text_col=text_col,
+                         id_col=id_col)
+    ds.map_batches(stage, batch_format="pandas",
+                   batch_size=1024).write_parquet(store_dir)
+
+
+def incremental_neardup_pairs(
+    store_dir: str, base_ds: Dataset, delta_ds: Dataset,
+    threshold: float = 0.65, num_perm: int = 128, num_bands: int = 32,
+    shingle_n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+    broadcast_limit: int = 5_000_000,
+) -> Dataset:
+    """Near-dup pairs INVOLVING a delta corpus, against a persisted band
+    store — the daily-increment shape: at 100 TB you cannot re-sign the
+    corpus per increment, and you cannot re-tokenize it for verification
+    either.
+
+    Delta-scale savings, in order:
+    1. sign ONLY the delta (the base reads back as its stored band rows);
+    2. the store is PROBED, not shuffled: the delta's band-digest set
+       broadcasts (O(delta × bands) int64s) and base band rows filter
+       map-side on the read — only rows that can possibly pair with a
+       delta doc reach the candidate all-to-all, so the shuffle is
+       O(matches), never O(corpus bands);
+    3. candidates = band-bucket pairs touching ≥ 1 delta doc (base-base
+       pairs were already known before the increment — not re-derived);
+    4. exact-jaccard verify re-tokenizes ONLY candidate-involved docs:
+       the candidate id set broadcasts and the corpus filters map-only
+       (one semi-join co-shuffle instead, above ``broadcast_limit``).
+
+    Same recall argument as ``minhash_lsh_candidates`` (the store and the
+    delta share deterministic coefficients)."""
+    import ray.data as rd
+
+    from searchengine_ray.stages.relational import (
+        bucketed_apply, hash_semi_anti_join)
+
+    stage = MinHashStage(num_perm=num_perm, num_bands=num_bands,
+                         shingle_n=shingle_n, text_col=text_col,
+                         id_col=id_col)
+    # O(delta × bands) rows; reused for the digest set AND the candidate
+    # union — materialize once (shared-lazy-sub-plan gotcha)
+    delta_bands = delta_ds.map_batches(
+        stage, batch_format="pandas", batch_size=1024).map_batches(
+        lambda df: df.assign(is_delta=True),
+        batch_format="pandas").materialize()
+
+    # delta digest set: bounded by the DELTA size, the quantity this
+    # operator is parameterized to keep small
+    dig = np.unique(np.concatenate([
+        b["band_digest"].to_numpy(np.int64) for b in delta_bands.iter_batches(
+            batch_format="pandas", batch_size=65_536)] or
+        [np.array([], dtype=np.int64)]))
+
+    base_bands = rd.read_parquet(store_dir)
+    if len(dig) <= broadcast_limit:
+        dig_ref = ray.put(dig)
+
+        def probe_store(df: pd.DataFrame) -> pd.DataFrame:
+            d = ray.get(dig_ref)
+            keep = np.isin(df["band_digest"].to_numpy(np.int64), d)
+            out = df[keep]
+            return out.assign(is_delta=False)
+
+        base_bands = base_bands.map_batches(probe_store,
+                                            batch_format="pandas")
+    else:  # delta too wide to broadcast: co-shuffle the full store
+        base_bands = base_bands.map_batches(
+            lambda df: df.assign(is_delta=False), batch_format="pandas")
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on=["band_id", "band_digest"], suffixes=("_a", "_b"))
+        m = m[(m["doc_id_a"] < m["doc_id_b"])
+              & (m["is_delta_a"] | m["is_delta_b"])]
+        return pd.DataFrame({"doc_a": m["doc_id_a"].to_numpy(dtype=np.int64),
+                             "doc_b": m["doc_id_b"].to_numpy(dtype=np.int64)})
+
+    # cand feeds BOTH the id filter and the verify co-shuffle —
+    # materialize or Ray re-executes the candidate sub-plan per consumer;
+    # O(candidate pairs) blocks
+    cand = bucketed_apply(base_bands.union(delta_bands),
+                          ["band_id", "band_digest"],
+                          pairs_bucket).materialize()
+
+    ids = np.unique(np.concatenate([
+        np.concatenate([b["doc_a"].to_numpy(np.int64),
+                        b["doc_b"].to_numpy(np.int64)])
+        for b in cand.iter_batches(batch_format="pandas",
+                                   batch_size=65_536)] or
+        [np.array([], dtype=np.int64)]))
+    corpus = base_ds.union(delta_ds)
+    if len(ids) <= broadcast_limit:
+        ids_ref = ray.put(ids)
+
+        def keep_touched(df: pd.DataFrame) -> pd.DataFrame:
+            return df[np.isin(df[id_col].to_numpy(np.int64),
+                              ray.get(ids_ref))]
+
+        touched = corpus.map_batches(keep_touched, batch_format="pandas")
+    else:
+
+        def stack_ids(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({id_col: np.concatenate(
+                [df["doc_a"].to_numpy(dtype=np.int64),
+                 df["doc_b"].to_numpy(dtype=np.int64)])})
+
+        touched = hash_semi_anti_join(
+            corpus, cand.map_batches(stack_ids, batch_format="pandas"),
+            on=id_col)
+    exploded = explode_shingles(touched, shingle_n, text_col, id_col)
+    return _pair_jaccard_coshuffle(cand, exploded, threshold)
+
+
 def verify_jaccard_pairs(
     ds: Dataset, pairs: Dataset, threshold: float, shingle_n: int = 3,
     text_col: str = "text", id_col: str = "doc_id", round_to: int = 6,

@@ -223,3 +223,63 @@ def test_snapshot_diff_identical_is_empty(ray_session):
                        "text": [f"d{i}" for i in range(10)]})
     out = snapshot_diff(rd.from_pandas(df), rd.from_pandas(df)).to_pandas()
     assert len(out) == 0
+
+
+def test_incremental_neardup_equals_full_recompute(ray_session, tmp_path):
+    """The persisted-band-store increment path must find EXACTLY the
+    delta-involved pairs a full recompute finds (same threshold, same
+    deterministic coefficients) — including delta-delta pairs and
+    delta-vs-base pairs, and nothing base-base."""
+    import numpy as np
+    import ray.data as rd
+
+    from searchengine_ray.stages.dedup import (
+        build_band_store, incremental_neardup_pairs,
+        minhash_lsh_candidates, verify_jaccard_pairs)
+
+    rng = np.random.RandomState(11)
+    vocab = [f"w{i}" for i in range(300)]
+
+    def doc(k=40):
+        return " ".join(rng.choice(vocab, k))
+
+    base_rows = [(i, doc()) for i in range(0, 60, 2)]          # even ids
+    base_map = dict(base_rows)
+    delta_rows = []
+    for j, i in enumerate(range(1, 40, 2)):                    # odd ids
+        if j % 3 == 0:  # near-dup of a base doc: copy + tiny tail edit
+            src = base_rows[j][1]
+            delta_rows.append((i, src + " extra"))
+        elif j % 3 == 1:  # exact dup of another delta doc
+            delta_rows.append((i, delta_rows[-1][1] if delta_rows
+                               else doc()))
+        else:
+            delta_rows.append((i, doc()))
+    base = rd.from_pandas(pd.DataFrame(base_rows,
+                                       columns=["doc_id", "text"]))
+    base = base.repartition(3)
+    delta = rd.from_pandas(pd.DataFrame(delta_rows,
+                                        columns=["doc_id", "text"]))
+    delta = delta.repartition(2)
+
+    store = str(tmp_path / "bands")
+    build_band_store(base, store)
+    inc = incremental_neardup_pairs(store, base, delta,
+                                    threshold=0.65).to_pandas()
+
+    union = base.union(delta)
+    full = verify_jaccard_pairs(
+        union, minhash_lsh_candidates(union, dedup=False),
+        threshold=0.65).to_pandas()
+    delta_ids = {i for i, _ in delta_rows}
+    full = full[full["doc_a"].isin(delta_ids)
+                | full["doc_b"].isin(delta_ids)]
+
+    key = ["doc_a", "doc_b"]
+    inc_s = inc.sort_values(key, ignore_index=True)
+    full_s = full.sort_values(key, ignore_index=True)
+    pd.testing.assert_frame_equal(inc_s, full_s)
+    assert len(inc_s) >= 5  # the planted dups actually exercised the path
+    # nothing base-base leaked through
+    assert (inc_s["doc_a"].isin(delta_ids)
+            | inc_s["doc_b"].isin(delta_ids)).all()
