@@ -865,23 +865,23 @@ class CrawlEngine:
                         if covered else wave_df)
             parts = []
             if len(fetch_df):
-                # from_pandas yields ONE block (map parallelism is
-                # per-block) and schedules a remote metadata task that
-                # can starve on a saturated session; repartition is an
-                # extra per-wave exchange.  Slice locally and hand Ray
-                # pre-split blocks instead — from_blocks computes
-                # metadata on the driver and keeps the block count.
+                # from_pandas yields ONE block and map parallelism is
+                # per-block — split the wave so every core gets tasks
+                # (blocks ≈ batch-sized, capped at 4×cluster CPUs).
+                # NOTE: driver-side pre-splitting via rd.from_blocks was
+                # tried (kills this repartition exchange, ~15-20% on the
+                # many-wave shape) and REVERTED: it flaky-deadlocks the
+                # streaming executor inside this materialize on small
+                # (4-CPU) sessions — hung 3 of 6 suite runs at
+                # test_engine_matches_oracle_distributed_append, always
+                # in get_output_blocking, while this construction has
+                # survived every suite since round 1.
                 ncpu = int(ray.cluster_resources().get("CPU", 8))
                 # ≥8 rows per block, capped at 4×CPUs: small waves still
                 # fan out (links explode ~fanout× rows), big waves get
                 # full blocks
                 nblocks = max(1, min(len(fetch_df) // 8 + 1, 4 * ncpu))
-                fetch_tbl = pa.Table.from_pandas(
-                    fetch_df, preserve_index=False)
-                step = -(-len(fetch_tbl) // nblocks)
-                wave_ds = rd.from_blocks(
-                    [fetch_tbl.slice(i, step)
-                     for i in range(0, len(fetch_tbl), step)])
+                wave_ds = rd.from_pandas(fetch_df).repartition(nblocks)
                 if cfg.politeness_delay > 0:
                     # pacing needs per-actor clocks → actor pool
                     fetched = wave_ds.map_batches(
