@@ -97,6 +97,18 @@ class CrawlConfig:
     # False + checkpoint_dir: per-wave crawl_order lands only on disk and
     # result() reads it back — driver heap stays flat across waves
     hold_order_in_memory: bool = True
+    # CPU reservation override for the engine's STATE actors (gate shards,
+    # content gate / probe tier, robots cache).  None = the class defaults
+    # (0.5 / 0.25 — sized so a multi-node scheduler spreads the state tier
+    # instead of packing it on the head node).  Small shared sessions that
+    # create engines back-to-back (the test fixture, driver dryrun) should
+    # pass 0: a raylet resource-accounting leak on actor death (worker goes
+    # IDLE but its reservation is never returned — observed live) can
+    # otherwise strand enough CPU that Ray Data's 1-CPU tasks (e.g.
+    # from_pandas metadata) become permanently infeasible and the next
+    # engine's wave materialize hangs.  Pure execution knob — decisions are
+    # identical.
+    state_actor_num_cpus: float | None = None
 
     def config_hash(self) -> str:
         """Identity of the semantic knobs — a checkpoint is only resumable
@@ -111,7 +123,7 @@ class CrawlConfig:
                   "frontier_partitions", "hold_order_in_memory",
                   "driver_link_threshold", "max_links_per_page",
                   "content_probe_shards", "driver_fp_threshold",
-                  "speculative_fetch"):
+                  "speculative_fetch", "state_actor_num_cpus"):
             d.pop(k)
         # callables aren't hashable: record presence only (see field docs)
         d["priority_fn"] = self.priority_fn is not None

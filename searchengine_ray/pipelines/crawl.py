@@ -570,9 +570,21 @@ class CrawlEngine:
             self.store_ref = ray.put(store.spec)
         else:
             self.store_ref = ray.put(store_to_arrow(store.pages))
+        # state-actor CPU reservations: class defaults, or the config
+        # override (0 on small shared sessions — see CrawlConfig docs).
+        # Track the total actually reserved so shutdown can verify the
+        # raylet gave it back (leaked reservations strand Ray Data tasks).
+        sac = config.state_actor_num_cpus
+        self._actor_cpu_reserved = 0.0
+
+        def _cls(klass, default_cpus):
+            self._actor_cpu_reserved += default_cpus if sac is None else sac
+            return klass if sac is None else klass.options(num_cpus=sac)
+
         self.gates = [
-            HostGateShard.remote(i, config.url_similarity_threshold,
-                                 track_deltas=config.checkpoint_dir is not None)
+            _cls(HostGateShard, 0.5).remote(
+                i, config.url_similarity_threshold,
+                track_deltas=config.checkpoint_dir is not None)
             for i in range(config.num_gate_shards)
         ]
         if config.content_probe_shards:
@@ -580,16 +592,17 @@ class CrawlEngine:
             # monolithic gate actor and the per-worker broadcast replica
             self.content_gate = None
             self.probe_tier = [
-                ContentProbeShard.remote(i, config.content_probe_shards,
-                                         config.phash_max_hamming)
+                _cls(ContentProbeShard, 0.25).remote(
+                    i, config.content_probe_shards,
+                    config.phash_max_hamming)
                 for i in range(config.content_probe_shards)
             ]
         else:
-            self.content_gate = ContentGate.remote(
+            self.content_gate = _cls(ContentGate, 0.5).remote(
                 config.content_max_similarity, config.phash_max_hamming
             )
             self.probe_tier = None
-        self.robots = RobotsCache.remote(store.robots)
+        self.robots = _cls(RobotsCache, 0.25).remote(store.robots)
         self.wave = 0
         self.next_seq = 0
         self.pages_fetched = 0
@@ -1553,7 +1566,17 @@ class CrawlEngine:
         exceeds the 4-CPU test fixture, measured as an infinite
         ``ray.get`` hang in the suite).  Graceful ``__ray_terminate__``
         drains and releases deterministically; anything still alive at
-        ``timeout_s`` gets a force-kill."""
+        ``timeout_s`` gets a force-kill.  Finally WAIT (bounded) until the
+        raylet's available-CPU actually rises by the engine's reservation:
+        actor death and resource release are separate events, and a stale
+        raylet accounting (worker IDLE, reservation never returned —
+        observed live) otherwise strands the next engine/Dataset tasks.
+        A leak that persists past the wait is warned loudly instead of
+        surfacing later as an unexplained scheduling hang."""
+        if getattr(self, "_shutdown_done", False):
+            return
+        self._shutdown_done = True
+        avail0 = ray.available_resources().get("CPU", 0.0)
         actors = list(self.gates)
         if self.content_gate is not None:
             actors.append(self.content_gate)
@@ -1573,3 +1596,19 @@ class CrawlEngine:
                                   timeout=timeout_s)
             for r in pending:
                 ray.kill(by_ref[r])
+        want = avail0 + self._actor_cpu_reserved - 0.01
+        if self._actor_cpu_reserved > 0:
+            deadline = time.monotonic() + 10.0
+            while time.monotonic() < deadline:
+                if ray.available_resources().get("CPU", 0.0) >= want:
+                    return
+                time.sleep(0.1)
+            import warnings
+
+            warnings.warn(
+                f"CrawlEngine.shutdown: {self._actor_cpu_reserved} CPU of "
+                f"state-actor reservation not released after 10s "
+                f"(available {ray.available_resources().get('CPU', 0.0)}, "
+                f"expected ≥{want:.2f}) — the raylet leaked it; subsequent "
+                f"1-CPU Ray Data tasks may be unschedulable on small "
+                f"sessions", RuntimeWarning)

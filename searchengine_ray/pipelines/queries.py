@@ -679,7 +679,12 @@ def q_crawl_bfs(sf_dir: str):
 
     store = make_store(n_pages=100, seed=42)
     config = CrawlConfig(seed_urls=list(store.seeds), allowed_domains=("test",),
-                         num_gate_shards=4, fetch_concurrency=4)
+                         num_gate_shards=4, fetch_concurrency=4,
+                         # tiny fixture crawl, often run in a shared session
+                         # (dryrun/suite) right after other engines — 0-CPU
+                         # state actors so a leaked reservation can't starve
+                         # the wave's Ray Data tasks
+                         state_actor_num_cpus=0)
     eng = CrawlEngine(store, config)
     try:
         res = eng.run()

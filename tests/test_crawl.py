@@ -25,6 +25,11 @@ def _config(store, **kw):
         allowed_domains=("test",),
         num_gate_shards=4,
         fetch_concurrency=2,
+        # 0-CPU state actors: the 4-CPU suite session creates engines
+        # back-to-back; a raylet reservation leak on actor death (observed)
+        # otherwise strands enough CPU that from_pandas' 1-CPU metadata
+        # task deadlocks the next engine's wave.  Pure execution knob.
+        state_actor_num_cpus=0,
     )
     defaults.update(kw)
     return CrawlConfig(**defaults)
@@ -394,7 +399,7 @@ def test_larger_store_conformance(ray_session):
     big = make_store(n_pages=400, seed=11)
     config = CrawlConfig(seed_urls=list(big.seeds), allowed_domains=("test",),
                          num_gate_shards=4, fetch_concurrency=4,
-                         per_host_wave_budget=25)
+                         per_host_wave_budget=25, state_actor_num_cpus=0)
     res = _run_engine(big, config)
     _assert_match(res, crawl_oracle(big, config))
 
@@ -430,7 +435,8 @@ def test_conformance_fuzz(ray_session, fuzz_seed, knobs):
         config = CrawlConfig(seed_urls=list(fuzz_store.seeds),
                              allowed_domains=("test",), num_gate_shards=3,
                              fetch_concurrency=2, per_host_wave_budget=budget,
-                             priority_fn=pf, extra_link_filter=lf)
+                             priority_fn=pf, extra_link_filter=lf,
+                             state_actor_num_cpus=0)
         res = _run_engine(fuzz_store, config)
         _assert_match(res, crawl_oracle(fuzz_store, config))
 
@@ -524,7 +530,8 @@ def test_procedural_store_matches_oracle(ray_session):
     spec = ProceduralSpec(n_pages=300, n_hosts=4, chunk=32, img_edge=24, seed=9)
     pstore = ProceduralStore(spec)
     config = CrawlConfig(seed_urls=list(pstore.seeds), allowed_domains=("test",),
-                         num_gate_shards=4, fetch_concurrency=2)
+                         num_gate_shards=4, fetch_concurrency=2,
+                         state_actor_num_cpus=0)
     eng = CrawlEngine(pstore, config)
     try:
         res = eng.run()
