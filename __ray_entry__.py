@@ -7,7 +7,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``: one callable per implemented operator/pipeline
   (SURVEY.md §2); each takes ``sf_dir``.
 - ``oracle_sql()``: DuckDB-equivalent SQL for each SQL-expressible query —
-  76 of 80, including every near-dup family (verified MinHash ≡ exact
+  83 of 87, including every near-dup family (verified MinHash ≡ exact
   all-pairs jaccard; embedding LSH ≡ all-pairs cosine; simhash / phash /
   audio fingerprints ≡ bit_count(xor) over engine-materialized scratch
   tables) and the image/audio pipelines (golden-table TRUE-flag gates).
@@ -40,7 +40,10 @@ def entry() -> Any:
     )["text"].to_pylist()
     store = make_store(n_pages=100, seed=42, captions=texts)
     config = CrawlConfig(seed_urls=list(store.seeds), allowed_domains=("test",),
-                         num_gate_shards=4, fetch_concurrency=4)
+                         num_gate_shards=4, fetch_concurrency=4,
+                         # driver-shared session: 0-CPU state actors so a
+                         # raylet reservation leak can't starve Ray Data
+                         state_actor_num_cpus=0)
     eng = CrawlEngine(store, config)
     try:
         res = eng.run()

@@ -149,6 +149,13 @@ def main() -> None:
         "table_profile": Q.q_table_profile,
         "chunk_documents": Q.q_chunk_documents,
         "doc_embeddings": Q.q_doc_embeddings,
+        "incremental_neardup": Q.q_incremental_neardup,
+        # (audio fingerprint near-dup is benched below at 2000 clips —
+        # bench_audio_fp_neardup — not duplicated here at sf scale)
+        "video_aligned_neardup": Q.q_video_aligned_neardup,
+        "domain_quality_filter": Q.q_domain_quality_filter,
+        "resumable_sink": Q.q_resumable_sink,
+        "remove_boilerplate": Q.q_remove_boilerplate,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

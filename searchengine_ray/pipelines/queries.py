@@ -2830,6 +2830,100 @@ FROM documents d JOIN verdict USING (source)
 """
 
 
+# --- 29a. per-source boilerplate removal (stages/boilerplate.py) -------------
+
+_B_HEADER = " home nav about contact search login help"
+_B_MID = " promo banner subscribe newsletter deal offer click"
+_B_RARE = " rare notice special announce once seldom never"
+
+
+def _boiler_augmented(sf_dir: str):
+    """``documents`` with deterministic per-source site furniture planted
+    (the fixture for the boilerplate detector): every doc gets an 8-token
+    per-source header line; ~60% also a promo line (crosses the
+    ≥-half-the-source threshold); ~20% a rare line (stays below).  The
+    60/20 split keys on a multiplicative mix of doc_id, NOT doc_id%k —
+    the testdata assigns source = doc_id % n_sources, so any plain
+    modulus plant is perfectly correlated with source (measured: the
+    'rare' line hit df=100% inside some sources).  Pure vectorized map;
+    the oracle SQL mirrors the concatenation with ``concat_ws``."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def aug(df: pd.DataFrame) -> pd.DataFrame:
+        src = df["source"].astype(str)
+        did = df["doc_id"].to_numpy(np.int64)
+        mix = (did * 2654435761) % 100  # Knuth mult; < 2^63 for any doc_id
+        t = src + _B_HEADER
+        m = mix < 60
+        r = mix >= 80
+        t = t.where(~m, t + " " + src + _B_MID)
+        t = t.where(~r, t + " " + src + _B_RARE)
+        return pd.DataFrame({"doc_id": did, "source": df["source"],
+                             "text": t + " " + df["text"].astype(str)})
+
+    return ds.map_batches(aug, batch_format="pandas")
+
+
+def q_remove_boilerplate(sf_dir: str):
+    """Per-source boilerplate strip (RefinedWeb/CCNet site-furniture
+    removal): detect the lines appearing in ≥ half of a source's docs
+    (one map + ONE pre-aggregate all-to-all; the qualifying set is
+    provably ≤ ~2·lines/doc per source), broadcast the key set, strip
+    map-only.  Documents never shuffle; the corpus is read twice (detect
+    pass, strip pass) — by design, the detect output is O(sources), not
+    a materialization of the input.  Output: per doc, line counts before
+    and after + the exact cleaned-text length."""
+    import ray
+
+    from searchengine_ray.stages.boilerplate import (detect_boilerplate,
+                                                     remove_boilerplate)
+
+    aug = _boiler_augmented(sf_dir)
+    keys = detect_boilerplate(aug)
+    out = remove_boilerplate(aug, ray.put(keys))
+    return out.sort("doc_id")
+
+
+# Mirrors the engine exactly: same planted concatenation, same fixed
+# 8-token line segmentation from position 0 (list slicing), same integer
+# threshold 2*df >= docs_in_source AND df >= 2, and clean_n_chars =
+# len(kept lines joined by ' ') via string_agg ordered by line position.
+SQL_REMOVE_BOILERPLATE = """
+WITH aug AS (
+  SELECT doc_id, source,
+         concat_ws(' ',
+           source || ' home nav about contact search login help',
+           CASE WHEN (doc_id * 2654435761) % 100 < 60
+                THEN source || ' promo banner subscribe newsletter deal offer click' END,
+           CASE WHEN (doc_id * 2654435761) % 100 >= 80
+                THEN source || ' rare notice special announce once seldom never' END,
+           text) AS t
+  FROM documents),
+tok AS (SELECT doc_id, source, string_split(t, ' ') AS l FROM aug),
+lines AS (
+  SELECT doc_id, source, r.i AS line_id,
+         array_to_string(l[(r.i*8+1):(r.i*8+8)], ' ') AS line
+  FROM tok, LATERAL (
+    SELECT unnest(range(CAST(ceil(len(l)/8.0) AS BIGINT)))) AS r(i)),
+totals AS (SELECT source, count(*) AS d FROM documents GROUP BY source),
+freq AS (SELECT source, line, count(DISTINCT doc_id) AS df
+         FROM lines GROUP BY source, line),
+boiler AS (SELECT f.source, f.line
+           FROM freq f JOIN totals USING (source)
+           WHERE 2 * f.df >= d AND f.df >= 2),
+kept AS (SELECT l.doc_id, l.line_id, l.line,
+                (b.line IS NOT NULL) AS is_boiler
+         FROM lines l LEFT JOIN boiler b
+           ON l.source = b.source AND l.line = b.line)
+SELECT doc_id,
+       count(*) AS n_lines,
+       coalesce(count(*) FILTER (WHERE NOT is_boiler), 0) AS n_kept,
+       coalesce(length(string_agg(line, ' ' ORDER BY line_id)
+                       FILTER (WHERE NOT is_boiler)), 0) AS clean_n_chars
+FROM kept GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 # --- 30. BM25 ranked retrieval (pipelines/search.bm25_search) ---------------
 
 
@@ -3305,6 +3399,7 @@ QUERIES = {
     "lm_quality_buckets": q_lm_quality_buckets,
     "event_value_bands": q_event_value_bands,
     "domain_quality_filter": q_domain_quality_filter,
+    "remove_boilerplate": q_remove_boilerplate,
     "bm25_search": q_bm25_search,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
@@ -3391,6 +3486,7 @@ ORACLE_SQL = {
     "lm_quality_buckets": SQL_LM_QUALITY_BUCKETS,
     "event_value_bands": SQL_EVENT_VALUE_BANDS,
     "domain_quality_filter": SQL_DOMAIN_QUALITY_FILTER,
+    "remove_boilerplate": SQL_REMOVE_BOILERPLATE,
     "bm25_search": SQL_BM25_SEARCH,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
