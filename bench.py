@@ -156,6 +156,7 @@ def main() -> None:
         "domain_quality_filter": Q.q_domain_quality_filter,
         "resumable_sink": Q.q_resumable_sink,
         "remove_boilerplate": Q.q_remove_boilerplate,
+        "global_shuffle": Q.q_global_shuffle,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

@@ -2924,6 +2924,62 @@ FROM kept GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- 29b. seeded deterministic global shuffle (epoch ordering) ---------------
+
+
+def q_global_shuffle(sf_dir: str):
+    """Deterministic seeded global shuffle — the training-data epoch
+    ordering op: ``pos(doc) = global rank of sha256(doc_id:salt)`` (ties
+    by doc_id).  NOT ``ds.random_shuffle()`` (non-deterministic, not
+    resumable) and NOT a global ``sort`` (range-partition exchange +
+    driver-side block bookkeeping): the rank is VALUE-BASED — per
+    hash-PREFIX-group counts from one ``pre_aggregate`` (256 rows —
+    driver-tiny at any corpus size), exclusive prefix sum broadcast, then
+    ONE co-shuffle by prefix group with a single vectorized sort+cumcount
+    kernel per bucket.  Stable under re-runs and re-partitioning; new salt
+    = new epoch permutation.  Same shape as the crawl's distributed FIFO
+    seq assignment (crawl.py `_append_frontier_distributed`)."""
+    from searchengine_ray.stages.relational import (bucketed_apply,
+                                                    pre_aggregate)
+    from searchengine_ray.stages.sampling import hash_hex
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id"])
+
+    def key(df: pd.DataFrame) -> pd.DataFrame:
+        k = hash_hex(df["doc_id"].tolist(), "epoch0")
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64), "k": k,
+            "g": np.fromiter((s[:2] for s in k), "<U2", count=len(k))})
+
+    # two consumers (group counts + rank pass) — materialize the keyed
+    # projection once (doc_id + 14 hash chars/row), not the input table
+    keyed = ds.map_batches(key, batch_format="pandas").materialize()
+    per_g = pre_aggregate(keyed.select_columns(["g"]), ["g"],
+                          {"n": (None, "count")}).to_pandas()
+    per_g = per_g.sort_values("g")  # lexicographic group order = key order
+    offsets = np.zeros(len(per_g), dtype=np.int64)
+    np.cumsum(per_g["n"].to_numpy()[:-1], out=offsets[1:])
+    off = dict(zip(per_g["g"], offsets))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["g", "k", "doc_id"], kind="mergesort")
+        r = g.groupby("g", sort=False).cumcount().to_numpy(np.int64)
+        base = g["g"].map(off).to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(np.int64),
+                             "pos": base + r})
+
+    return bucketed_apply(keyed, ["g"], rank_bucket)
+
+
+SQL_GLOBAL_SHUFFLE = """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY substr(sha256(CAST(doc_id AS VARCHAR) || ':epoch0'), 1, 12),
+                  doc_id) - 1 AS pos
+FROM documents
+"""
+
+
 # --- 30. BM25 ranked retrieval (pipelines/search.bm25_search) ---------------
 
 
@@ -3400,6 +3456,7 @@ QUERIES = {
     "event_value_bands": q_event_value_bands,
     "domain_quality_filter": q_domain_quality_filter,
     "remove_boilerplate": q_remove_boilerplate,
+    "global_shuffle": q_global_shuffle,
     "bm25_search": q_bm25_search,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
@@ -3487,6 +3544,7 @@ ORACLE_SQL = {
     "event_value_bands": SQL_EVENT_VALUE_BANDS,
     "domain_quality_filter": SQL_DOMAIN_QUALITY_FILTER,
     "remove_boilerplate": SQL_REMOVE_BOILERPLATE,
+    "global_shuffle": SQL_GLOBAL_SHUFFLE,
     "bm25_search": SQL_BM25_SEARCH,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact

@@ -162,3 +162,31 @@ def test_chunk_documents_rejects_bad_overlap(ray_session):
                        "text": ["x"]})
     with pytest.raises(ValueError):
         chunk_documents(rd.from_pandas(df), chunk_tokens=8, overlap=8)
+
+
+def test_global_shuffle_is_the_hash_rank_permutation(ray_session):
+    """q_global_shuffle = rank of sha256(id:salt): a permutation of
+    0..n-1, equal to the brute-force sorted-hash order, stable across
+    runs, different under a different corpus slice only where hashes
+    dictate."""
+    import numpy as np
+    import pandas as pd
+
+    from searchengine_ray.pipelines.queries import q_global_shuffle
+    from searchengine_ray.stages.sampling import hash_hex
+
+    got = q_global_shuffle("/root/testdata/sf0.001").to_pandas()
+    n = len(got)
+    assert sorted(got["pos"]) == list(range(n))  # a permutation
+    ids = got["doc_id"].to_numpy()
+    want = pd.DataFrame({"doc_id": ids, "k": hash_hex(ids.tolist(),
+                                                      "epoch0")})
+    want = want.sort_values(["k", "doc_id"]).reset_index(drop=True)
+    got = got.sort_values("pos").reset_index(drop=True)
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    # determinism: a second run reproduces the permutation exactly
+    again = (q_global_shuffle("/root/testdata/sf0.001").to_pandas()
+             .sort_values("pos").reset_index(drop=True))
+    assert (again["doc_id"].to_numpy() == got["doc_id"].to_numpy()).all()
+    # and it actually shuffles: not the identity order
+    assert (got["doc_id"].to_numpy() != np.sort(ids)).any()
