@@ -157,6 +157,7 @@ def main() -> None:
         "resumable_sink": Q.q_resumable_sink,
         "remove_boilerplate": Q.q_remove_boilerplate,
         "global_shuffle": Q.q_global_shuffle,
+        "caption_alignment": Q.q_caption_alignment,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

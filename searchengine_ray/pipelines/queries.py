@@ -14,6 +14,8 @@ Scale notes per query are in the docstrings; shared idioms:
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -1467,6 +1469,104 @@ def q_image_stats(sf_dir: str):
         ds.map_batches(prep, batch_format="pandas"), ["fmt"],
         {"n_images": (None, "count"), "sum_pixels": ("pixels", "sum"),
          "sum_caption_tokens": ("n_tokens", "sum")})
+
+
+# --- 20c. caption-image alignment gate (LAION-style filtering) ---------------
+
+_ALIGN_INPUT = "/tmp/graft_scratch/caption_align_input"
+_ALIGN_SCRATCH = "/tmp/graft_scratch/caption_align"
+_ALIGN_RE = r"palette (\d+) (\d+) (\d+)$"
+
+
+def q_caption_alignment(sf_dir: str):
+    """CLIP-style caption-image alignment filter, stood in by a color-
+    palette claim (no vision-language model ships in this env; the
+    Ray-side contract — actor-pool decode, map-only parse/compare, zero
+    shuffles — is the real one).  Fixture prep (driver-side, like every
+    ``ensure_*`` fixture): each caption gains the generator-truth palette
+    words of ITS image ('palette r g b', bucket = channel mean // 32 over
+    the PRE-encode golden pixels); a deterministic 10% of rows get the
+    NEXT row's palette planted instead — the misaligned pairs a
+    LAION-style gate must catch.  The engine decodes the CORPUS bytes
+    (post-codec) in the ``ImageFeatures`` pool, quantizes the same
+    profile, parses the claim out of the caption text and flags
+    disagreement; (caption_aug, actual buckets) are materialized once to
+    the scratch table and the oracle SQL re-parses the claim with regexp
+    and recomputes the verdict from the same bytes — gating the
+    parse/compare/plant semantics (decode fidelity itself is pinned by
+    the image_pipeline golden gate).  Lossy formats may legitimately flip
+    a boundary bucket — such rows flag identically on both sides."""
+    import shutil
+
+    import pyarrow.parquet as _pqio
+
+    from searchengine_ray.sources.image_table import (ensure_golden_table,
+                                                      ensure_image_table)
+    from searchengine_ray.stages.images import ImageFeatures
+
+    corpus = _pqio.read_table(ensure_image_table(),
+                              columns=["image_id", "bytes", "fmt",
+                                       "caption"])
+    gp = _pqio.read_table(ensure_golden_table(),
+                          columns=["pixels", "w", "h"]).to_pandas()
+    claims = np.empty((len(gp), 3), np.int64)
+    for i, (pxb, w, h) in enumerate(zip(gp["pixels"], gp["w"], gp["h"])):
+        arr = np.frombuffer(pxb, np.uint8).reshape(int(h), int(w), 3)
+        claims[i] = arr.reshape(-1, 3).mean(axis=0).astype(np.int64) // 32
+    n = len(claims)
+    idx = np.arange(n)
+    src = np.where(idx % 10 == 7, (idx + 1) % n, idx)  # planted swaps
+    cl = claims[src]
+    cap_aug = [f"{c} palette {a} {b} {d}"
+               for c, (a, b, d) in zip(corpus["caption"].to_pylist(), cl)]
+    inp = pa.table({"image_id": corpus["image_id"],
+                    "bytes": corpus["bytes"], "fmt": corpus["fmt"],
+                    "caption_aug": pa.array(cap_aug, pa.string())})
+    shutil.rmtree(_ALIGN_INPUT, ignore_errors=True)
+    os.makedirs(_ALIGN_INPUT, exist_ok=True)
+    _pqio.write_table(inp, f"{_ALIGN_INPUT}/input.parquet")
+
+    ds = rd.read_parquet(_ALIGN_INPUT)
+    feats = ds.map_batches(ImageFeatures(), batch_format="pyarrow",
+                           batch_size=64)
+
+    def to_scratch(t: pa.Table) -> pa.Table:
+        f = np.array(t["features"].to_pylist(), np.float64)[:, :3]
+        ab = f.astype(np.int64) // 32  # same truncate-then-bucket as claim
+        return pa.table({"image_id": t["image_id"],
+                         "caption_aug": t["caption_aug"],
+                         "ab1": pa.array(ab[:, 0], pa.int64()),
+                         "ab2": pa.array(ab[:, 1], pa.int64()),
+                         "ab3": pa.array(ab[:, 2], pa.int64())})
+
+    shutil.rmtree(_ALIGN_SCRATCH, ignore_errors=True)
+    feats.map_batches(to_scratch,
+                      batch_format="pyarrow").write_parquet(_ALIGN_SCRATCH)
+
+    sc = rd.read_parquet(_ALIGN_SCRATCH)
+
+    def verdict(df: pd.DataFrame) -> pd.DataFrame:
+        cb = df["caption_aug"].str.extract(_ALIGN_RE).astype(np.int64)
+        aligned = ((cb[0].to_numpy() == df["ab1"].to_numpy())
+                   & (cb[1].to_numpy() == df["ab2"].to_numpy())
+                   & (cb[2].to_numpy() == df["ab3"].to_numpy()))
+        return pd.DataFrame({"image_id": df["image_id"],
+                             "aligned": aligned})
+
+    return sc.map_batches(verdict, batch_format="pandas")
+
+
+SQL_CAPTION_ALIGNMENT = f"""
+SELECT image_id,
+       (CAST(regexp_extract(caption_aug, 'palette (\\d+) (\\d+) (\\d+)$', 1)
+             AS BIGINT) = ab1
+        AND CAST(regexp_extract(caption_aug, 'palette (\\d+) (\\d+) (\\d+)$', 2)
+                 AS BIGINT) = ab2
+        AND CAST(regexp_extract(caption_aug, 'palette (\\d+) (\\d+) (\\d+)$', 3)
+                 AS BIGINT) = ab3) AS aligned
+FROM read_parquet('{_ALIGN_SCRATCH}/*.parquet')
+ORDER BY image_id
+"""
 
 
 # the oracle reads the SAME canonical corpus file the pipeline reads —
@@ -3431,6 +3531,7 @@ QUERIES = {
     "image_stats": q_image_stats,
     "image_multimodal_neardup": q_image_multimodal_neardup,
     "image_multimodal_clusters": q_image_multimodal_clusters,
+    "caption_alignment": q_caption_alignment,
     "audio_stats": q_audio_stats,
     "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
     "audio_pipeline": q_audio_pipeline,
@@ -3519,6 +3620,7 @@ ORACLE_SQL = {
     "image_stats": SQL_IMAGE_STATS,
     "image_multimodal_neardup": SQL_IMAGE_MULTIMODAL_NEARDUP,
     "image_multimodal_clusters": SQL_IMAGE_MM_CLUSTERS,
+    "caption_alignment": SQL_CAPTION_ALIGNMENT,
     "audio_stats": SQL_AUDIO_STATS,
     "audio_fingerprint_neardup": SQL_AUDIO_FP_NEARDUP,
     "audio_pipeline": SQL_AUDIO_PIPELINE,
