@@ -606,3 +606,32 @@ def test_resume_restores_decision_counters(ray_session, store, tmp_path):
     res_dec = counters(eng2)
     eng2.shutdown()
     assert res_dec == full_dec
+
+
+def test_shutdown_returns_state_actor_cpu_reservation(ray_session, store):
+    """shutdown must WAIT until the raylet's available CPU actually rises
+    by the engine's state-actor reservation (actor death and resource
+    release are separate events; a leak here deadlocks 1-CPU Ray Data
+    tasks on small sessions — the r4 suite-hang root cause).  Uses the
+    DEFAULT (non-zero) reservations, unlike every other test here."""
+    import time as _time
+
+    import ray as _ray
+
+    from searchengine_ray.pipelines.crawl import CrawlEngine
+
+    # one engine's default reservation (4×0.5 + 0.5 + 0.25 = 2.75) fits
+    # the 4-CPU fixture; quiesce first so the baseline is stable
+    deadline = _time.monotonic() + 30
+    while (_ray.available_resources().get("CPU", 0.0) < 3.9
+           and _time.monotonic() < deadline):
+        _time.sleep(0.2)
+    before = _ray.available_resources().get("CPU", 0.0)
+    cfg = _config(store, max_waves=1)
+    cfg = type(cfg)(**{**cfg.__dict__, "state_actor_num_cpus": None})
+    eng = CrawlEngine(store, cfg)
+    assert eng._actor_cpu_reserved == 2.75
+    eng.run()
+    eng.shutdown()
+    after = _ray.available_resources().get("CPU", 0.0)
+    assert after >= before - 0.01, (before, after)
