@@ -158,6 +158,7 @@ def main() -> None:
         "remove_boilerplate": Q.q_remove_boilerplate,
         "global_shuffle": Q.q_global_shuffle,
         "caption_alignment": Q.q_caption_alignment,
+        "weighted_sample": Q.q_weighted_sample,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

@@ -2135,6 +2135,49 @@ WHERE hx < CASE source {_MIX_CASE} ELSE '' END
 """
 
 
+def q_weighted_sample(sf_dir: str):
+    """Exact-k WEIGHTED sample without replacement (Efraimidis-Spirakis;
+    the streaming-weighted-sampling shape from the retrieved paper list):
+    key(doc) = ln(U)/w with U = (h48+1)/2^48 from the house sha256 and
+    w = n_chars; the sample is the global top-k keys.  Distinct from
+    ``weighted_mix`` (Bernoulli keep-rates, no size guarantee) and
+    ``stratified_sample`` (uniform per group): exactly k rows, inclusion
+    probability ∝ weight, deterministic in (doc_id, salt) so re-runs and
+    resumes agree.  Map-only keying + ``global_topk`` (local top-k →
+    coalesced reduce → O(k) driver merge) — the corpus never shuffles.
+    Keys round to 6 decimals on BOTH sides (ties broken by doc_id), so
+    libm ulp differences between numpy and DuckDB can't flip the
+    selection."""
+    from searchengine_ray.stages.relational import global_topk
+    from searchengine_ray.stages.sampling import hash_hex
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n_chars"].to_numpy() > 0]
+        hx = hash_hex(df["doc_id"].tolist(), "wsamp")
+        h48 = np.fromiter((int(h, 16) for h in hx), np.int64,
+                          count=len(hx))
+        u = (h48.astype(np.float64) + 1.0) / float(1 << 48)
+        key = np.round(np.log(u) / df["n_chars"].to_numpy(np.float64), 6)
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "key": key})
+
+    return global_topk(ds.map_batches(keyed, batch_format="pandas"),
+                       ["key", "doc_id"], [False, True], 100)
+
+
+SQL_WEIGHTED_SAMPLE = """
+SELECT doc_id,
+       round(ln((CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)
+                                            || ':wsamp'), 1, 12) AS BIGINT)
+                 + 1.0) / 281474976710656.0) / n_chars, 6) AS key
+FROM documents
+WHERE n_chars > 0
+ORDER BY key DESC, doc_id LIMIT 100
+"""
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-then-chunk sequence packing: per source in doc_id order,
     chunk_id = prev running n_chars // 4096 — the pretraining pack layout.
@@ -3542,6 +3585,7 @@ QUERIES = {
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
     "weighted_mix": q_weighted_mix,
+    "weighted_sample": q_weighted_sample,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
@@ -3631,6 +3675,7 @@ ORACLE_SQL = {
     "split_assign": SQL_SPLIT_ASSIGN,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "weighted_mix": SQL_WEIGHTED_MIX,
+    "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
     "fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,

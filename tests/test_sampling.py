@@ -190,3 +190,38 @@ def test_global_shuffle_is_the_hash_rank_permutation(ray_session):
     assert (again["doc_id"].to_numpy() == got["doc_id"].to_numpy()).all()
     # and it actually shuffles: not the identity order
     assert (got["doc_id"].to_numpy() != np.sort(ids)).any()
+
+
+def test_weighted_sample_matches_brute_force(ray_session):
+    """Efraimidis-Spirakis exact-k sample == the driver-side brute force
+    over the same table (key = round(ln((h48+1)/2^48)/w, 6), top-100 by
+    (key DESC, doc_id)), and the weights actually matter."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.queries import q_weighted_sample
+    from searchengine_ray.stages.sampling import hash_hex
+
+    got = (q_weighted_sample("/root/testdata/sf0.001")  # pandas (topk merge)
+           .sort_values(["key", "doc_id"], ascending=[False, True])
+           .reset_index(drop=True))
+    assert len(got) == 100 and got["doc_id"].is_unique
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["doc_id", "n_chars"]).to_pandas()
+    t = t[t["n_chars"] > 0]
+    h48 = np.array([int(h, 16) for h in hash_hex(t["doc_id"].tolist(),
+                                                 "wsamp")], np.int64)
+    u = (h48.astype(np.float64) + 1.0) / float(1 << 48)
+    t = t.assign(key=np.round(np.log(u) / t["n_chars"].to_numpy(np.float64),
+                              6))
+    want = (t.sort_values(["key", "doc_id"], ascending=[False, True])
+            .head(100).reset_index(drop=True))
+    assert (got["doc_id"].to_numpy() == want["doc_id"].to_numpy()).all()
+    assert np.allclose(got["key"], want["key"])
+    # weights matter: the unweighted (w≡1) top-100 is a different set
+    uni = (t.assign(key=np.round(np.log(u), 6))
+           .sort_values(["key", "doc_id"], ascending=[False, True])
+           .head(100))
+    assert set(uni["doc_id"]) != set(got["doc_id"])
