@@ -159,6 +159,7 @@ def main() -> None:
         "global_shuffle": Q.q_global_shuffle,
         "caption_alignment": Q.q_caption_alignment,
         "weighted_sample": Q.q_weighted_sample,
+        "join_sample": Q.q_join_sample,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

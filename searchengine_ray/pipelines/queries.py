@@ -2178,6 +2178,84 @@ ORDER BY key DESC, doc_id LIMIT 100
 """
 
 
+def q_join_sample(sf_dir: str):
+    """Weighted sample OVER A JOIN without materializing the join (the
+    EDBT'23 streaming-weighted-sampling-over-joins shape): sample k=20
+    orders with probability ∝ their total lineitem quantity, then emit
+    ONLY the sampled orders' join rows.  The join never runs in full:
+    per-key weights come from one ``pre_aggregate`` over lineitem (the
+    only all-to-all, O(orders) rows), the E-S top-k runs on that
+    aggregate (``global_topk``), and the k winning keys broadcast back as
+    map-only filters over both join sides — at 100 TB the full
+    orders⋈lineitem output never exists anywhere.  Weights cast to int64
+    (l_quantity is integral) so Ray partial sums and the SQL sum agree
+    bit-exactly; the E-S key quantizes like ``weighted_sample``."""
+    from searchengine_ray.stages.relational import (broadcast_semi_filter,
+                                                    global_topk,
+                                                    pre_aggregate)
+    from searchengine_ray.stages.sampling import hash_hex
+
+    li = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def iq(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "wt": df["l_quantity"].to_numpy(np.float64).astype(np.int64)})
+
+    w = pre_aggregate(li.map_batches(iq, batch_format="pandas"),
+                      ["l_orderkey"], {"wt": ("wt", "sum")})
+
+    def keyed(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["wt"].to_numpy() > 0]
+        hx = hash_hex(df["l_orderkey"].tolist(), "jsamp")
+        h48 = np.fromiter((int(h, 16) for h in hx), np.int64,
+                          count=len(hx))
+        u = (h48.astype(np.float64) + 1.0) / float(1 << 48)
+        key = np.round(np.log(u) / df["wt"].to_numpy(np.float64), 6)
+        return pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                             "key": key})
+
+    top = global_topk(w.map_batches(keyed, batch_format="pandas"),
+                      ["key", "l_orderkey"], [False, True], 20)
+    keys = set(top["l_orderkey"])
+    key_by_order = dict(zip(top["l_orderkey"], top["key"]))
+    orders = _pq(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    o_small = (broadcast_semi_filter(orders, keys, "o_orderkey")
+               .to_pandas())  # exactly k rows — driver-bounded
+    price = dict(zip(o_small["o_orderkey"], o_small["o_totalprice"]))
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        ok = df["l_orderkey"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "o_orderkey": ok,
+            "o_totalprice": df["l_orderkey"].map(price).to_numpy(np.float64),
+            "l_linenumber": df["l_linenumber"].to_numpy(np.int64),
+            "l_quantity": df["l_quantity"].to_numpy(np.float64),
+            "key": df["l_orderkey"].map(key_by_order).to_numpy(np.float64)})
+
+    sampled_li = broadcast_semi_filter(li, keys, "l_orderkey")
+    return sampled_li.map_batches(attach, batch_format="pandas")
+
+
+SQL_JOIN_SAMPLE = """
+WITH w AS (SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS wt
+           FROM lineitem GROUP BY l_orderkey),
+s AS (SELECT l_orderkey,
+             round(ln((CAST('0x' || substr(sha256(CAST(l_orderkey AS VARCHAR)
+                                                  || ':jsamp'), 1, 12)
+                            AS BIGINT) + 1.0) / 281474976710656.0)
+                   / wt, 6) AS key
+      FROM w WHERE wt > 0
+      ORDER BY key DESC, l_orderkey LIMIT 20)
+SELECT o.o_orderkey, o.o_totalprice,
+       CAST(l.l_linenumber AS BIGINT) AS l_linenumber, l.l_quantity, s.key
+FROM s
+JOIN orders o ON o.o_orderkey = s.l_orderkey
+JOIN lineitem l ON l.l_orderkey = s.l_orderkey
+"""
+
+
 def q_pack_sequences(sf_dir: str):
     """Concat-then-chunk sequence packing: per source in doc_id order,
     chunk_id = prev running n_chars // 4096 — the pretraining pack layout.
@@ -3586,6 +3664,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "weighted_mix": q_weighted_mix,
     "weighted_sample": q_weighted_sample,
+    "join_sample": q_join_sample,
     "pack_sequences": q_pack_sequences,
     "decontaminate": q_decontaminate,
     "fuzzy_decontaminate": q_fuzzy_decontaminate,
@@ -3676,6 +3755,7 @@ ORACLE_SQL = {
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "weighted_mix": SQL_WEIGHTED_MIX,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
+    "join_sample": SQL_JOIN_SAMPLE,
     "pack_sequences": SQL_PACK_SEQUENCES,
     "decontaminate": SQL_DECONTAMINATE,
     "fuzzy_decontaminate": SQL_FUZZY_DECONTAMINATE,

@@ -225,3 +225,40 @@ def test_weighted_sample_matches_brute_force(ray_session):
            .sort_values(["key", "doc_id"], ascending=[False, True])
            .head(100))
     assert set(uni["doc_id"]) != set(got["doc_id"])
+
+
+def test_join_sample_matches_brute_force(ray_session):
+    """Sample-over-join == brute force: aggregate weights per order, E-S
+    top-20 keys, exactly those orders' join rows — without running the
+    full join in the engine."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.queries import q_join_sample
+    from searchengine_ray.stages.sampling import hash_hex
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_join_sample(sf).to_pandas()
+           .sort_values(["o_orderkey", "l_linenumber"])
+           .reset_index(drop=True))
+
+    li = pq.read_table(f"{sf}/lineitem.parquet",
+                       columns=["l_orderkey", "l_linenumber",
+                                "l_quantity"]).to_pandas()
+    w = (li.assign(wt=li["l_quantity"].astype(np.int64))
+         .groupby("l_orderkey")["wt"].sum().reset_index())
+    w = w[w["wt"] > 0]
+    h48 = np.array([int(h, 16) for h in hash_hex(w["l_orderkey"].tolist(),
+                                                 "jsamp")], np.int64)
+    u = (h48.astype(np.float64) + 1.0) / float(1 << 48)
+    w = w.assign(key=np.round(np.log(u) / w["wt"].to_numpy(np.float64), 6))
+    top = (w.sort_values(["key", "l_orderkey"], ascending=[False, True])
+           .head(20))
+    want_rows = li[li["l_orderkey"].isin(set(top["l_orderkey"]))]
+    assert len(got) == len(want_rows)
+    assert set(got["o_orderkey"]) == set(top["l_orderkey"])
+    # inclusion ∝ weight: sampled orders skew heavy — their mean weight
+    # must beat the population mean (deterministic given the fixed salt)
+    assert (top["wt"].mean()
+            > w["wt"].mean()), (top["wt"].mean(), w["wt"].mean())
