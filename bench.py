@@ -160,6 +160,7 @@ def main() -> None:
         "caption_alignment": Q.q_caption_alignment,
         "weighted_sample": Q.q_weighted_sample,
         "join_sample": Q.q_join_sample,
+        "triangle_count": Q.q_triangle_count,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

@@ -3327,6 +3327,40 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, num_nodes=n, iters=3, damping=0.85)
 
 
+def q_triangle_count(sf_dir: str):
+    """Exact triangle count over the same closed deterministic doc graph
+    pagerank uses — the third graph-analytics operator (pagerank,
+    connected components, triangles).  Degree-ordered wedge generation
+    bounds the explode by graph arboricity (hubs stop mattering);
+    see ``stages/graph.triangle_count`` for the full scale shape."""
+    from searchengine_ray.stages.graph import triangle_count
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id"])
+    n = ds.count()
+
+    def explode_edges(df: pd.DataFrame) -> pd.DataFrame:
+        src = np.repeat(df["doc_id"].to_numpy(np.int64), 3)
+        j = np.tile(np.array([1, 2, 3], dtype=np.int64), len(df))
+        dst = (src * 31 + j) % n
+        keep = src != dst
+        return pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+    edges = ds.map_batches(explode_edges, batch_format="pandas")
+    return pd.DataFrame({"n_triangles": [triangle_count(edges)]})
+
+
+SQL_TRIANGLE_COUNT = """
+WITH n AS (SELECT count(*) AS cnt FROM documents),
+e0 AS (
+  SELECT DISTINCT least(doc_id, (doc_id * 31 + j.j) % n.cnt) AS u,
+                  greatest(doc_id, (doc_id * 31 + j.j) % n.cnt) AS v
+  FROM documents, n, (VALUES (1), (2), (3)) AS j(j)
+  WHERE doc_id <> (doc_id * 31 + j.j) % n.cnt)
+SELECT CAST(count(*) AS BIGINT) AS n_triangles
+FROM e0 a JOIN e0 b ON b.u = a.v JOIN e0 c ON c.u = a.u AND c.v = b.v
+"""
+
+
 SQL_PAGERANK = """
 WITH n AS (SELECT count(*) AS cnt FROM documents),
 e0 AS (SELECT doc_id AS src, (doc_id*31 + j.j) % n.cnt AS dst
@@ -3686,6 +3720,7 @@ QUERIES = {
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
     "pagerank": q_pagerank,
+    "triangle_count": q_triangle_count,
     "phrase_search": q_phrase_search,
     "snapshot_diff": q_snapshot_diff,
     "table_profile": q_table_profile,
@@ -3776,6 +3811,7 @@ ORACLE_SQL = {
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,
+    "triangle_count": SQL_TRIANGLE_COUNT,
     "phrase_search": SQL_PHRASE_SEARCH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "table_profile": SQL_TABLE_PROFILE,

@@ -162,3 +162,126 @@ def _ranks_dataset(nodes: np.ndarray, r: np.ndarray) -> Dataset:
 
     return rd.from_pandas(pd.DataFrame({"node": nodes.astype(np.int64),
                                         "pagerank": r}))
+
+
+def triangle_count(edges: Dataset, src_col: str = "src",
+                   dst_col: str = "dst") -> int:
+    """Exact triangle count of the UNDIRECTED simple graph under a
+    directed edge Dataset (direction ignored, self-loops dropped,
+    parallel edges collapsed).
+
+    The degree-ordered distributed algorithm (the MapReduce-era classic):
+    orient every undirected edge from its lower-(degree, id) endpoint to
+    the higher one, generate wedges only at a triangle's LOWEST-order
+    vertex, and close them against the edge set.  Degree ordering bounds
+    forward degree by O(sqrt(E)) on any graph (arboricity), so wedge
+    volume — the algorithm's cost — is O(E^1.5) worst case instead of
+    Σdeg² around hubs; a web graph's celebrity pages stop mattering.
+
+    Scale shape: degrees come from ONE ``pre_aggregate`` (O(V) rows,
+    broadcast via ``ray.put`` — the same O(nodes)-driver route the
+    pagerank fast path takes and the honest threshold documented there);
+    wedge generation is a ``bucketed_apply`` co-shuffle by wedge apex
+    with a kernel vectorized over DISTINCT forward-degrees (groups of
+    equal size k reshape to an (m, k) matrix; one fancy-index per k —
+    no per-group Python); closing is one more ``bucketed_apply``
+    co-shuffle of wedge-keys ∪ edge-keys with one ``np.isin`` per
+    bucket.  The driver sees O(V) degrees and one count per bucket."""
+    import ray
+
+    from searchengine_ray.stages.relational import bucketed_apply
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        s = df[src_col].to_numpy(np.int64)
+        d = df[dst_col].to_numpy(np.int64)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        return pd.DataFrame({"u": u, "v": v}).drop_duplicates()
+
+    und = bucketed_apply(edges.map_batches(canon, batch_format="pandas"),
+                         ["u", "v"],
+                         lambda g: g.drop_duplicates(["u", "v"]))
+    und = und.materialize()  # reused: degrees, orientation, closing
+
+    def explode_deg(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "node": np.concatenate([df["u"].to_numpy(np.int64),
+                                    df["v"].to_numpy(np.int64)])})
+
+    deg = pre_aggregate(und.map_batches(explode_deg, batch_format="pandas"),
+                        ["node"], {"deg": (None, "count")}).to_pandas()
+    nodes = deg["node"].to_numpy(np.int64)
+    order = np.argsort(nodes)
+    nodes = nodes[order]
+    degv = deg["deg"].to_numpy(np.int64)[order]
+    deg_ref = ray.put((nodes, degv))
+
+    def _rank(nd, dv, x):
+        pos = np.searchsorted(nd, x)
+        # rank = (degree, id) as one sortable int64: degree in the high
+        # bits, id (dense position) in the low — ids are < 2^31 here
+        return dv[pos] * np.int64(1 << 31) + pos
+
+    def orient(df: pd.DataFrame) -> pd.DataFrame:
+        nd, dv = ray.get(deg_ref)
+        u = df["u"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.int64)
+        ru = _rank(nd, dv, u)
+        rv = _rank(nd, dv, v)
+        a = np.where(ru <= rv, u, v)  # low order → high order
+        b = np.where(ru <= rv, v, u)
+        return pd.DataFrame({"a": a, "b": b})
+
+    fwd = und.map_batches(orient, batch_format="pandas")
+
+    KEY = np.int64(1 << 32)  # (min,max) packed — ids < 2^31
+
+    def wedges(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({"key": np.array([], np.int64)})
+        g = g.sort_values(["a", "b"], kind="mergesort")
+        a = g["a"].to_numpy(np.int64)
+        b = g["b"].to_numpy(np.int64)
+        # group rows by apex a; process all apexes of equal out-degree k
+        # in one (m, k) matrix per distinct k
+        _, start, cnt = np.unique(a, return_index=True, return_counts=True)
+        keys = []
+        for k in np.unique(cnt):
+            if k < 2:
+                continue
+            rows = start[cnt == k]
+            m = b[rows[:, None] + np.arange(k)]     # (m, k) neighbors
+            iu, ju = np.triu_indices(k, 1)
+            p = m[:, iu].ravel()
+            q = m[:, ju].ravel()
+            keys.append(np.minimum(p, q) * KEY + np.maximum(p, q))
+        if not keys:
+            return pd.DataFrame({"key": np.array([], np.int64)})
+        return pd.DataFrame({"key": np.concatenate(keys)})
+
+    wkeys = bucketed_apply(fwd, ["a"], wedges)
+
+    def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["u"].to_numpy(np.int64) * KEY
+            + df["v"].to_numpy(np.int64),
+            "is_edge": np.ones(len(df), np.int8)})
+
+    def wedge_keys(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["is_edge"] = np.zeros(len(df), np.int8)
+        return df
+
+    both = (und.map_batches(edge_keys, batch_format="pandas")
+            .union(wkeys.map_batches(wedge_keys, batch_format="pandas")))
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        ek = g.loc[g["is_edge"] == 1, "key"].to_numpy(np.int64)
+        wk = g.loc[g["is_edge"] == 0, "key"].to_numpy(np.int64)
+        n = int(np.isin(wk, np.sort(ek)).sum()) if len(ek) and len(wk) else 0
+        return pd.DataFrame({"n": [n]})
+
+    parts = bucketed_apply(both, ["key"], close).to_pandas()
+    return int(parts["n"].sum())

@@ -90,3 +90,39 @@ def test_pagerank_rejects_bad_n(ray_session):
     df = pd.DataFrame({"src": [0], "dst": [1]})
     with pytest.raises(ValueError):
         pagerank(rd.from_pandas(df), num_nodes=0)
+
+
+def _brute_triangles(pairs):
+    import itertools
+
+    adj = {}
+    for u, v in pairs:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return sum(1 for a, b, c in itertools.combinations(sorted(adj), 3)
+               if b in adj[a] and c in adj[a] and c in adj[b])
+
+
+def test_triangle_count_known_and_random(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from searchengine_ray.stages.graph import triangle_count
+
+    # K4 = 4 triangles, plus a pendant edge and a duplicate/reversed/self
+    # edge that must all collapse away
+    k4 = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+          (3, 4), (1, 0), (2, 2), (0, 1)]
+    ds = rd.from_pandas(pd.DataFrame(k4, columns=["src", "dst"])).repartition(3)
+    assert triangle_count(ds) == 4
+
+    # random dense-ish graph: many distinct forward-degrees in one bucket
+    rng = np.random.default_rng(99)
+    m = rng.integers(0, 60, size=(800, 2))
+    pairs = [tuple(r) for r in m]
+    ds2 = rd.from_pandas(pd.DataFrame(pairs, columns=["src", "dst"])
+                         ).repartition(4)
+    assert triangle_count(ds2) == _brute_triangles(pairs)
