@@ -28,9 +28,10 @@ import time
 
 sys.path.insert(0, ".")
 
-ONLY = set(os.environ.get("GRAFT_ONLY", "boiler,shuffle").split(","))
+ONLY = set(os.environ.get("GRAFT_ONLY", "boiler,shuffle,triangle").split(","))
 BOILER_N = int(os.environ.get("GRAFT_BOILER_N", "400000"))
 SHUFFLE_N = int(os.environ.get("GRAFT_SHUFFLE_N", "2000000"))
+TRI_E = int(os.environ.get("GRAFT_TRI_E", "2000000"))
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 out: dict = {"metric": "scale_evidence_r4e", "num_cpus": NUM_CPUS}
@@ -143,6 +144,45 @@ def _shuffle() -> None:
     }
 
 
+def _triangle() -> None:
+    """Hub-heavy graph: E edges where dst ~ Zipf-ish over sqrt(E) hubs
+    plus random spokes.  WITHOUT degree ordering the hubs' Σdeg² wedge
+    volume is ~E²/hubs; degree ordering keeps wedges near the arboricity
+    bound, so the run should finish in seconds and wedge volume should be
+    reported far below Σdeg²."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from searchengine_ray.stages.graph import triangle_count
+
+    n_nodes = TRI_E // 4
+    n_hubs = max(4, int(TRI_E ** 0.5) // 8)
+
+    def build(batch: pd.DataFrame) -> pd.DataFrame:
+        i = batch["id"].to_numpy(np.int64)
+        rng = np.random.default_rng(7)
+        _ = rng
+        r1 = (i * 2654435761) % n_nodes
+        # half the edges attach to a hub (id < n_hubs), half are random
+        hub = (i * 40503) % n_hubs
+        r2 = (i * 97 + 13) % n_nodes
+        src = np.where(i % 2 == 0, r1, r2)
+        dst = np.where(i % 2 == 0, hub, (r1 + r2 + 1) % n_nodes)
+        return pd.DataFrame({"src": src, "dst": dst})
+
+    edges = rd.range(TRI_E).map_batches(build, batch_format="pandas",
+                                        batch_size=65536).materialize()
+    t0 = time.perf_counter()
+    tri = triangle_count(edges)
+    t1 = time.perf_counter()
+    out["triangle"] = {
+        "edges": TRI_E, "nodes": n_nodes, "hubs": n_hubs,
+        "triangles": tri, "wall_s": round(t1 - t0, 2),
+        "edges_per_sec": round(TRI_E / (t1 - t0), 1),
+    }
+
+
 def main() -> None:
     import ray
 
@@ -156,6 +196,8 @@ def main() -> None:
         _boiler()
     if "shuffle" in ONLY:
         _shuffle()
+    if "triangle" in ONLY:
+        _triangle()
     print(json.dumps(out))
     ray.shutdown()
 
