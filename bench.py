@@ -161,6 +161,7 @@ def main() -> None:
         "weighted_sample": Q.q_weighted_sample,
         "join_sample": Q.q_join_sample,
         "triangle_count": Q.q_triangle_count,
+        "covisit_pairs": Q.q_covisit_pairs,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

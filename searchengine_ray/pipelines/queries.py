@@ -3327,6 +3327,85 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, num_nodes=n, iters=3, damping=0.85)
 
 
+def q_covisit_pairs(sf_dir: str):
+    """Item co-occurrence graph construction (co-click / co-purchase /
+    co-citation — the recommender-side workhorse): pairs of items
+    touched by the same user, counted over distinct users, thresholded.
+    The per-user DISTINCT item set is capped at the 20 smallest item ids
+    (a deterministic stand-in for the recency/affinity cap every real
+    co-visit job applies — without a cap one power user with 10^5 items
+    contributes 10^10 pairs).  Shape: ONE co-shuffle by user
+    (``bucketed_apply``: distinct → rank-cap → pair explode vectorized
+    over distinct per-user degrees, the triangle-count (m,k)-matrix
+    kernel), then ONE ``pre_aggregate`` by pair; the threshold filters
+    map-side after the combine.  Items come from the JSON ``props.k``
+    field (the semi-structured parse shared with ``props_k_stats``)."""
+    import json
+
+    from searchengine_ray.stages.relational import (bucketed_apply,
+                                                    pre_aggregate)
+
+    CAP, MIN_USERS = 20, 40
+    ds = _pq(sf_dir, "events", columns=["user_id", "props"])
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        ks = np.fromiter((json.loads(p)["k"] for p in df["props"]),
+                         dtype=np.int64, count=len(df))
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                             "item": ks}).drop_duplicates()
+
+    ui = ds.map_batches(parse, batch_format="pandas")
+
+    def explode_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(["user_id", "item"]).sort_values(
+            ["user_id", "item"], kind="mergesort")
+        rn = g.groupby("user_id", sort=False).cumcount()
+        g = g[rn < CAP]
+        u = g["user_id"].to_numpy(np.int64)
+        it = g["item"].to_numpy(np.int64)
+        _, start, cnt = np.unique(u, return_index=True, return_counts=True)
+        outs_a, outs_b = [], []
+        for k in np.unique(cnt):
+            if k < 2:
+                continue
+            rows = start[cnt == k]
+            m = it[rows[:, None] + np.arange(k)]  # (m, k), ascending rows
+            iu, ju = np.triu_indices(k, 1)
+            outs_a.append(m[:, iu].ravel())
+            outs_b.append(m[:, ju].ravel())
+        if not outs_a:
+            return pd.DataFrame({"item_a": np.array([], np.int64),
+                                 "item_b": np.array([], np.int64)})
+        return pd.DataFrame({"item_a": np.concatenate(outs_a),
+                             "item_b": np.concatenate(outs_b)})
+
+    pairs = bucketed_apply(ui, ["user_id"], explode_pairs)
+    agg = pre_aggregate(pairs, ["item_a", "item_b"],
+                        {"n_users": (None, "count")})
+    return agg.map_batches(
+        lambda df: df[df["n_users"].to_numpy() >= MIN_USERS],
+        batch_format="pandas")
+
+
+SQL_COVISIT_PAIRS = """
+WITH ui AS (SELECT DISTINCT user_id,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS item
+            FROM events),
+capped AS (SELECT user_id, item FROM (
+             SELECT user_id, item,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY item) AS rn
+             FROM ui)
+           WHERE rn <= 20),
+pairs AS (SELECT a.item AS item_a, b.item AS item_b,
+                 CAST(count(*) AS BIGINT) AS n_users
+          FROM capped a
+          JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
+          GROUP BY a.item, b.item)
+SELECT item_a, item_b, n_users FROM pairs WHERE n_users >= 40
+"""
+
+
 def q_triangle_count(sf_dir: str):
     """Exact triangle count over the same closed deterministic doc graph
     pagerank uses — the third graph-analytics operator (pagerank,
@@ -3721,6 +3800,7 @@ QUERIES = {
     "bpe_stats": q_bpe_stats,
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
+    "covisit_pairs": q_covisit_pairs,
     "phrase_search": q_phrase_search,
     "snapshot_diff": q_snapshot_diff,
     "table_profile": q_table_profile,
@@ -3812,6 +3892,7 @@ ORACLE_SQL = {
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,
     "triangle_count": SQL_TRIANGLE_COUNT,
+    "covisit_pairs": SQL_COVISIT_PAIRS,
     "phrase_search": SQL_PHRASE_SEARCH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "table_profile": SQL_TABLE_PROFILE,

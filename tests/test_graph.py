@@ -126,3 +126,38 @@ def test_triangle_count_known_and_random(ray_session):
     ds2 = rd.from_pandas(pd.DataFrame(pairs, columns=["src", "dst"])
                          ).repartition(4)
     assert triangle_count(ds2) == _brute_triangles(pairs)
+
+
+def test_covisit_pairs_matches_brute_force(ray_session):
+    import json
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.queries import q_covisit_pairs
+
+    sf = "/root/testdata/sf0.01"
+    got = (q_covisit_pairs(sf).to_pandas()
+           .sort_values(["item_a", "item_b"]).reset_index(drop=True))
+
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "props"]).to_pandas()
+    ev["item"] = [json.loads(p)["k"] for p in ev["props"]]
+    ui = ev[["user_id", "item"]].drop_duplicates()
+    # the cap must actually bind somewhere or this test is vacuous
+    assert (ui.groupby("user_id").size() > 20).any()
+    from collections import Counter
+
+    c = Counter()
+    for _, g in ui.groupby("user_id"):
+        items = sorted(g["item"])[:20]
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                c[(items[i], items[j])] += 1
+    want = (pd.DataFrame([(a, b, n) for (a, b), n in c.items() if n >= 40],
+                         columns=["item_a", "item_b", "n_users"])
+            .sort_values(["item_a", "item_b"]).reset_index(drop=True))
+    assert len(want) > 0
+    pd.testing.assert_frame_equal(got.astype(np.int64),
+                                  want.astype(np.int64))
