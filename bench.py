@@ -162,6 +162,7 @@ def main() -> None:
         "join_sample": Q.q_join_sample,
         "triangle_count": Q.q_triangle_count,
         "covisit_pairs": Q.q_covisit_pairs,
+        "decayed_engagement": Q.q_decayed_engagement,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

@@ -3327,6 +3327,46 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, num_nodes=n, iters=3, damping=0.85)
 
 
+def q_decayed_engagement(sf_dir: str):
+    """Time-decayed per-user engagement score — the feature-engineering
+    staple (recency-weighted activity): score(u) = Σ value·exp(-age/τ)
+    with τ = 7 days, age measured from the corpus max timestamp.  The
+    decay term is per-row (map-only); the sum is ONE ``pre_aggregate``.
+    Exactly additive, so Ray's partial combines are the whole story —
+    no window, no sort.  Final scores round to 6 decimals so numpy-vs-
+    DuckDB libm exp/sum ulps cannot flip the hash (sums are O(1e3) with
+    O(1e2) terms; float error ~1e-13 vs the 5e-7 rounding margin)."""
+    from searchengine_ray.stages.relational import pre_aggregate
+
+    TAU_US = 7 * 86400 * 1_000_000  # 7 days in microseconds
+    ds = _pq(sf_dir, "events", columns=["user_id", "ts", "value"])
+    tmax = ds.max("ts")  # pandas Timestamp (μs)
+    tmax_us = int(pd.Timestamp(tmax).value // 1000)  # ns → μs
+
+    def term(df: pd.DataFrame) -> pd.DataFrame:
+        age = tmax_us - df["ts"].astype("int64").to_numpy()
+        w = df["value"].to_numpy(np.float64) * np.exp(-age / TAU_US)
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                             "w": w})
+
+    agg = pre_aggregate(ds.map_batches(term, batch_format="pandas"),
+                        ["user_id"], {"score": ("w", "sum")})
+    return agg.map_batches(
+        lambda df: pd.DataFrame({"user_id": df["user_id"],
+                                 "score": np.round(df["score"], 6)}),
+        batch_format="pandas")
+
+
+SQL_DECAYED_ENGAGEMENT = """
+WITH t AS (SELECT max(epoch_us(ts)) AS tmax FROM events)
+SELECT user_id,
+       round(sum(value * exp(-(t.tmax - epoch_us(ts))
+                             / 604800000000.0)), 6) AS score
+FROM events, t
+GROUP BY user_id
+"""
+
+
 def q_covisit_pairs(sf_dir: str):
     """Item co-occurrence graph construction (co-click / co-purchase /
     co-citation — the recommender-side workhorse): pairs of items
@@ -3801,6 +3841,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "triangle_count": q_triangle_count,
     "covisit_pairs": q_covisit_pairs,
+    "decayed_engagement": q_decayed_engagement,
     "phrase_search": q_phrase_search,
     "snapshot_diff": q_snapshot_diff,
     "table_profile": q_table_profile,
@@ -3893,6 +3934,7 @@ ORACLE_SQL = {
     "pagerank": SQL_PAGERANK,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "covisit_pairs": SQL_COVISIT_PAIRS,
+    "decayed_engagement": SQL_DECAYED_ENGAGEMENT,
     "phrase_search": SQL_PHRASE_SEARCH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "table_profile": SQL_TABLE_PROFILE,

@@ -161,3 +161,31 @@ def test_covisit_pairs_matches_brute_force(ray_session):
     assert len(want) > 0
     pd.testing.assert_frame_equal(got.astype(np.int64),
                                   want.astype(np.int64))
+
+
+def test_decayed_engagement_matches_brute_force(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.queries import q_decayed_engagement
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_decayed_engagement(sf).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "ts", "value"]).to_pandas()
+    tmax = ev["ts"].astype("int64").max()
+    ev["w"] = ev["value"] * np.exp(-(tmax - ev["ts"].astype("int64"))
+                                   / (7 * 86400 * 1_000_000))
+    want = (ev.groupby("user_id")["w"].sum().round(6).reset_index()
+            .rename(columns={"w": "score"})
+            .sort_values("user_id").reset_index(drop=True))
+    assert len(got) == len(want)
+    assert (got["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
+    assert np.allclose(got["score"], want["score"], atol=1e-6)
+    # decay is real: recent events dominate — the score is below the
+    # undecayed sum for every user with any old activity
+    raw = ev.groupby("user_id")["value"].sum()
+    assert (got.set_index("user_id")["score"] <= raw + 1e-9).all()
+    assert (got.set_index("user_id")["score"] < raw).any()
