@@ -3385,7 +3385,7 @@ def q_covisit_pairs(sf_dir: str):
     from searchengine_ray.stages.relational import (bucketed_apply,
                                                     pre_aggregate)
 
-    CAP, MIN_USERS = 20, 40
+    CAP, MIN_USERS = 20, 5  # >=5 binds non-vacuously at sf0.001 AND sf0.01
     ds = _pq(sf_dir, "events", columns=["user_id", "props"])
 
     def parse(df: pd.DataFrame) -> pd.DataFrame:
@@ -3427,7 +3427,7 @@ def q_covisit_pairs(sf_dir: str):
         batch_format="pandas")
 
 
-SQL_COVISIT_PAIRS = """
+SQL_COVISIT_PAIRS = """-- MIN_USERS=5 mirrors q_covisit_pairs
 WITH ui AS (SELECT DISTINCT user_id,
                    CAST(json_extract(props, '$.k') AS BIGINT) AS item
             FROM events),
@@ -3442,7 +3442,7 @@ pairs AS (SELECT a.item AS item_a, b.item AS item_b,
           FROM capped a
           JOIN capped b ON a.user_id = b.user_id AND a.item < b.item
           GROUP BY a.item, b.item)
-SELECT item_a, item_b, n_users FROM pairs WHERE n_users >= 40
+SELECT item_a, item_b, n_users FROM pairs WHERE n_users >= 5
 """
 
 

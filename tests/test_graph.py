@@ -155,7 +155,7 @@ def test_covisit_pairs_matches_brute_force(ray_session):
         for i in range(len(items)):
             for j in range(i + 1, len(items)):
                 c[(items[i], items[j])] += 1
-    want = (pd.DataFrame([(a, b, n) for (a, b), n in c.items() if n >= 40],
+    want = (pd.DataFrame([(a, b, n) for (a, b), n in c.items() if n >= 5],
                          columns=["item_a", "item_b", "n_users"])
             .sort_values(["item_a", "item_b"]).reset_index(drop=True))
     assert len(want) > 0
