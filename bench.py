@@ -163,6 +163,7 @@ def main() -> None:
         "triangle_count": Q.q_triangle_count,
         "covisit_pairs": Q.q_covisit_pairs,
         "decayed_engagement": Q.q_decayed_engagement,
+        "funnel_stages": Q.q_funnel_stages,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

@@ -3446,6 +3446,68 @@ SELECT item_a, item_b, n_users FROM pairs WHERE n_users >= 5
 """
 
 
+def q_funnel_stages(sf_dir: str):
+    """Ordered-funnel analysis (view → click → purchase, each step within
+    a 48 h conversion window of the previous) — the product-analytics
+    staple.  Per user: t1 = first view; t2 = first click in (t1, t1+W];
+    t3 = first purchase in (t2, t2+W]; stage = how deep the user got.
+
+    Shape: map-side filter to the three funnel types (shuffle volume
+    drops to the funnel's share of events), ONE co-shuffle by user
+    (``bucketed_apply``), one vectorized kernel per bucket — pandas C
+    groupby-mins chained through int64-preserving inner merges (an NaN-
+    producing ``.map`` would round μs epochs through float64 and could
+    flip the strict ts comparisons that define each step)."""
+    from searchengine_ray.stages.relational import bucketed_apply
+
+    W_US = 48 * 3600 * 1_000_000  # 48 h conversion window, μs
+
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_type"].isin(("view", "click", "purchase"))]
+
+    def stages(g: pd.DataFrame) -> pd.DataFrame:
+        et = g["event_type"].to_numpy()
+        f = pd.DataFrame({"u": g["user_id"].to_numpy(np.int64),
+                          "t": g["ts"].astype("int64").to_numpy()})
+        t1 = f[et == "view"].groupby("u")["t"].min().rename("t1")
+        c = f[et == "click"].merge(t1, left_on="u", right_index=True)
+        c = c[(c["t"] > c["t1"]) & (c["t"] - c["t1"] <= W_US)]
+        t2 = c.groupby("u")["t"].min().rename("t2")
+        p = f[et == "purchase"].merge(t2, left_on="u", right_index=True)
+        p = p[(p["t"] > p["t2"]) & (p["t"] - p["t2"] <= W_US)]
+        t3 = p.groupby("u")["t"].min()
+        users = t1.index.to_numpy(np.int64)
+        stage = (1 + np.isin(users, t2.index.to_numpy()).astype(np.int64)
+                 + np.isin(users, t3.index.to_numpy()).astype(np.int64))
+        return pd.DataFrame({"user_id": users, "stage": stage})
+
+    ev = ds.map_batches(keep, batch_format="pandas")
+    return bucketed_apply(ev, ["user_id"], stages)
+
+
+SQL_FUNNEL_STAGES = """-- W = 48h in μs, mirrors q_funnel_stages
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type='view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type='click' AND e.ts > v.t1
+        AND epoch_us(e.ts) - epoch_us(v.t1) <= 172800000000
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+      JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type='purchase' AND e.ts > c.t2
+        AND epoch_us(e.ts) - epoch_us(c.t2) <= 172800000000
+      GROUP BY e.user_id)
+SELECT v.user_id,
+       CAST(1 + CAST(c.user_id IS NOT NULL AS BIGINT)
+              + CAST(p.user_id IS NOT NULL AS BIGINT) AS BIGINT) AS stage
+FROM v LEFT JOIN c ON v.user_id = c.user_id
+       LEFT JOIN p ON v.user_id = p.user_id
+"""
+
+
 def q_triangle_count(sf_dir: str):
     """Exact triangle count over the same closed deterministic doc graph
     pagerank uses — the third graph-analytics operator (pagerank,
@@ -3842,6 +3904,7 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "covisit_pairs": q_covisit_pairs,
     "decayed_engagement": q_decayed_engagement,
+    "funnel_stages": q_funnel_stages,
     "phrase_search": q_phrase_search,
     "snapshot_diff": q_snapshot_diff,
     "table_profile": q_table_profile,
@@ -3935,6 +3998,7 @@ ORACLE_SQL = {
     "triangle_count": SQL_TRIANGLE_COUNT,
     "covisit_pairs": SQL_COVISIT_PAIRS,
     "decayed_engagement": SQL_DECAYED_ENGAGEMENT,
+    "funnel_stages": SQL_FUNNEL_STAGES,
     "phrase_search": SQL_PHRASE_SEARCH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
     "table_profile": SQL_TABLE_PROFILE,

@@ -62,3 +62,40 @@ def test_sliding_kernel_overflow_fallback_identical():
     assert (int(small["user_id"].max()) + 1) * (int(new_ts.max()) + WIN + 2) < 2 ** 63
     want = sliding_window_kernel(small, WIN).sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_funnel_stages_matches_brute_force(ray_session):
+    """Per-user Python funnel walk ≡ the bucketed vectorized kernel, and
+    the 48 h window must actually bind (some user stops at each stage)."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.queries import q_funnel_stages
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_funnel_stages(sf).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "event_type", "ts"]).to_pandas()
+    ev["t"] = ev["ts"].astype("int64")
+    W = 48 * 3600 * 1_000_000
+    rows = []
+    for u, g in ev.groupby("user_id"):
+        views = g.loc[g["event_type"] == "view", "t"]
+        if views.empty:
+            continue
+        t1 = views.min()
+        clicks = g.loc[(g["event_type"] == "click")
+                       & (g["t"] > t1) & (g["t"] <= t1 + W), "t"]
+        if clicks.empty:
+            rows.append((u, 1))
+            continue
+        t2 = clicks.min()
+        buys = g.loc[(g["event_type"] == "purchase")
+                     & (g["t"] > t2) & (g["t"] <= t2 + W), "t"]
+        rows.append((u, 2 if buys.empty else 3))
+    want = (pd.DataFrame(rows, columns=["user_id", "stage"])
+            .sort_values("user_id").reset_index(drop=True))
+    assert set(want["stage"]) == {1, 2, 3}  # window binds non-vacuously
+    pd.testing.assert_frame_equal(got.astype(np.int64),
+                                  want.astype(np.int64))
