@@ -140,6 +140,7 @@ def main() -> None:
         "index_merge": Q.q_index_merge,
         "event_value_bands": Q.q_event_value_bands,
         "bm25_search": Q.q_bm25_search,
+        "hybrid_search": Q.q_hybrid_search,
         "knn_pq": Q.q_knn_pq,
         "knn_ivfpq": Q.q_knn_ivfpq,
         "bpe_stats": Q.q_bpe_stats,

@@ -3242,6 +3242,83 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+# --- 30b. hybrid retrieval: BM25 + dense kNN fused by RRF -------------------
+
+
+def q_hybrid_search(sf_dir: str):
+    """Hybrid sparse+dense retrieval with reciprocal-rank fusion (Cormack
+    et al. 2009) — the modern two-tower search shape the reference's
+    tf-idf-only path (retrieve_query.py:134-142) has no answer to: BM25
+    top-100 over the raw corpus fused with cosine-kNN top-100 against the
+    doc-0 embedding (vec_id ≡ doc_id in the corpus), rrf = Σ 1/(60+rank).
+
+    Both retrievers are the existing corpus-scaled operators (three
+    streaming passes for BM25, one two-level top-k pass for kNN); fusion is
+    O(candidates) driver arithmetic on the two bounded top-100 lists.  The
+    dense list over-fetches 3× then re-ranks on (rounded cosine, id) so the
+    candidate SET matches the oracle on rounded-value boundary ties (the
+    q_knn_bruteforce discipline)."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.search import bm25_search, rrf_fuse
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    sparse = bm25_search(docs, ["fast", "merge", "join"], k=100)
+
+    emb = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "==", 0)])
+    qv = np.asarray(qt["embedding"].to_pylist()[0], dtype=np.float64)
+    dense = knn_stage.knn_bruteforce(emb, qv, k=300)
+    dense["cosine"] = dense["cosine"].round(6)
+    dense = (dense.sort_values(["cosine", "vec_id"], ascending=[False, True])
+             .head(100).rename(columns={"vec_id": "doc_id"}))
+    return rrf_fuse({"sparse": sparse, "dense": dense}, k=10)
+
+
+# The two candidate CTEs are the bm25_search and knn SQL mirrors verbatim
+# (rounded score / cosine, id tiebreak, top-100); rrf and the rank-0
+# sentinel mirror rrf_fuse exactly.
+SQL_HYBRID_SEARCH = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents),
+toks2 AS (SELECT * FROM toks WHERE token <> ''),
+doc_len AS (SELECT doc_id, count(*) AS n FROM toks2 GROUP BY doc_id),
+stats AS (SELECT avg(n) AS avgdl FROM doc_len),
+n_docs AS (SELECT count(*) AS n FROM documents),
+tc AS (SELECT doc_id, token, count(*) AS cnt FROM toks2
+       WHERE token IN ('fast', 'merge', 'join') GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(*) AS df FROM tc GROUP BY token),
+p AS (SELECT tc.doc_id,
+             round(ln(1.0 + (n_docs.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * (tc.cnt * 2.2)
+                   / (tc.cnt + 1.2 * (0.25 + 0.75 * doc_len.n / stats.avgdl)),
+                   6) AS sc
+      FROM tc JOIN dfreq USING (token) JOIN doc_len USING (doc_id),
+           n_docs, stats),
+bm AS (SELECT doc_id, round(sum(sc), 6) AS score FROM p GROUP BY doc_id),
+sr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r
+       FROM bm QUALIFY r <= 100),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+dn AS (SELECT vec_id AS doc_id,
+              round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+                                           CAST(qe AS DOUBLE[])), 6) AS cos
+       FROM embeddings, q),
+dr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+       FROM dn QUALIFY r <= 100)
+SELECT coalesce(sr.doc_id, dr.doc_id) AS doc_id,
+       coalesce(sr.r, 0) AS sparse_rank,
+       coalesce(dr.r, 0) AS dense_rank,
+       round(coalesce(1.0 / (60 + sr.r), 0)
+             + coalesce(1.0 / (60 + dr.r), 0), 6) AS rrf
+FROM sr FULL OUTER JOIN dr ON sr.doc_id = dr.doc_id
+ORDER BY rrf DESC, doc_id LIMIT 10
+"""
+
+
 # --- 31. product-quantized ANN (stages/knn.py PQ / ADC path) ----------------
 
 
@@ -3897,6 +3974,7 @@ QUERIES = {
     "remove_boilerplate": q_remove_boilerplate,
     "global_shuffle": q_global_shuffle,
     "bm25_search": q_bm25_search,
+    "hybrid_search": q_hybrid_search,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
@@ -3992,6 +4070,7 @@ ORACLE_SQL = {
     "remove_boilerplate": SQL_REMOVE_BOILERPLATE,
     "global_shuffle": SQL_GLOBAL_SHUFFLE,
     "bm25_search": SQL_BM25_SEARCH,
+    "hybrid_search": SQL_HYBRID_SEARCH,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,

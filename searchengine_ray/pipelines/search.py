@@ -276,3 +276,47 @@ def bm25_search(
         return empty
     out["doc_id"] = out["doc_id"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+# --- Hybrid retrieval: reciprocal-rank fusion ---------------------------------
+
+RRF_C = 60  # the k constant of Cormack, Clarke & Büttcher (SIGIR 2009)
+
+
+def rrf_fuse(ranked: dict[str, pd.DataFrame], k: int = 10, c: int = RRF_C,
+             id_col: str = "doc_id") -> pd.DataFrame:
+    """Reciprocal-rank fusion of already-ranked candidate lists:
+    ``rrf(d) = Σ_lists 1 / (c + rank_list(d))`` (Cormack et al. 2009) — the
+    standard way to combine sparse (BM25) and dense (embedding-kNN)
+    retrieval without score calibration.
+
+    Driver-side BY DESIGN: every input is a top-k candidate list (the
+    O(k)-bounded output of ``bm25_search`` / ``knn_bruteforce``), so fusion
+    touches O(Σ|lists|·k) rows regardless of corpus size — the corpus-scaled
+    work already happened inside the retrievers.  Each frame must arrive in
+    rank order (position = 1-based rank).  A document absent from a list
+    contributes 0 to the sum and reports rank 0 (int64 sentinel — mirrors
+    SQL ``COALESCE(rank, 0)``).  ``rrf`` rounds to 6 decimals with
+    ``id_col`` tiebreak so the top-k set is float-representation-stable.
+    Ids must be exact in float64 (< 2^53) — they pass through an outer
+    merge; doc ids here are small ints.
+    """
+    out: pd.DataFrame | None = None
+    names = list(ranked)
+    for name in names:
+        df = ranked[name]
+        frame = pd.DataFrame({
+            id_col: df[id_col].to_numpy(dtype=np.int64),
+            f"{name}_rank": np.arange(1, len(df) + 1, dtype=np.int64)})
+        out = frame if out is None else out.merge(frame, on=id_col, how="outer")
+    assert out is not None, "rrf_fuse needs at least one ranked list"
+    rrf = np.zeros(len(out), dtype=np.float64)
+    for name in names:
+        col = f"{name}_rank"
+        v = out[col].to_numpy(dtype=np.float64)  # NaN where absent
+        rrf += np.where(np.isnan(v), 0.0, 1.0 / (c + v))
+        out[col] = np.nan_to_num(v, nan=0.0).astype(np.int64)
+    out["rrf"] = np.round(rrf, 6)
+    out[id_col] = out[id_col].astype(np.int64)
+    return (out.sort_values(["rrf", id_col], ascending=[False, True])
+            .head(k).reset_index(drop=True))
