@@ -141,6 +141,7 @@ def main() -> None:
         "event_value_bands": Q.q_event_value_bands,
         "bm25_search": Q.q_bm25_search,
         "hybrid_search": Q.q_hybrid_search,
+        "upsert_merge": Q.q_upsert_merge,
         "knn_pq": Q.q_knn_pq,
         "knn_ivfpq": Q.q_knn_ivfpq,
         "bpe_stats": Q.q_bpe_stats,

@@ -3722,6 +3722,80 @@ WHERE b.doc_id IS NULL OR a.doc_id IS NULL OR a.text <> b.text
 """
 
 
+# --- 31e2. CDC upsert merge (stages/relational.upsert_merge) -----------------
+
+
+def q_upsert_merge(sf_dir: str):
+    """Latest-version-wins merge of a change delta into a base snapshot
+    (the Delta/Iceberg MERGE shape): base = documents at version 0; delta
+    derived deterministically — doc_id%7==0 updated (v1), %13==0
+    tombstoned (v2), %21==0 re-updated (v3, so ids divisible by 273 are
+    RESURRECTED past their tombstone), %17==0 inserted as new ids.  Size
+    routing picks the broadcast-delta path here (delta ≪ base, zero
+    shuffles — the base never moves); the co-shuffle route is pinned equal
+    by tests/test_upsert.py."""
+    from searchengine_ray.stages.relational import upsert_merge
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def as_base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "version": np.zeros(len(df), dtype=np.int64),
+            "deleted": np.zeros(len(df), dtype=bool),
+            "text": df["text"]})
+
+    def derive_delta(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        txt = pd.Series(df["text"].to_numpy(), dtype=object)
+
+        def rows(mask, id_off, version, text, deleted):
+            n = int(mask.sum())
+            return pd.DataFrame({
+                "doc_id": ids[mask] + id_off,
+                "version": np.full(n, version, dtype=np.int64),
+                "deleted": np.full(n, deleted, dtype=bool),
+                "text": text})
+
+        m7, m13, m21, m17 = (ids % k == 0 for k in (7, 13, 21, 17))
+        return pd.concat([
+            rows(m7, 0, 1, (txt[m7] + " rev2").to_numpy(), False),
+            rows(m13, 0, 2, np.full(int(m13.sum()), "", dtype=object), True),
+            rows(m21, 0, 3, (txt[m21] + " rev3").to_numpy(), False),
+            rows(m17, 2_000_000, 1,
+                 np.array([f"upsert doc {i}" for i in ids[m17]],
+                          dtype=object), False),
+        ], ignore_index=True)
+
+    base = docs.map_batches(as_base, batch_format="pandas")
+    delta = docs.map_batches(derive_delta, batch_format="pandas")
+    return upsert_merge(base, delta, id_col="doc_id")
+
+
+SQL_UPSERT_MERGE = """
+WITH base AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS version, FALSE AS deleted, text
+  FROM documents),
+delta AS (
+  SELECT doc_id, CAST(1 AS BIGINT), FALSE, text || ' rev2'
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, CAST(2 AS BIGINT), TRUE, '' FROM documents
+  WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id, CAST(3 AS BIGINT), FALSE, text || ' rev3'
+  FROM documents WHERE doc_id % 21 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, CAST(1 AS BIGINT), FALSE,
+         'upsert doc ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 17 = 0),
+u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+m AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY version DESC) AS rn FROM u)
+SELECT doc_id, version, text FROM m WHERE rn = 1 AND NOT deleted
+"""
+
+
 # --- 31f. table profiling (stages/profile.py) --------------------------------
 
 
@@ -3975,6 +4049,7 @@ QUERIES = {
     "global_shuffle": q_global_shuffle,
     "bm25_search": q_bm25_search,
     "hybrid_search": q_hybrid_search,
+    "upsert_merge": q_upsert_merge,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
@@ -4071,6 +4146,7 @@ ORACLE_SQL = {
     "global_shuffle": SQL_GLOBAL_SHUFFLE,
     "bm25_search": SQL_BM25_SEARCH,
     "hybrid_search": SQL_HYBRID_SEARCH,
+    "upsert_merge": SQL_UPSERT_MERGE,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,

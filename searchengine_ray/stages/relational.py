@@ -525,3 +525,85 @@ def broadcast_semi_filter(
         return df[mask] if keep else df[~mask]
 
     return ds.map_batches(filter_fn, batch_format="pandas", batch_size=batch_size)
+
+
+def upsert_merge(
+    base: Dataset,
+    delta: Dataset,
+    id_col: str = "doc_id",
+    version_col: str = "version",
+    deleted_col: str = "deleted",
+    broadcast_limit: int = 2_000_000,
+    num_buckets: int | None = None,
+) -> Dataset:
+    """CDC upsert: merge a change ``delta`` into a ``base`` snapshot —
+    latest version per key wins, tombstones (``deleted`` rows) drop the key
+    (a later non-deleted version resurrects it).  The incremental-corpus
+    maintenance op (Delta/Iceberg MERGE shape): apply a day's re-crawl to a
+    100-TB snapshot without rebuilding it.
+
+    Both sides must share the schema (payload columns pass through);
+    ``(id, version)`` must be unique across the union — the kernel raises
+    on a violation rather than resolving ties nondeterministically.
+
+    SIZE-ROUTED (the pagerank discipline, routes pinned equal by pytest):
+
+    - delta row count ≤ ``broadcast_limit``: the resolved delta (its own
+      keep-max/tombstone merge runs driver-side on O(delta) rows) is
+      broadcast as an id set; base rows drop touched ids MAP-ONLY and the
+      delta survivors append as one extra block.  The base — the 100-TB
+      side — never shuffles.
+    - larger deltas: both sides union and co-shuffle ONCE on the id
+      (``bucketed_apply``); one vectorized sort + drop_duplicates +
+      tombstone filter per bucket.
+    """
+    payload = [c for c in base.schema().names
+               if c not in (id_col, version_col, deleted_col)]
+    out_cols = [id_col, version_col, *payload]
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        """Keep-max-version + tombstone drop; vectorized whole-frame."""
+        if len(g) and g.duplicated([id_col, version_col]).any():
+            raise ValueError(
+                f"upsert_merge: duplicate ({id_col}, {version_col}) rows")
+        g = (g.sort_values([id_col, version_col], kind="mergesort")
+             .drop_duplicates(id_col, keep="last"))
+        g = g[~g[deleted_col].to_numpy(dtype=bool)]
+        return g[out_cols].reset_index(drop=True)
+
+    if delta.count() <= broadcast_limit:
+        # Broadcast route, version-aware so it is keep-max like the
+        # co-shuffle route (not blind "delta wins"): the delta's per-id
+        # winner (max version, tombstones KEPT — a winning tombstone must
+        # suppress the base row) resolves driver-side on O(delta) rows;
+        # the base contributes only its rows for touched ids (collected
+        # via a broadcast semi filter — O(delta) rows, the stated bound).
+        dp = delta.to_pandas()
+        if len(dp) and dp.duplicated([id_col, version_col]).any():
+            raise ValueError(
+                f"upsert_merge: duplicate ({id_col}, {version_col}) rows")
+        win = (dp.sort_values([id_col, version_col], kind="mergesort")
+               .drop_duplicates(id_col, keep="last"))
+        wver = dict(zip(win[id_col].tolist(), win[version_col].tolist()))
+        bv = broadcast_semi_filter(
+            base.select_columns([id_col, version_col]),
+            set(wver), id_col, keep=True).to_pandas()
+        base_ver = dict(zip(bv[id_col].tolist(), bv[version_col].tolist()))
+        if any(base_ver[i] == v for i, v in wver.items() if i in base_ver):
+            raise ValueError(
+                f"upsert_merge: duplicate ({id_col}, {version_col}) rows")
+        # base rows lose iff the delta winner outranks them (map-only drop)
+        beaten = {i for i, v in wver.items() if v > base_ver.get(i, -v - 1)}
+        kept = broadcast_semi_filter(
+            base.map_batches(lambda df: df[out_cols], batch_format="pandas"),
+            beaten, id_col, keep=False)
+        add = win[(~win[deleted_col].to_numpy(dtype=bool))
+                  & win[id_col].isin(beaten).to_numpy()]
+        if len(add):
+            import ray.data as rd
+            return kept.union(rd.from_pandas(
+                add[out_cols].reset_index(drop=True)))
+        return kept
+
+    both = base.union(delta)
+    return bucketed_apply(both, [id_col], resolve, num_buckets)
