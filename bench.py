@@ -142,6 +142,7 @@ def main() -> None:
         "bm25_search": Q.q_bm25_search,
         "hybrid_search": Q.q_hybrid_search,
         "upsert_merge": Q.q_upsert_merge,
+        "rolling_active_users": Q.q_rolling_active_users,
         "knn_pq": Q.q_knn_pq,
         "knn_ivfpq": Q.q_knn_ivfpq,
         "bpe_stats": Q.q_bpe_stats,

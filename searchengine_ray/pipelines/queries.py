@@ -3585,6 +3585,30 @@ FROM v LEFT JOIN c ON v.user_id = c.user_id
 """
 
 
+def q_rolling_active_users(sf_dir: str):
+    """Rolling 7-day distinct active users per calendar day (WAU): exact
+    sliding COUNT(DISTINCT) via contribute-then-distinct — shuffle volume
+    is 7 × distinct (day, user) pairs, never the event count
+    (``stages/sessions.rolling_active_users``)."""
+    from searchengine_ray.stages.sessions import rolling_active_users
+
+    ds = _pq(sf_dir, "events", columns=["user_id", "ts"])
+    return rolling_active_users(ds, window_days=7)
+
+
+SQL_ROLLING_ACTIVE_USERS = """
+WITH du AS (SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day,
+                            user_id
+            FROM events),
+mx AS (SELECT max(day) AS m FROM du),
+ex AS (SELECT day + CAST(j AS INTEGER) AS rday, user_id
+       FROM du, generate_series(0, 6) AS t(j), mx
+       WHERE day + CAST(j AS INTEGER) <= mx.m)
+SELECT strftime(rday, '%Y-%m-%d') AS day, count(DISTINCT user_id) AS wau
+FROM ex GROUP BY rday
+"""
+
+
 def q_triangle_count(sf_dir: str):
     """Exact triangle count over the same closed deterministic doc graph
     pagerank uses — the third graph-analytics operator (pagerank,
@@ -4050,6 +4074,7 @@ QUERIES = {
     "bm25_search": q_bm25_search,
     "hybrid_search": q_hybrid_search,
     "upsert_merge": q_upsert_merge,
+    "rolling_active_users": q_rolling_active_users,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
@@ -4147,6 +4172,7 @@ ORACLE_SQL = {
     "bm25_search": SQL_BM25_SEARCH,
     "hybrid_search": SQL_HYBRID_SEARCH,
     "upsert_merge": SQL_UPSERT_MERGE,
+    "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,

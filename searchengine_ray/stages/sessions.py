@@ -185,3 +185,74 @@ def sliding_window_kernel(g: pd.DataFrame, win_us: int) -> pd.DataFrame:
         "cnt_1h": (hi - lo).astype(np.int64),
         "sum_value_1h": np.round(cs[hi] - cs[lo], 6),
     })
+
+
+def rolling_active_users(
+    ds: Dataset, window_days: int = 7,
+    key_col: str = "user_id", ts_col: str = "ts",
+) -> Dataset:
+    """Rolling W-day distinct active users per calendar day (the WAU/MAU
+    family): for every day d in the data's range, the number of distinct
+    keys with ≥ 1 event in [d − W + 1, d].
+
+    Exact sliding COUNT(DISTINCT) does not decompose into mergeable
+    per-window partials, so the scale shape is contribute-then-distinct:
+
+    1. map-only project to (day_idx, key) — int64 epoch days;
+    2. ``pre_aggregate`` by (day, key): map-side combine means the shuffle
+       carries per-batch-distinct pairs, not raw events;
+    3. map-only explode ×W — each active (day, key) contributes to the W
+       report days it keeps alive, clipped at the corpus max day (one
+       O(batches)-row scalar pre-pass);
+    4. ``pre_aggregate`` by (report_day, key) distinct, then by day count.
+
+    Shuffle volume is W × distinct(day, key) — the explode factor is the
+    window length, never the event count.  Report days before the first
+    event day + window never appear partially: day d reports whatever its
+    window covers of the data (leading days report a short window, by
+    definition of the metric)."""
+    from searchengine_ray.stages.relational import pre_aggregate
+
+    us_per_day = 86_400_000_000
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        day = (df[ts_col].to_numpy(dtype="datetime64[us]").astype(np.int64)
+               // us_per_day)
+        return pd.DataFrame({"day": day,
+                             key_col: df[key_col].to_numpy(dtype=np.int64)})
+
+    pairs = ds.map_batches(project, batch_format="pandas")
+
+    # scalar pre-pass: corpus max day (one row per batch to the driver)
+    def batch_max(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"m": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({"m": [int(df["day"].max())]})
+
+    mx = pairs.map_batches(batch_max, batch_format="pandas").to_pandas()
+    max_day = int(mx["m"].max())
+
+    distinct = pre_aggregate(pairs, ["day", key_col], {"n": (None, "count")})
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if not n:
+            return pd.DataFrame({"day": pd.Series([], dtype=np.int64),
+                                 key_col: pd.Series([], dtype=np.int64)})
+        rday = (np.repeat(df["day"].to_numpy(np.int64), window_days)
+                + np.tile(np.arange(window_days, dtype=np.int64), n))
+        keys = np.repeat(df[key_col].to_numpy(np.int64), window_days)
+        keep = rday <= max_day
+        return pd.DataFrame({"day": rday[keep], key_col: keys[keep]})
+
+    contrib = distinct.map_batches(explode, batch_format="pandas")
+    rd_distinct = pre_aggregate(contrib, ["day", key_col],
+                                {"n": (None, "count")})
+    wau = pre_aggregate(rd_distinct, ["day"], {"wau": (None, "count")})
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        days = pd.to_datetime(df["day"].to_numpy(np.int64), unit="D")
+        return pd.DataFrame({"day": days.strftime("%Y-%m-%d"),
+                             "wau": df["wau"].to_numpy(np.int64)})
+
+    return wau.map_batches(fmt, batch_format="pandas")

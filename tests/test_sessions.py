@@ -99,3 +99,69 @@ def test_funnel_stages_matches_brute_force(ray_session):
     assert set(want["stage"]) == {1, 2, 3}  # window binds non-vacuously
     pd.testing.assert_frame_equal(got.astype(np.int64),
                                   want.astype(np.int64))
+
+
+# --- rolling W-day distinct active users -------------------------------------
+
+
+def _wau_brute(events: pd.DataFrame, w: int) -> dict:
+    """Per report day (epoch-day int): distinct users in [d-w+1, d]."""
+    day = (events["ts"].to_numpy("datetime64[us]").astype(np.int64)
+           // 86_400_000_000)
+    users = events["user_id"].to_numpy(np.int64)
+    out = {}
+    for d in range(day.min(), day.max() + 1):
+        m = (day >= d - w + 1) & (day <= d)
+        if m.any():
+            out[d] = len(set(users[m].tolist()))
+    return out
+
+
+def test_rolling_active_users_brute(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.sessions import rolling_active_users
+
+    rng = np.random.RandomState(3)
+    n = 400
+    base = np.datetime64("2024-01-01", "us").astype(np.int64)
+    ev = pd.DataFrame({
+        "user_id": rng.randint(0, 12, n).astype(np.int64),
+        "ts": (base + rng.randint(0, 25 * 86_400_000_000, n)
+               .astype(np.int64)).astype("datetime64[us]")})
+    got = (rolling_active_users(rd.from_pandas(ev).repartition(4),
+                                window_days=7)
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    want = _wau_brute(ev, 7)
+    got_map = {np.datetime64(d, "D").astype(np.int64): int(w)
+               for d, w in zip(pd.to_datetime(got["day"]).to_numpy(
+                   "datetime64[D]"), got["wau"])}
+    assert got_map == want
+    # the window must BIND: a 1-day window gives a different curve
+    got1 = rolling_active_users(rd.from_pandas(ev).repartition(4),
+                                window_days=1).to_pandas()
+    assert not got1.set_index("day")["wau"].equals(
+        got.set_index("day")["wau"])
+
+
+def test_rolling_window_edges(ray_session):
+    """One user active on day 0 only: alive for report days 0..6, absent
+    from day 7 on; max-day clipping keeps phantom trailing days out."""
+    import ray.data as rd
+
+    from searchengine_ray.stages.sessions import rolling_active_users
+
+    base = np.datetime64("2024-03-01", "us").astype(np.int64)
+    day_us = 86_400_000_000
+    ev = pd.DataFrame({
+        "user_id": np.array([1, 1, 2], dtype=np.int64),  # dup same day
+        "ts": np.array([base + 1, base + 2,
+                        base + 9 * day_us], dtype=np.int64)
+        .astype("datetime64[us]")})
+    out = rolling_active_users(rd.from_pandas(ev), window_days=7).to_pandas()
+    m = dict(zip(out["day"], out["wau"]))
+    assert m["2024-03-01"] == 1 and m["2024-03-07"] == 1  # user 1 alive
+    assert "2024-03-08" not in m  # gap day: nobody active in its window
+    assert m["2024-03-10"] == 1  # user 2's day
+    # no report days past the last event day
+    assert max(out["day"]) == "2024-03-10"
