@@ -3523,6 +3523,43 @@ SELECT item_a, item_b, n_users FROM pairs WHERE n_users >= 5
 """
 
 
+def q_item_transitions(sf_dir: str):
+    """Next-item transition counts (Markov-chain edges over per-user event
+    sequences — the session-model training input): items from the shared
+    ``props.k`` JSON parse, sequences ordered by (ts, event_id), adjacent
+    pairs counted.  ONE user co-shuffle + one vectorized shifted-compare
+    kernel per bucket (``stages/sessions.item_transitions``); output is
+    item-vocabulary² bounded."""
+    import json
+
+    from searchengine_ray.stages.sessions import item_transitions
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts", "props"])
+
+    def parse(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "ts_us": df["ts"].to_numpy("datetime64[us]").astype(np.int64),
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "item": np.fromiter((json.loads(p)["k"] for p in df["props"]),
+                                dtype=np.int64, count=len(df))})
+
+    return item_transitions(ds.map_batches(parse, batch_format="pandas"))
+
+
+SQL_ITEM_TRANSITIONS = """
+WITH e AS (SELECT user_id, ts, event_id,
+                  CAST(json_extract(props, '$.k') AS BIGINT) AS item
+           FROM events),
+t AS (SELECT item,
+             lead(item) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS next_item
+      FROM e)
+SELECT item, next_item, count(*) AS n
+FROM t WHERE next_item IS NOT NULL GROUP BY item, next_item
+"""
+
+
 def q_funnel_stages(sf_dir: str):
     """Ordered-funnel analysis (view → click → purchase, each step within
     a 48 h conversion window of the previous) — the product-analytics
@@ -4075,6 +4112,7 @@ QUERIES = {
     "hybrid_search": q_hybrid_search,
     "upsert_merge": q_upsert_merge,
     "rolling_active_users": q_rolling_active_users,
+    "item_transitions": q_item_transitions,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
@@ -4173,6 +4211,7 @@ ORACLE_SQL = {
     "hybrid_search": SQL_HYBRID_SEARCH,
     "upsert_merge": SQL_UPSERT_MERGE,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
+    "item_transitions": SQL_ITEM_TRANSITIONS,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,

@@ -256,3 +256,39 @@ def rolling_active_users(
                              "wau": df["wau"].to_numpy(np.int64)})
 
     return wau.map_batches(fmt, batch_format="pandas")
+
+
+def item_transitions(
+    ds: Dataset, item_col: str = "item",
+    key_col: str = "user_id", ts_col: str = "ts_us",
+    seq_col: str = "event_id",
+) -> Dataset:
+    """Consecutive-event transition counts (the next-item / Markov-chain
+    construction recommenders and session models train on): for every key's
+    event sequence ordered by (ts, seq tiebreak), count (item → next item)
+    over adjacent pairs.  The LEAD/LAG window extraction, distributed.
+
+    ONE co-shuffle by key (every key's events land whole in one bucket);
+    the bucket kernel is a single sort + shifted-compare — ``next`` comes
+    from ``item[1:]`` masked to same-key adjacency, no per-key Python.
+    Counts reduce through ``pre_aggregate`` (output is item-vocabulary²
+    bounded, not event bounded)."""
+    from searchengine_ray.stages.relational import bucketed_apply, pre_aggregate
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({item_col: pd.Series([], dtype=np.int64),
+                              "next_item": pd.Series([], dtype=np.int64)})
+        if len(g) < 2:
+            return empty
+        g = g.sort_values([key_col, ts_col, seq_col], kind="mergesort")
+        u = g[key_col].to_numpy(np.int64)
+        it = g[item_col].to_numpy(np.int64)
+        same = u[1:] == u[:-1]
+        if not same.any():
+            return empty
+        return pd.DataFrame({item_col: it[:-1][same],
+                             "next_item": it[1:][same]})
+
+    pairs = bucketed_apply(ds, [key_col], per_bucket)
+    return pre_aggregate(pairs, [item_col, "next_item"],
+                         {"n": (None, "count")})

@@ -165,3 +165,46 @@ def test_rolling_window_edges(ray_session):
     assert m["2024-03-10"] == 1  # user 2's day
     # no report days past the last event day
     assert max(out["day"]) == "2024-03-10"
+
+
+# --- item transitions (next-item Markov edges) --------------------------------
+
+
+def test_item_transitions_brute(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.sessions import item_transitions
+
+    rng = np.random.RandomState(11)
+    n = 300
+    ev = pd.DataFrame({
+        "user_id": rng.randint(0, 9, n).astype(np.int64),
+        "ts_us": rng.randint(0, 10_000, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "item": rng.randint(0, 6, n).astype(np.int64)})
+    got = (item_transitions(rd.from_pandas(ev).repartition(5))
+           .to_pandas().sort_values(["item", "next_item"])
+           .reset_index(drop=True))
+    # brute force: per user sort by (ts, event_id), adjacent pairs
+    want: dict = {}
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_us", "event_id"])
+        for a, b in zip(g["item"].to_numpy()[:-1], g["item"].to_numpy()[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    got_map = {(r.item, r.next_item): r.n for r in got.itertuples()}
+    assert got_map == want
+    assert got["n"].sum() == sum(len(g) - 1 for _, g in ev.groupby("user_id"))
+
+
+def test_item_transitions_single_event_users(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.sessions import item_transitions
+
+    ev = pd.DataFrame({
+        "user_id": np.array([1, 2, 3], dtype=np.int64),
+        "ts_us": np.array([5, 5, 5], dtype=np.int64),
+        "event_id": np.array([0, 1, 2], dtype=np.int64),
+        "item": np.array([4, 4, 4], dtype=np.int64)})
+    out = item_transitions(rd.from_pandas(ev)).to_pandas()
+    assert len(out) == 0  # no adjacency within any single-event user
