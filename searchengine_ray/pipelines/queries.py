@@ -3860,6 +3860,27 @@ SELECT doc_id, version, text FROM m WHERE rn = 1 AND NOT deleted
 # --- 31f. table profiling (stages/profile.py) --------------------------------
 
 
+def q_value_histogram(sf_dir: str):
+    """20-bin value histogram per event type (the distribution profile
+    min/max can't show): global [lo, hi] from a scalar pass, map-side
+    binify + per-batch combine, ONE pre-aggregate — shuffle carries
+    ≤ groups × bins rows per batch (``stages/profile.grouped_histogram``)."""
+    from searchengine_ray.stages.profile import grouped_histogram
+
+    ds = _pq(sf_dir, "events", columns=["event_type", "value"])
+    return grouped_histogram(ds, "event_type", "value", bins=20)
+
+
+SQL_VALUE_HISTOGRAM = """
+WITH s AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT event_type,
+       CAST(least(floor((value - lo) * 20.0 / (hi - lo)), 19) AS BIGINT)
+         AS bin,
+       count(*) AS n
+FROM events, s GROUP BY event_type, bin
+"""
+
+
 def q_table_profile(sf_dir: str):
     """Per-column profile of lineitem (rows / nulls / distincts / typed
     min-max): counts and extremes from per-batch scalar partials; exact
@@ -4113,6 +4134,7 @@ QUERIES = {
     "upsert_merge": q_upsert_merge,
     "rolling_active_users": q_rolling_active_users,
     "item_transitions": q_item_transitions,
+    "value_histogram": q_value_histogram,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
@@ -4212,6 +4234,7 @@ ORACLE_SQL = {
     "upsert_merge": SQL_UPSERT_MERGE,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     "item_transitions": SQL_ITEM_TRANSITIONS,
+    "value_histogram": SQL_VALUE_HISTOGRAM,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,

@@ -91,3 +91,43 @@ def table_profile(ds: Dataset, columns: list[str]) -> Dataset:
     import ray.data as rd
 
     return rd.from_pandas(pd.DataFrame(out_rows))
+
+
+def grouped_histogram(
+    ds: Dataset, group_col: str, value_col: str, bins: int = 20,
+) -> Dataset:
+    """Fixed-bin value histogram PER GROUP — the distribution profile
+    table_profile's min/max can't show (skew, modality, outlier mass).
+
+    Two streaming passes, zero data-row driver traffic:
+    1. global [lo, hi] from per-batch scalar partials (one row per batch);
+    2. map-side binify + per-batch combine, reduced through ONE
+       ``pre_aggregate`` — the shuffle carries ≤ groups × bins rows per
+       batch, never events.
+
+    bin = min(floor((v − lo) · bins / (hi − lo)), bins − 1), evaluated in
+    the same operation order as the SQL mirror so both sides floor the
+    same doubles.  Degenerate hi == lo puts everything in bin 0."""
+
+    def batch_extent(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"lo": pd.Series([], dtype=np.float64),
+                                 "hi": pd.Series([], dtype=np.float64)})
+        v = df[value_col].to_numpy(np.float64)
+        return pd.DataFrame({"lo": [float(v.min())], "hi": [float(v.max())]})
+
+    ext = ds.map_batches(batch_extent, batch_format="pandas").to_pandas()
+    lo, hi = float(ext["lo"].min()), float(ext["hi"].max())
+    span = hi - lo
+
+    def binify(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(np.float64)
+        if span > 0:
+            b = np.minimum(np.floor((v - lo) * float(bins) / span),
+                           bins - 1).astype(np.int64)
+        else:
+            b = np.zeros(len(df), dtype=np.int64)
+        return pd.DataFrame({group_col: df[group_col], "bin": b})
+
+    binned = ds.map_batches(binify, batch_format="pandas")
+    return pre_aggregate(binned, [group_col, "bin"], {"n": (None, "count")})

@@ -39,3 +39,45 @@ def test_table_profile_all_null_column(ray_session):
     assert out.loc["a", "n_null"] == 2
     assert out.loc["a", "n_distinct"] == 0
     assert out.loc["a", "min_v"] is None
+
+
+# --- grouped histogram --------------------------------------------------------
+
+
+def test_grouped_histogram_brute(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from searchengine_ray.stages.profile import grouped_histogram
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"g": rng.choice(["a", "b", "c"], 500),
+                       "v": rng.uniform(-3.0, 7.0, 500)})
+    # plant exact extremes so the max-value clamp path is exercised
+    df.loc[0, "v"], df.loc[1, "v"] = -3.0, 7.0
+    got = (grouped_histogram(rd.from_pandas(df).repartition(4), "g", "v",
+                             bins=10)
+           .to_pandas().sort_values(["g", "bin"]).reset_index(drop=True))
+    lo, hi = df["v"].min(), df["v"].max()
+    b = np.minimum(np.floor((df["v"].to_numpy() - lo) * 10.0 / (hi - lo)),
+                   9).astype(np.int64)
+    want = (pd.DataFrame({"g": df["g"], "bin": b})
+            .groupby(["g", "bin"]).size().reset_index(name="n"))
+    got_map = {(r.g, r.bin): r.n for r in got.itertuples()}
+    want_map = {(r.g, r.bin): r.n for r in want.itertuples()}
+    assert got_map == want_map
+    assert got["bin"].max() == 9 and got["bin"].min() == 0
+    assert got["n"].sum() == 500
+
+
+def test_grouped_histogram_degenerate(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from searchengine_ray.stages.profile import grouped_histogram
+
+    df = pd.DataFrame({"g": ["x"] * 8, "v": np.full(8, 2.5)})
+    out = grouped_histogram(rd.from_pandas(df), "g", "v", bins=4).to_pandas()
+    assert len(out) == 1 and out["bin"].item() == 0 and out["n"].item() == 8
