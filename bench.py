@@ -145,6 +145,7 @@ def main() -> None:
         "rolling_active_users": Q.q_rolling_active_users,
         "item_transitions": Q.q_item_transitions,
         "value_histogram": Q.q_value_histogram,
+        "skew_join": Q.q_skew_join,
         "knn_pq": Q.q_knn_pq,
         "knn_ivfpq": Q.q_knn_ivfpq,
         "bpe_stats": Q.q_bpe_stats,

@@ -31,7 +31,8 @@ import time
 
 sys.path.insert(0, ".")
 
-ONLY = set(os.environ.get("GRAFT_ONLY", "upsert,wau,transitions").split(","))
+ONLY = set(os.environ.get("GRAFT_ONLY",
+                          "upsert,wau,transitions,skew").split(","))
 UPSERT_N = int(os.environ.get("GRAFT_UPSERT_N", "2000000"))
 EVENTS_N = int(os.environ.get("GRAFT_EVENTS_N", "2000000"))
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -164,6 +165,63 @@ def _transitions() -> None:
     }
 
 
+def _skew() -> None:
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from searchengine_ray.stages.relational import hash_join, skew_join
+
+    n = EVENTS_N
+    n_keys = 50_000
+
+    def mk_left(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["id"].to_numpy(np.int64)
+        rng = np.random.default_rng(ids[0] if len(ids) else 0)
+        k = rng.integers(1, n_keys, len(ids)).astype(np.int64)
+        k[ids % 4 == 0] = 0  # one mega key holds 25% of all rows
+        return pd.DataFrame({"k": k, "event_id": ids,
+                             "v": rng.uniform(0, 1, len(ids))})
+
+    left = (rd.range(n).map_batches(mk_left, batch_format="pandas",
+                                    batch_size=65536).materialize())
+    right = rd.from_pandas(pd.DataFrame({
+        "k": np.arange(n_keys, dtype=np.int64),
+        "seg": np.arange(n_keys, dtype=np.int64) % 7})).materialize()
+
+    t0 = time.perf_counter()
+    c_plain = hash_join(left, right, "k").count()
+    t1 = time.perf_counter()
+    c_skew = skew_join(left, right, "k", hot_count=n // 20).count()
+    t2 = time.perf_counter()
+    assert c_plain == c_skew == n, (c_plain, c_skew, n)
+
+    # The structural metric: the largest row count any ONE reduce task
+    # must co-locate.  Wall time on a single node understates the skew
+    # cost (a 4M-row vectorized pandas merge is cheap; on a cluster the
+    # hot bucket is a per-worker heap bound and, at 10^9-row hot keys, an
+    # OOM).  Exact per-bucket totals from the O(keys) count table.
+    from searchengine_ray.stages.relational import (_hash_bucket,
+                                                    default_num_buckets,
+                                                    pre_aggregate)
+    kc = pre_aggregate(left.select_columns(["k"]), ["k"],
+                       {"n": (None, "count")}).to_pandas()
+    kc["_b"] = _hash_bucket(kc, ["k"], default_num_buckets())
+    per_bucket = kc.groupby("_b")["n"].sum()
+    hot_thresh = n // 20
+    cold_per_bucket = (kc[kc["n"] < hot_thresh].groupby("_b")["n"].sum())
+    out["skew"] = {
+        "left_rows": n, "hot_share": 0.25, "dim_rows": n_keys,
+        "hash_join_s": round(t1 - t0, 2),
+        "skew_join_s": round(t2 - t1, 2),
+        "speedup": round((t1 - t0) / (t2 - t1), 2),
+        "max_bucket_rows_plain": int(per_bucket.max()),
+        "max_bucket_rows_skew_cold": int(cold_per_bucket.max()),
+        "colocate_reduction": round(
+            float(per_bucket.max()) / float(cold_per_bucket.max()), 1),
+    }
+
+
 if __name__ == "__main__":
     import ray
 
@@ -179,5 +237,7 @@ if __name__ == "__main__":
         _wau()
     if "transitions" in ONLY:
         _transitions()
+    if "skew" in ONLY:
+        _skew()
     ray.shutdown()
     print(json.dumps(out))

@@ -3523,6 +3523,50 @@ SELECT item_a, item_b, n_users FROM pairs WHERE n_users >= 5
 """
 
 
+def q_skew_join(sf_dir: str):
+    """Skew-aware join (``stages/relational.skew_join``): left = events
+    with a planted mega-key (users divisible by 3 collapse into user 0 —
+    the CASE is mirrored in SQL), right = the distinct-user dim derived
+    from the same remap.  ``hot_count=100`` makes the hot path bind at
+    every SF (user 0 holds ~⅓ of all events) while most users stay cold —
+    so the gate proves BOTH routes and their union.  Left is materialized
+    once: skew_join consumes it three times (count pass, cold path, hot
+    probe) and Ray re-executes shared lazy sub-plans per consumer."""
+    from searchengine_ray.stages.relational import pre_aggregate, skew_join
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def remap(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": np.where(u % 3 == 0, 0, u),
+            "value": df["value"].to_numpy(np.float64)})
+
+    left = ds.map_batches(remap, batch_format="pandas").materialize()
+    users = pre_aggregate(left.select_columns(["user_id"]), ["user_id"],
+                          {"n": (None, "count")})
+
+    def to_dim(df: pd.DataFrame) -> pd.DataFrame:
+        u = df["user_id"].to_numpy(np.int64)
+        return pd.DataFrame({"user_id": u, "seg": u % 7})
+
+    right = users.map_batches(to_dim, batch_format="pandas")
+    return skew_join(left, right, "user_id", hot_count=100)
+
+
+SQL_SKEW_JOIN = """
+WITH l AS (SELECT event_id,
+                  CASE WHEN user_id % 3 = 0 THEN 0 ELSE user_id END
+                    AS user_id,
+                  value
+           FROM events),
+r AS (SELECT DISTINCT user_id, user_id % 7 AS seg FROM l)
+SELECT l.event_id, l.user_id, l.value, r.seg
+FROM l JOIN r USING (user_id)
+"""
+
+
 def q_item_transitions(sf_dir: str):
     """Next-item transition counts (Markov-chain edges over per-user event
     sequences — the session-model training input): items from the shared
@@ -4135,6 +4179,7 @@ QUERIES = {
     "rolling_active_users": q_rolling_active_users,
     "item_transitions": q_item_transitions,
     "value_histogram": q_value_histogram,
+    "skew_join": q_skew_join,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
@@ -4235,6 +4280,7 @@ ORACLE_SQL = {
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,
     "item_transitions": SQL_ITEM_TRANSITIONS,
     "value_histogram": SQL_VALUE_HISTOGRAM,
+    "skew_join": SQL_SKEW_JOIN,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,

@@ -607,3 +607,81 @@ def upsert_merge(
 
     both = base.union(delta)
     return bucketed_apply(both, [id_col], resolve, num_buckets)
+
+
+def skew_join(
+    left: Dataset,
+    right: Dataset,
+    on: str,
+    hot_count: int = 100_000,
+    num_buckets: int | None = None,
+    broadcast_cap: int = 5_000_000,
+) -> Dataset:
+    """Skew-aware INNER join of two large sides — the hot-key answer to
+    the one problem ``hash_join`` documents away ("skewed keys: ... salt
+    the hot key upstream"): a power key with 10^8 left rows lands whole in
+    ONE reduce bucket of a partitioned hash join, serializing the join on
+    a single task while the rest of the cluster idles.
+
+    1. hot-key detect: per-key LEFT counts through ``pre_aggregate``
+       (map-side combine ⇒ the count shuffle carries per-batch-distinct
+       keys); keys with ≥ ``hot_count`` rows pull to the driver —
+       provably ≤ left_rows / hot_count of them.
+    2. COLD rows (both sides filtered map-side against the broadcast hot
+       set): normal ``hash_join``, now with < hot_count rows per key per
+       bucket by construction.
+    3. HOT rows: the right side's hot-key rows collect once (bounded —
+       few hot keys × the right side's per-key multiplicity; a
+       ``broadcast_cap`` overflow raises rather than OOMs the driver) and
+       ``ray.put`` once; every left batch then inner-merges MAP-ONLY.
+       Hot keys never enter an exchange: their join work spreads across
+       all map tasks instead of one reduce bucket.
+
+    Output ≡ ``hash_join(left, right, on)`` (inner; left columns then
+    right-minus-collisions, same kernel dtypes) — pinned by tests.  Keys
+    must be non-null (the hash_join contract)."""
+    if num_buckets is None:
+        num_buckets = default_num_buckets()
+
+    counts = pre_aggregate(left.select_columns([on]), [on],
+                           {"n": (None, "count")})
+
+    def hot_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["n"] >= hot_count][[on]]
+
+    hot = counts.map_batches(hot_only, batch_format="pandas").to_pandas()
+    # an all-empty filter result loses its schema (RangeIndex columns)
+    hot_keys = (set(hot[on].tolist())
+                if len(hot) and on in hot.columns else set())
+    if not hot_keys:
+        return hash_join(left, right, on, num_buckets=num_buckets)
+
+    cold = hash_join(
+        broadcast_semi_filter(left, hot_keys, on, keep=False),
+        broadcast_semi_filter(right, hot_keys, on, keep=False),
+        on, num_buckets=num_buckets)
+
+    l_names = list(left.schema().names)
+    r_names = [on] + [n for n in right.schema().names
+                      if n != on and n not in l_names]
+    hot_r_raw = broadcast_semi_filter(right, hot_keys, on,
+                                      keep=True).to_pandas()
+    if not len(hot_r_raw):
+        # no right rows for any hot key: inner semantics drop every hot
+        # left row, so the hot path contributes nothing
+        return cold
+    hot_r = hot_r_raw[r_names]
+    if len(hot_r) > broadcast_cap:
+        raise ValueError(
+            f"skew_join: {len(hot_r)} hot right rows exceed broadcast_cap="
+            f"{broadcast_cap}; both sides are hot-heavy — raise hot_count "
+            "or pre-aggregate the right side")
+    hot_ref = ray.put(hot_r)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        # inner merge against the broadcast hot rows: cold-key left rows
+        # fall out here, so no pre-filter pass over the left is needed
+        return df[l_names].merge(ray.get(hot_ref), on=on, how="inner")
+
+    hot_out = left.map_batches(probe, batch_format="pandas")
+    return cold.union(hot_out)

@@ -170,3 +170,84 @@ def test_broadcast_interval_join_validation(ray_session):
         broadcast_interval_join(
             facts, pd.DataFrame({"lo": [0.0], "hi": [9.0],
                                  "v": ["clash"]}), "v")
+
+
+# --- skew_join ----------------------------------------------------------------
+
+
+def _skew_frames(seed=13, n=2000, hot_frac=0.4):
+    rng = np.random.RandomState(seed)
+    n_hot = int(n * hot_frac)
+    keys = np.concatenate([np.zeros(n_hot, np.int64),          # mega key
+                           rng.randint(1, 60, n - n_hot)])
+    left = pd.DataFrame({"k": keys,
+                         "event_id": np.arange(n, dtype=np.int64),
+                         "v": rng.uniform(0, 10, n)})
+    right = pd.DataFrame({"k": np.arange(60, dtype=np.int64),
+                          "seg": (np.arange(60, dtype=np.int64) % 7)})
+    return left, right
+
+
+def _sorted(df):
+    return (df.sort_values(list(df.columns)).reset_index(drop=True)
+            [sorted(df.columns)])
+
+
+def test_skew_join_equals_hash_join(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.relational import hash_join, skew_join
+
+    lf, rf = _skew_frames()
+    left = rd.from_pandas(lf).repartition(6).materialize()
+    right = rd.from_pandas(rf).repartition(2).materialize()
+    want = _sorted(hash_join(left, right, "k").to_pandas())
+    got = _sorted(skew_join(left, right, "k", hot_count=100).to_pandas())
+    pd.testing.assert_frame_equal(got, want)
+    # the hot path must have bound: key 0 exceeds hot_count by construction
+    assert (lf["k"] == 0).sum() >= 100
+    # and an unmatched hot key must not fabricate rows
+    assert set(got["k"]) <= set(rf["k"])
+
+
+def test_skew_join_no_hot_keys_fallback(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.relational import hash_join, skew_join
+
+    lf, rf = _skew_frames(n=300, hot_frac=0.0)
+    left = rd.from_pandas(lf).repartition(3).materialize()
+    right = rd.from_pandas(rf).materialize()
+    got = _sorted(skew_join(left, right, "k", hot_count=10**9).to_pandas())
+    want = _sorted(hash_join(left, right, "k").to_pandas())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_skew_join_broadcast_cap_raises(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.relational import skew_join
+
+    lf, rf = _skew_frames()
+    # right side carries many rows for the hot key -> over a tiny cap
+    rf_big = pd.concat([rf] + [pd.DataFrame({
+        "k": np.zeros(50, np.int64),
+        "seg": np.arange(50, dtype=np.int64)})], ignore_index=True)
+    with pytest.raises(ValueError, match="broadcast_cap"):
+        skew_join(rd.from_pandas(lf).materialize(),
+                  rd.from_pandas(rf_big).materialize(),
+                  "k", hot_count=100, broadcast_cap=10)
+
+
+def test_skew_join_hot_key_missing_from_right(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.relational import skew_join
+
+    lf, rf = _skew_frames()
+    rf2 = rf[rf["k"] != 0]  # drop the mega key's dim row
+    got = skew_join(rd.from_pandas(lf).materialize(),
+                    rd.from_pandas(rf2).materialize(),
+                    "k", hot_count=100).to_pandas()
+    assert 0 not in set(got["k"])  # inner semantics hold on the hot path
+    assert len(got) == int((lf["k"] != 0).sum())
