@@ -146,6 +146,7 @@ def main() -> None:
         "item_transitions": Q.q_item_transitions,
         "value_histogram": Q.q_value_histogram,
         "skew_join": Q.q_skew_join,
+        "user_trend": Q.q_user_trend,
         "knn_pq": Q.q_knn_pq,
         "knn_ivfpq": Q.q_knn_ivfpq,
         "bpe_stats": Q.q_bpe_stats,

@@ -3523,6 +3523,77 @@ SELECT item_a, item_b, n_users FROM pairs WHERE n_users >= 5
 """
 
 
+def q_user_trend(sf_dir: str):
+    """Per-user value trend (least-squares slope + intercept over time) —
+    the ALGEBRAIC-aggregate family beyond sum/min/max: the five moments
+    (n, Σx, Σy, Σxy, Σx²) are exactly mergeable, so the whole regression
+    is ONE ``pre_aggregate`` pass; slope/intercept are map-side arithmetic
+    on the O(users) aggregate.  x is centered to days-since-corpus-min
+    (one scalar pre-pass) BEFORE squaring — raw epoch-µs x² at ~1e36
+    would drown float64 and make nΣx²−(Σx)² pure cancellation noise.
+    The SQL mirrors the identical sum formula (NOT regr_slope, whose
+    Welford-style internals differ in ulps beyond the rounding margin);
+    remaining sum-order ulps are ~1e-11 relative vs the 5e-7 round-6
+    margin (the decayed_engagement discipline)."""
+    from searchengine_ray.stages.relational import pre_aggregate
+
+    ds = _pq(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def bmin(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"m": pd.Series([], dtype=np.int64)})
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({"m": [int(ts.min())]})
+
+    t0 = int(ds.map_batches(bmin, batch_format="pandas")
+             .to_pandas()["m"].min())
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        x = (ts - t0) / 86400e6
+        y = df["value"].to_numpy(np.float64)
+        return pd.DataFrame({"user_id": df["user_id"].to_numpy(np.int64),
+                             "x": x, "y": y, "xy": x * y, "xx": x * x})
+
+    agg = pre_aggregate(ds.map_batches(project, batch_format="pandas"),
+                        ["user_id"],
+                        {"n": (None, "count"), "sx": ("x", "sum"),
+                         "sy": ("y", "sum"), "sxy": ("xy", "sum"),
+                         "sxx": ("xx", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df["n"] >= 2]
+        n = df["n"].to_numpy(np.float64)
+        sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+        sxy, sxx = df["sxy"].to_numpy(), df["sxx"].to_numpy()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "n": df["n"].to_numpy(np.int64),
+            "slope": np.round(slope, 6),
+            "intercept": np.round((sy - slope * sx) / n, 6)})
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_USER_TREND = """
+WITH t0 AS (SELECT min(epoch_us(ts)) AS m FROM events),
+p AS (SELECT user_id,
+             (epoch_us(ts) - t0.m) / 86400000000.0 AS x,
+             value AS y
+      FROM events, t0),
+a AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x*y) AS sxy, sum(x*x) AS sxx
+      FROM p GROUP BY user_id HAVING count(*) >= 2)
+SELECT user_id, n,
+       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+       round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6)
+         AS intercept
+FROM a
+"""
+
+
 def q_skew_join(sf_dir: str):
     """Skew-aware join (``stages/relational.skew_join``): left = events
     with a planted mega-key (users divisible by 3 collapse into user 0 —
@@ -4180,6 +4251,7 @@ QUERIES = {
     "item_transitions": q_item_transitions,
     "value_histogram": q_value_histogram,
     "skew_join": q_skew_join,
+    "user_trend": q_user_trend,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
@@ -4281,6 +4353,7 @@ ORACLE_SQL = {
     "item_transitions": SQL_ITEM_TRANSITIONS,
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "skew_join": SQL_SKEW_JOIN,
+    "user_trend": SQL_USER_TREND,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,

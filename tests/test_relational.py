@@ -251,3 +251,50 @@ def test_skew_join_hot_key_missing_from_right(ray_session):
                     "k", hot_count=100).to_pandas()
     assert 0 not in set(got["k"])  # inner semantics hold on the hot path
     assert len(got) == int((lf["k"] != 0).sum())
+
+
+# --- grouped regression (q_user_trend) -----------------------------------------
+
+
+def test_user_trend_matches_polyfit(ray_session):
+    """Engine slope/intercept per user ≡ np.polyfit on the same centered
+    x — the distributed moment sums must agree with the direct fit."""
+    from searchengine_ray.pipelines.queries import q_user_trend
+
+    sf = "/root/testdata/sf0.001"
+    got = q_user_trend(sf).to_pandas().set_index("user_id")
+
+    ev = pd.read_parquet(f"{sf}/events.parquet",
+                         columns=["user_id", "ts", "value"])
+    t0 = ev["ts"].to_numpy("datetime64[us]").astype(np.int64).min()
+    ev["x"] = (ev["ts"].to_numpy("datetime64[us]").astype(np.int64)
+               - t0) / 86400e6
+    assert len(got) == ev["user_id"].nunique()
+    for uid, g in ev.groupby("user_id"):
+        if len(g) < 2:
+            continue
+        sl, ic = np.polyfit(g["x"].to_numpy(), g["value"].to_numpy(), 1)
+        assert abs(got.loc[uid, "slope"] - sl) < 1e-5, uid
+        assert abs(got.loc[uid, "intercept"] - ic) < 1e-4, uid
+        assert got.loc[uid, "n"] == len(g)
+
+
+def test_user_trend_exact_line(ray_session):
+    """Points exactly on y = 3x + 2 recover slope 3, intercept 2."""
+    import ray.data as rd
+
+    from searchengine_ray.stages.relational import pre_aggregate
+
+    x = np.array([0.0, 1.0, 2.0, 5.0])
+    df = pd.DataFrame({"user_id": np.zeros(4, np.int64),
+                       "x": x, "y": 3.0 * x + 2.0,
+                       "xy": x * (3.0 * x + 2.0), "xx": x * x})
+    agg = pre_aggregate(rd.from_pandas(df).repartition(2), ["user_id"],
+                        {"n": (None, "count"), "sx": ("x", "sum"),
+                         "sy": ("y", "sum"), "sxy": ("xy", "sum"),
+                         "sxx": ("xx", "sum")}).to_pandas()
+    n, sx, sy = float(agg["n"][0]), agg["sx"][0], agg["sy"][0]
+    sxy, sxx = agg["sxy"][0], agg["sxx"][0]
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert slope == 3.0
+    assert (sy - slope * sx) / n == 2.0
