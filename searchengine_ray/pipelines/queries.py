@@ -3972,6 +3972,56 @@ SELECT doc_id, version, text FROM m WHERE rn = 1 AND NOT deleted
 """
 
 
+# --- 31e3. small-file compaction (sources/compact.py) ------------------------
+
+_COMPACT_DIR = "/tmp/graft_scratch/compact"
+
+
+def q_compact_small_files(sf_dir: str):
+    """Lakehouse OPTIMIZE round-trip: the documents table is written as
+    ~48 small per-block files, compacted into ~1 MiB bin-packed files
+    (one distributed rewrite task per group, driver holds only the
+    listing), and the result aggregates FROM THE COMPACTED BYTES — so the
+    gate proves the rewritten files, not the in-memory pipeline (the
+    resumable_sink discipline).  File-count reduction, content equality
+    and determinism are pinned by tests/test_compact.py."""
+    import shutil
+
+    from searchengine_ray.sources.compact import compact_files
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    in_dir = f"{_COMPACT_DIR}/{tag}/in"
+    out_dir = f"{_COMPACT_DIR}/{tag}/out"
+    for d in (in_dir, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(d, exist_ok=True)
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    ds.repartition(48).write_parquet(in_dir)
+    compact_files(in_dir, out_dir, target_bytes=1 << 20)
+
+    compacted = rd.read_parquet(out_dir)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": df["source"],
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "len": df["text"].str.len().to_numpy(np.int64)})
+
+    return pre_aggregate(
+        compacted.map_batches(project, batch_format="pandas"), ["source"],
+        {"n_docs": (None, "count"), "sum_len": ("len", "sum"),
+         "min_doc": ("doc_id", "min"), "max_doc": ("doc_id", "max")})
+
+
+SQL_COMPACT_SMALL_FILES = """
+SELECT source, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_len,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents GROUP BY source
+"""
+
+
 # --- 31f. table profiling (stages/profile.py) --------------------------------
 
 
@@ -4252,6 +4302,7 @@ QUERIES = {
     "value_histogram": q_value_histogram,
     "skew_join": q_skew_join,
     "user_trend": q_user_trend,
+    "compact_small_files": q_compact_small_files,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
@@ -4354,6 +4405,7 @@ ORACLE_SQL = {
     "value_histogram": SQL_VALUE_HISTOGRAM,
     "skew_join": SQL_SKEW_JOIN,
     "user_trend": SQL_USER_TREND,
+    "compact_small_files": SQL_COMPACT_SMALL_FILES,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,
