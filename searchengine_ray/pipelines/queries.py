@@ -3523,6 +3523,49 @@ SELECT item_a, item_b, n_users FROM pairs WHERE n_users >= 5
 """
 
 
+def q_stream_join(sf_dir: str):
+    """Stream-stream bounded-time join: every (click, purchase) pair of
+    the same user with the purchase in (click_ts, click_ts + 1 h] — the
+    attribution join whose time bound is what makes streaming state
+    finite.  Map-side filter to the two event types (shuffle volume =
+    their share of the log), ONE user co-shuffle, searchsorted range +
+    repeat/arange pair explode per bucket
+    (``stages/sessions.windowed_pair_join``)."""
+    from searchengine_ray.stages.sessions import windowed_pair_join
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+
+    def pick(tp: str):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            m = (df["event_type"] == tp).to_numpy()
+            return pd.DataFrame({
+                "user_id": df["user_id"].to_numpy(np.int64)[m],
+                "ts_us": df["ts"].to_numpy("datetime64[us]")
+                .astype(np.int64)[m],
+                "event_id": df["event_id"].to_numpy(np.int64)[m]})
+        return fn
+
+    clicks = ds.map_batches(pick("click"), batch_format="pandas")
+    purchases = ds.map_batches(pick("purchase"), batch_format="pandas")
+    out = windowed_pair_join(clicks, purchases, window_us=3_600_000_000)
+    return out.map_batches(
+        lambda df: df.rename(columns={"left_id": "click_id",
+                                      "right_id": "purchase_id"}),
+        batch_format="pandas")
+
+
+SQL_STREAM_JOIN = """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+c AS (SELECT * FROM e WHERE event_type = 'click'),
+p AS (SELECT * FROM e WHERE event_type = 'purchase')
+SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+FROM c JOIN p ON c.user_id = p.user_id
+             AND p.us > c.us AND p.us <= c.us + 3600000000
+"""
+
+
 def q_user_trend(sf_dir: str):
     """Per-user value trend (least-squares slope + intercept over time) —
     the ALGEBRAIC-aggregate family beyond sum/min/max: the five moments
@@ -4303,6 +4346,7 @@ QUERIES = {
     "skew_join": q_skew_join,
     "user_trend": q_user_trend,
     "compact_small_files": q_compact_small_files,
+    "stream_join": q_stream_join,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
@@ -4406,6 +4450,7 @@ ORACLE_SQL = {
     "skew_join": SQL_SKEW_JOIN,
     "user_trend": SQL_USER_TREND,
     "compact_small_files": SQL_COMPACT_SMALL_FILES,
+    "stream_join": SQL_STREAM_JOIN,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,

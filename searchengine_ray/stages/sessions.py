@@ -292,3 +292,95 @@ def item_transitions(
     pairs = bucketed_apply(ds, [key_col], per_bucket)
     return pre_aggregate(pairs, [item_col, "next_item"],
                          {"n": (None, "count")})
+
+
+def windowed_pair_join(
+    left: Dataset, right: Dataset, window_us: int,
+    key_col: str = "user_id", ts_col: str = "ts_us",
+    id_col: str = "event_id",
+) -> Dataset:
+    """Stream-stream bounded-time INNER join: for every left event, all
+    right events of the same key with ``l.ts < r.ts ≤ l.ts + window`` —
+    the click→purchase attribution / event-correlation shape.  Unbounded
+    stream joins are impossible; the time bound is what makes the state
+    finite, and here it also bounds the explode (output pairs only).
+
+    Both sides tag a side column and co-shuffle ONCE by key; each bucket
+    sorts each side by the sliding-kernel composite key (user × span +
+    rel_ts, same 2^63 overflow guard with per-user fallback) and two
+    ``np.searchsorted`` calls give every left row's matching right range
+    [lo, hi) at once; pairs explode with a repeat/arange kernel — no
+    per-key or per-row Python on the main path."""
+    from searchengine_ray.stages.relational import bucketed_apply
+
+    def tag(side: int):
+        def fn(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                key_col: df[key_col].to_numpy(np.int64),
+                ts_col: df[ts_col].to_numpy(np.int64),
+                id_col: df[id_col].to_numpy(np.int64),
+                "_side": np.full(len(df), side, dtype=np.int8)})
+        return fn
+
+    both = left.map_batches(tag(0), batch_format="pandas").union(
+        right.map_batches(tag(1), batch_format="pandas"))
+
+    empty = pd.DataFrame({
+        "left_id": pd.Series([], dtype=np.int64),
+        "right_id": pd.Series([], dtype=np.int64),
+        key_col: pd.Series([], dtype=np.int64)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return empty.copy()
+        side = g["_side"].to_numpy()
+        lg = g[side == 0]
+        rg = g[side == 1].sort_values([key_col, ts_col], kind="mergesort")
+        if not len(lg) or not len(rg):
+            return empty.copy()
+        # joint densify so both sides share the composite-key space;
+        # codes must be MONOTONE in the key value (rg is sorted by raw
+        # key, so appearance-order factorize codes would leave rkey
+        # unsorted and searchsorted meaningless) — np.unique guarantees it
+        users = np.concatenate([lg[key_col].to_numpy(np.int64),
+                                rg[key_col].to_numpy(np.int64)])
+        du = np.unique(users, return_inverse=True)[1].astype(np.int64)
+        ldu, rdu = du[:len(lg)], du[len(lg):]
+        lts = lg[ts_col].to_numpy(np.int64)
+        rts = rg[ts_col].to_numpy(np.int64)
+        t0 = min(int(lts.min()), int(rts.min()))
+        lrel, rrel = lts - t0, rts - t0
+        span = int(max(int(lrel.max()), int(rrel.max()))) + window_us + 2
+        n_users = int(du.max()) + 1
+        if n_users * span < 2 ** 63:
+            rkey = rdu * np.int64(span) + rrel
+            lkey = ldu * np.int64(span) + lrel
+            lo = np.searchsorted(rkey, lkey, side="right")
+            hi = np.searchsorted(rkey, lkey + window_us, side="right")
+        else:  # per-user fallback, same output (the sliding-kernel guard)
+            lo = np.empty(len(lg), dtype=np.int64)
+            hi = np.empty(len(lg), dtype=np.int64)
+            r_starts: dict = {}
+            starts = np.flatnonzero(np.r_[True, rdu[1:] != rdu[:-1]])
+            ends = np.r_[starts[1:], len(rdu)]
+            for s, e in zip(starts, ends):
+                r_starts[int(rdu[s])] = (s, e)
+            for i in range(len(lg)):
+                s, e = r_starts.get(int(ldu[i]), (0, 0))
+                seg = rrel[s:e]
+                lo[i] = s + np.searchsorted(seg, lrel[i], side="right")
+                hi[i] = s + np.searchsorted(seg, lrel[i] + window_us,
+                                            side="right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if not tot:
+            return empty.copy()
+        li = np.repeat(np.arange(len(lg)), cnt)
+        cum = np.concatenate([[0], np.cumsum(cnt)[:-1]])
+        ri = np.arange(tot) - np.repeat(cum, cnt) + np.repeat(lo, cnt)
+        return pd.DataFrame({
+            "left_id": lg[id_col].to_numpy(np.int64)[li],
+            "right_id": rg[id_col].to_numpy(np.int64)[ri],
+            key_col: lg[key_col].to_numpy(np.int64)[li]})
+
+    return bucketed_apply(both, [key_col], per_bucket)

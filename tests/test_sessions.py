@@ -208,3 +208,53 @@ def test_item_transitions_single_event_users(ray_session):
         "item": np.array([4, 4, 4], dtype=np.int64)})
     out = item_transitions(rd.from_pandas(ev)).to_pandas()
     assert len(out) == 0  # no adjacency within any single-event user
+
+
+# --- windowed stream-stream pair join -----------------------------------------
+
+
+def test_windowed_pair_join_brute(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.sessions import windowed_pair_join
+
+    rng = np.random.RandomState(17)
+    W = 100
+    def mk(n, base_id):
+        return pd.DataFrame({
+            "user_id": rng.randint(0, 8, n).astype(np.int64),
+            "ts_us": rng.randint(0, 2_000, n).astype(np.int64),
+            "event_id": np.arange(base_id, base_id + n, dtype=np.int64)})
+    lf, rf = mk(150, 0), mk(150, 10_000)
+    got = (windowed_pair_join(rd.from_pandas(lf).repartition(3),
+                              rd.from_pandas(rf).repartition(4), W)
+           .to_pandas())
+    want = set()
+    for a in lf.itertuples():
+        for b in rf.itertuples():
+            if (a.user_id == b.user_id
+                    and a.ts_us < b.ts_us <= a.ts_us + W):
+                want.add((a.event_id, b.event_id, a.user_id))
+    assert {(r.left_id, r.right_id, r.user_id)
+            for r in got.itertuples()} == want
+    assert len(got) == len(want)  # no duplicate pairs
+
+
+def test_windowed_pair_join_edges(ray_session):
+    """Boundary semantics: strictly-after left ts, inclusive at +W; users
+    absent from the right side produce nothing."""
+    import ray.data as rd
+
+    from searchengine_ray.stages.sessions import windowed_pair_join
+
+    lf = pd.DataFrame({"user_id": np.array([1, 1, 2], np.int64),
+                       "ts_us": np.array([100, 500, 100], np.int64),
+                       "event_id": np.array([0, 1, 2], np.int64)})
+    rf = pd.DataFrame({"user_id": np.array([1, 1, 1], np.int64),
+                       "ts_us": np.array([100, 150, 200], np.int64),
+                       "event_id": np.array([10, 11, 12], np.int64)})
+    got = windowed_pair_join(rd.from_pandas(lf), rd.from_pandas(rf),
+                             window_us=100).to_pandas()
+    pairs = {(r.left_id, r.right_id) for r in got.itertuples()}
+    # ts==100 right excluded (strict >); 150 and 200 in (100, 200]
+    assert pairs == {(0, 11), (0, 12)}
