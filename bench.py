@@ -149,6 +149,7 @@ def main() -> None:
         "user_trend": Q.q_user_trend,
         "compact_small_files": Q.q_compact_small_files,
         "stream_join": Q.q_stream_join,
+        "bloom_join": Q.q_bloom_join,
         "knn_pq": Q.q_knn_pq,
         "knn_ivfpq": Q.q_knn_ivfpq,
         "bpe_stats": Q.q_bpe_stats,

@@ -222,6 +222,50 @@ def _skew() -> None:
     }
 
 
+def _bloom() -> None:
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from searchengine_ray.stages.relational import hash_join
+    from searchengine_ray.state.bloom import bloom_prefilter, build_bloom
+
+    n = EVENTS_N
+    n_right = 5_000  # ~1% of the 500k key space → selective join
+
+    def mk_left(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["id"].to_numpy(np.int64)
+        rng = np.random.default_rng(ids[0] if len(ids) else 0)
+        return pd.DataFrame({
+            "k": rng.integers(0, 500_000, len(ids)).astype(np.int64),
+            "v": rng.uniform(0, 1, len(ids))})
+
+    left = (rd.range(n).map_batches(mk_left, batch_format="pandas",
+                                    batch_size=65536).materialize())
+    right = rd.from_pandas(pd.DataFrame({
+        "k": np.arange(0, 500_000, 100, dtype=np.int64),
+        "seg": np.arange(n_right, dtype=np.int64)})).materialize()
+
+    t0 = time.perf_counter()
+    c_plain = hash_join(left, right, "k").count()
+    t1 = time.perf_counter()
+    bloom = build_bloom(right, "k", m_bits=1 << 20, k=5)
+    pruned = bloom_prefilter(left, bloom, "k").materialize()
+    shuffled_rows = pruned.count()
+    c_bloom = hash_join(pruned, right, "k").count()
+    t2 = time.perf_counter()
+    assert c_plain == c_bloom, (c_plain, c_bloom)
+    out["bloom"] = {
+        "left_rows": n, "right_keys": n_right,
+        "rows_into_exchange_plain": n,
+        "rows_into_exchange_bloom": int(shuffled_rows),
+        "shuffle_reduction": round(n / shuffled_rows, 1),
+        "hash_join_s": round(t1 - t0, 2),
+        "bloom_join_s": round(t2 - t1, 2),
+        "joined_rows": int(c_plain),
+    }
+
+
 if __name__ == "__main__":
     import ray
 
@@ -239,5 +283,7 @@ if __name__ == "__main__":
         _transitions()
     if "skew" in ONLY:
         _skew()
+    if "bloom" in ONLY:
+        _bloom()
     ray.shutdown()
     print(json.dumps(out))

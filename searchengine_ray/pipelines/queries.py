@@ -3523,6 +3523,65 @@ SELECT item_a, item_b, n_users FROM pairs WHERE n_users >= 5
 """
 
 
+def q_bloom_join(sf_dir: str):
+    """Bloom-pruned selective join: ~2% of orders qualify (urgent +
+    orderkey%10), so shuffling the whole lineitem side through the join
+    exchange is ~50× wasted bandwidth — a 1 Mbit Bloom filter of the
+    qualifying keys broadcasts once and drops non-matching lineitems
+    MAP-SIDE before the shuffle (``state/bloom.py``).  False positives
+    leak through the filter and die in the exact ``hash_join``, so the
+    result is exactly the plain join (the SQL proves it; the pruning
+    ratio is pytest-pinned)."""
+    from searchengine_ray.stages.relational import hash_join, pre_aggregate
+    from searchengine_ray.state.bloom import bloom_prefilter, build_bloom
+
+    orders = _pq(sf_dir, "orders",
+                 columns=["o_orderkey", "o_orderpriority", "o_totalprice"])
+
+    def sel(df: pd.DataFrame) -> pd.DataFrame:
+        keys = df["o_orderkey"].to_numpy(np.int64)
+        m = ((df["o_orderpriority"] == "1-URGENT").to_numpy()
+             & (keys % 10 == 0))
+        return pd.DataFrame({
+            "o_orderkey": keys[m],
+            "o_totalprice": df["o_totalprice"].to_numpy(np.float64)[m]})
+
+    right = orders.map_batches(sel, batch_format="pandas").materialize()
+    bloom = build_bloom(right, "o_orderkey", m_bits=1 << 20, k=5)
+
+    li = _pq(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "o_orderkey": df["l_orderkey"].to_numpy(np.int64),
+            "l_extendedprice": df["l_extendedprice"].to_numpy(np.float64)})
+
+    pruned = bloom_prefilter(li.map_batches(rename, batch_format="pandas"),
+                             bloom, "o_orderkey")
+    joined = hash_join(pruned, right, "o_orderkey")
+    agg = pre_aggregate(joined, ["o_orderkey"],
+                        {"n_items": (None, "count"),
+                         "sum_price": ("l_extendedprice", "sum"),
+                         "o_total": ("o_totalprice", "max")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_price"] = df["sum_price"].round(4)
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_BLOOM_JOIN = """
+WITH r AS (SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_orderpriority = '1-URGENT' AND o_orderkey % 10 = 0)
+SELECT o_orderkey, count(*) AS n_items,
+       round(sum(l_extendedprice), 4) AS sum_price,
+       max(o_totalprice) AS o_total
+FROM lineitem JOIN r ON l_orderkey = o_orderkey
+GROUP BY o_orderkey
+"""
+
+
 def q_stream_join(sf_dir: str):
     """Stream-stream bounded-time join: every (click, purchase) pair of
     the same user with the purchase in (click_ts, click_ts + 1 h] — the
@@ -4347,6 +4406,7 @@ QUERIES = {
     "user_trend": q_user_trend,
     "compact_small_files": q_compact_small_files,
     "stream_join": q_stream_join,
+    "bloom_join": q_bloom_join,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
@@ -4451,6 +4511,7 @@ ORACLE_SQL = {
     "user_trend": SQL_USER_TREND,
     "compact_small_files": SQL_COMPACT_SMALL_FILES,
     "stream_join": SQL_STREAM_JOIN,
+    "bloom_join": SQL_BLOOM_JOIN,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,
