@@ -150,6 +150,7 @@ def main() -> None:
         "compact_small_files": Q.q_compact_small_files,
         "stream_join": Q.q_stream_join,
         "bloom_join": Q.q_bloom_join,
+        "zorder_layout": Q.q_zorder_layout,
         "knn_pq": Q.q_knn_pq,
         "knn_ivfpq": Q.q_knn_ivfpq,
         "bpe_stats": Q.q_bpe_stats,

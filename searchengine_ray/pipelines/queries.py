@@ -4124,6 +4124,58 @@ FROM documents GROUP BY source
 """
 
 
+# --- 31e4. Z-order layout (sources/layout.py) --------------------------------
+
+_ZORDER_DIR = "/tmp/graft_scratch/zorder"
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-order clustering round-trip: events rewritten clustered by the
+    Morton interleave of (user_id, value) with 2048-row row groups, then
+    aggregated FROM THE WRITTEN BYTES — the gate proves the layout
+    preserved every row; the 2-D box-pruning win over a single-column
+    sort is measured in tests/test_layout.py."""
+    import shutil
+
+    from searchengine_ray.sources.layout import zorder_write
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1]
+    out = f"{_ZORDER_DIR}/{tag}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "event_type", "value"])
+    zorder_write(ds, out, "user_id", "value", rows_per_group=2048)
+
+    written = rd.read_parquet(out)
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": df["event_type"],
+            "value": df["value"].to_numpy(np.float64),
+            "event_id": df["event_id"].to_numpy(np.int64)})
+
+    agg = pre_aggregate(
+        written.map_batches(project, batch_format="pandas"),
+        ["event_type"],
+        {"n": (None, "count"), "sum_value": ("value", "sum"),
+         "min_id": ("event_id", "min"), "max_id": ("event_id", "max")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df["sum_value"] = df["sum_value"].round(4)
+        return df
+
+    return agg.map_batches(finish, batch_format="pandas")
+
+
+SQL_ZORDER_LAYOUT = """
+SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value,
+       min(event_id) AS min_id, max(event_id) AS max_id
+FROM events GROUP BY event_type
+"""
+
+
 # --- 31f. table profiling (stages/profile.py) --------------------------------
 
 
@@ -4407,6 +4459,7 @@ QUERIES = {
     "compact_small_files": q_compact_small_files,
     "stream_join": q_stream_join,
     "bloom_join": q_bloom_join,
+    "zorder_layout": q_zorder_layout,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
@@ -4512,6 +4565,7 @@ ORACLE_SQL = {
     "compact_small_files": SQL_COMPACT_SMALL_FILES,
     "stream_join": SQL_STREAM_JOIN,
     "bloom_join": SQL_BLOOM_JOIN,
+    "zorder_layout": SQL_ZORDER_LAYOUT,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,
