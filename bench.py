@@ -151,6 +151,8 @@ def main() -> None:
         "stream_join": Q.q_stream_join,
         "bloom_join": Q.q_bloom_join,
         "zorder_layout": Q.q_zorder_layout,
+        "grouped_split": Q.q_grouped_split,
+        "token_drift": Q.q_token_drift,
         "knn_pq": Q.q_knn_pq,
         "knn_ivfpq": Q.q_knn_ivfpq,
         "bpe_stats": Q.q_bpe_stats,

@@ -2098,6 +2098,129 @@ FROM (SELECT doc_id,
 """
 
 
+def q_grouped_split(sf_dir: str):
+    """Group-leakage-safe split: hash on the SOURCE, not the document, so
+    every doc of one site lands in the same split (near-duplicate pages
+    within a site can't straddle train/test — the leakage GroupShuffleSplit
+    exists to prevent).  Map-only; output one (source, split) row per
+    source with its doc count — a source appearing under two splits would
+    produce two rows and fail the gate structurally."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "source"])
+    assigned = sampling.hash_split(ds, "source", "gsplit42",
+                                   [("train", 0.8), ("val", 0.1),
+                                    ("test", 0.1)])
+    return pre_aggregate(assigned, ["source", "split"],
+                         {"n_docs": (None, "count")})
+
+
+_GT_TRAIN = sampling.frac_to_hex(0.8)
+_GT_VAL = sampling.frac_to_hex(0.9)
+
+SQL_GROUPED_SPLIT = f"""
+SELECT source,
+       CASE WHEN hx < '{_GT_TRAIN}' THEN 'train'
+            WHEN hx < '{_GT_VAL}' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs
+FROM (SELECT source,
+             substr(sha256(source || ':gsplit42'), 1, 12) AS hx
+      FROM documents)
+GROUP BY source, split
+"""
+
+
+def q_token_drift(sf_dir: str):
+    """Distribution-drift monitor with per-token attribution: KL(train‖test)
+    terms over the top-300 shared-vocabulary tokens of the two hash
+    splits.  Token counts per (split, token) reduce through
+    ``pre_aggregate``; the vocabulary cap comes from the two-level
+    ``global_topk`` (total desc, token tiebreak — deterministic on both
+    sides); the driver holds only the O(K) capped table.  Probabilities
+    are add-one-smoothed integer ratios, so engine and SQL compute
+    IDENTICAL doubles (single division of exact ints) — rounding is for
+    the hash, not for agreement."""
+    from searchengine_ray.stages.relational import global_topk
+    from searchengine_ray.stages.sampling import frac_to_hex, hash_hex
+    from searchengine_ray.stages.text import simple_tokens
+
+    K = 300
+    t_train, t_val = frac_to_hex(0.8), frac_to_hex(0.9)
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        hx = hash_hex(df["doc_id"].to_numpy(), "split42")
+        split = np.where(hx < t_train, "train",
+                         np.where(hx < t_val, "val", "test"))
+        sp_out, tok_out = [], []
+        for sp, text in zip(split, df["text"]):
+            if sp == "val":
+                continue
+            toks = simple_tokens(text or "")
+            sp_out.extend([sp] * len(toks))
+            tok_out.extend(toks)
+        return pd.DataFrame({"split": np.array(sp_out, dtype=object),
+                             "token": np.array(tok_out, dtype=object)})
+
+    tc = pre_aggregate(ds.map_batches(explode, batch_format="pandas"),
+                       ["split", "token"], {"n": (None, "count")})
+    tc = tc.materialize()  # consumed twice (top-K and the capped filter)
+    totals = pre_aggregate(tc, ["token"], {"tot": ("n", "sum")})
+    top = global_topk(totals, ["tot", "token"], [False, True], K)
+    top_set = set(top["token"])
+
+    from searchengine_ray.stages.relational import broadcast_semi_filter
+    capped = broadcast_semi_filter(tc, top_set, "token").to_pandas()
+
+    piv = (capped.pivot_table(index="token", columns="split", values="n",
+                              aggfunc="sum", fill_value=0)
+           .reindex(sorted(top_set), fill_value=0))
+    ntr = piv.get("train", pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    nte = piv.get("test", pd.Series(0, index=piv.index)).to_numpy(np.int64)
+    p_tr = (ntr + 1.0) / (float(ntr.sum()) + K)
+    p_te = (nte + 1.0) / (float(nte.sum()) + K)
+    return pd.DataFrame({
+        "token": piv.index.to_numpy(dtype=object),
+        "p_train": np.round(p_tr, 8),
+        "p_test": np.round(p_te, 8),
+        "kl_term": np.round(p_tr * np.log(p_tr / p_te), 8)})
+
+
+SQL_TOKEN_DRIFT = f"""
+WITH sp AS (
+  SELECT doc_id,
+         CASE WHEN hx < '{{t1}}' THEN 'train'
+              WHEN hx < '{{t2}}' THEN 'val'
+              ELSE 'test' END AS split
+  FROM (SELECT doc_id,
+               substr(sha256(CAST(doc_id AS VARCHAR) || ':split42'), 1, 12)
+                 AS hx
+        FROM documents)),
+toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents),
+tc AS (SELECT split, token, count(*) AS n
+       FROM toks JOIN sp USING (doc_id)
+       WHERE token <> '' AND split IN ('train', 'test')
+       GROUP BY split, token),
+top AS (SELECT token FROM (
+          SELECT token, sum(n) AS tot FROM tc GROUP BY token
+          ORDER BY tot DESC, token LIMIT 300)),
+f AS (SELECT token,
+             sum(CASE WHEN split = 'train' THEN n ELSE 0 END) AS ntr,
+             sum(CASE WHEN split = 'test' THEN n ELSE 0 END) AS nte
+      FROM tc JOIN top USING (token) GROUP BY token),
+tot AS (SELECT sum(ntr) AS str_, sum(nte) AS ste FROM f)
+SELECT token,
+       round((ntr + 1.0) / (str_ + 300), 8) AS p_train,
+       round((nte + 1.0) / (ste + 300), 8) AS p_test,
+       round(((ntr + 1.0) / (str_ + 300))
+             * ln(((ntr + 1.0) / (str_ + 300))
+                  / ((nte + 1.0) / (ste + 300))), 8) AS kl_term
+FROM f, tot
+""".replace("{t1}", _T_TRAIN).replace("{t2}", _T_VAL)
+
+
 def q_stratified_sample(sf_dir: str):
     """5 docs per language, uniform without replacement (k smallest id
     hashes per group) — one co-shuffle on the group key."""
@@ -4460,6 +4583,8 @@ QUERIES = {
     "stream_join": q_stream_join,
     "bloom_join": q_bloom_join,
     "zorder_layout": q_zorder_layout,
+    "grouped_split": q_grouped_split,
+    "token_drift": q_token_drift,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
@@ -4566,6 +4691,8 @@ ORACLE_SQL = {
     "stream_join": SQL_STREAM_JOIN,
     "bloom_join": SQL_BLOOM_JOIN,
     "zorder_layout": SQL_ZORDER_LAYOUT,
+    "grouped_split": SQL_GROUPED_SPLIT,
+    "token_drift": SQL_TOKEN_DRIFT,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,

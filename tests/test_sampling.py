@@ -262,3 +262,60 @@ def test_join_sample_matches_brute_force(ray_session):
     # must beat the population mean (deterministic given the fixed salt)
     assert (top["wt"].mean()
             > w["wt"].mean()), (top["wt"].mean(), w["wt"].mean())
+
+
+# --- group-leakage-safe split + token drift -----------------------------------
+
+
+def test_grouped_split_atomic_per_source(ray_session):
+    from searchengine_ray.pipelines.queries import q_grouped_split
+
+    out = q_grouped_split("/root/testdata/sf0.001").to_pandas()
+    # structural leakage guard: one row per source = one split per source
+    assert out["source"].is_unique
+    assert set(out["split"]) <= {"train", "val", "test"}
+    # and the guard BINDS: doc-level hashing would scatter a multi-doc
+    # source across splits somewhere in this corpus
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "source"])
+    from searchengine_ray.stages.sampling import frac_to_hex, hash_hex
+    hx = hash_hex(docs["doc_id"].to_numpy(), "gsplit42")
+    t1, t2 = frac_to_hex(0.8), frac_to_hex(0.9)
+    doc_split = np.where(hx < t1, "train", np.where(hx < t2, "val", "test"))
+    scattered = (pd.DataFrame({"source": docs["source"], "s": doc_split})
+                 .groupby("source")["s"].nunique() > 1)
+    assert scattered.any()
+
+
+def test_token_drift_brute(ray_session):
+    from collections import Counter
+
+    from searchengine_ray.pipelines.queries import q_token_drift
+    from searchengine_ray.stages.sampling import frac_to_hex, hash_hex
+    from searchengine_ray.stages.text import simple_tokens
+
+    sf = "/root/testdata/sf0.001"
+    got = q_token_drift(sf).set_index("token")
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet",
+                           columns=["doc_id", "text"])
+    hx = hash_hex(docs["doc_id"].to_numpy(), "split42")
+    t1, t2 = frac_to_hex(0.8), frac_to_hex(0.9)
+    split = np.where(hx < t1, "train", np.where(hx < t2, "val", "test"))
+    cnt = {"train": Counter(), "test": Counter()}
+    for sp, text in zip(split, docs["text"]):
+        if sp in cnt:
+            cnt[sp].update(simple_tokens(text or ""))
+    tot = Counter(cnt["train"])
+    tot.update(cnt["test"])
+    top = sorted(sorted(tot), key=lambda t: (-tot[t], t))[:300]
+    assert set(got.index) == set(top)
+    ntr = np.array([cnt["train"][t] for t in sorted(top)], dtype=np.int64)
+    nte = np.array([cnt["test"][t] for t in sorted(top)], dtype=np.int64)
+    p_tr = (ntr + 1.0) / (ntr.sum() + 300.0)
+    p_te = (nte + 1.0) / (nte.sum() + 300.0)
+    want_kl = np.round(p_tr * np.log(p_tr / p_te), 8)
+    got_sorted = got.reindex(sorted(top))
+    assert np.array_equal(got_sorted["kl_term"].to_numpy(), want_kl)
+    assert np.array_equal(got_sorted["p_train"].to_numpy(),
+                          np.round(p_tr, 8))
