@@ -153,6 +153,7 @@ def main() -> None:
         "zorder_layout": Q.q_zorder_layout,
         "grouped_split": Q.q_grouped_split,
         "token_drift": Q.q_token_drift,
+        "time_travel": Q.q_time_travel,
         "knn_pq": Q.q_knn_pq,
         "knn_ivfpq": Q.q_knn_ivfpq,
         "bpe_stats": Q.q_bpe_stats,

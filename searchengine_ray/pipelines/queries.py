@@ -4197,6 +4197,79 @@ SELECT doc_id, version, text FROM m WHERE rn = 1 AND NOT deleted
 """
 
 
+# --- 31e2b. time-travel read over the version log ----------------------------
+
+
+def q_time_travel(sf_dir: str):
+    """Snapshot-as-of read over the upsert version log (the lakehouse
+    time-travel feature): the same base + delta as ``upsert_merge`` but
+    resolved AS OF version 2 — a map-side ``version ≤ 2`` filter in front
+    of the identical latest-wins resolve, so v3 re-updates are invisible
+    and v2 tombstones apply (ids divisible by 273, resurrected at v3 in
+    the full merge, stay DELETED here).  Filter-then-resolve is the whole
+    operator: the log is immutable, the snapshot is a view."""
+    from searchengine_ray.stages.relational import upsert_merge
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    AS_OF = 2
+
+    def as_base(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "version": np.zeros(len(df), dtype=np.int64),
+            "deleted": np.zeros(len(df), dtype=bool),
+            "text": df["text"]})
+
+    def derive_delta(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        txt = pd.Series(df["text"].to_numpy(), dtype=object)
+
+        def rows(mask, id_off, version, text, deleted):
+            n = int(mask.sum())
+            return pd.DataFrame({
+                "doc_id": ids[mask] + id_off,
+                "version": np.full(n, version, dtype=np.int64),
+                "deleted": np.full(n, deleted, dtype=bool),
+                "text": text})
+
+        m7, m13, m21, m17 = (ids % k == 0 for k in (7, 13, 21, 17))
+        full = pd.concat([
+            rows(m7, 0, 1, (txt[m7] + " rev2").to_numpy(), False),
+            rows(m13, 0, 2, np.full(int(m13.sum()), "", dtype=object), True),
+            rows(m21, 0, 3, (txt[m21] + " rev3").to_numpy(), False),
+            rows(m17, 2_000_000, 1,
+                 np.array([f"upsert doc {i}" for i in ids[m17]],
+                          dtype=object), False),
+        ], ignore_index=True)
+        return full[full["version"] <= AS_OF].reset_index(drop=True)
+
+    base = docs.map_batches(as_base, batch_format="pandas")
+    delta = docs.map_batches(derive_delta, batch_format="pandas")
+    return upsert_merge(base, delta, id_col="doc_id")
+
+
+SQL_TIME_TRAVEL = """
+WITH base AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS version, FALSE AS deleted, text
+  FROM documents),
+delta AS (
+  SELECT doc_id, CAST(1 AS BIGINT), FALSE, text || ' rev2'
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id, CAST(2 AS BIGINT), TRUE, '' FROM documents
+  WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, CAST(1 AS BIGINT), FALSE,
+         'upsert doc ' || CAST(doc_id AS VARCHAR)
+  FROM documents WHERE doc_id % 17 = 0),
+-- the as-of filter: the v3 branch is simply absent from this delta
+u AS (SELECT * FROM base UNION ALL SELECT * FROM delta),
+m AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY version DESC) AS rn FROM u)
+SELECT doc_id, version, text FROM m WHERE rn = 1 AND NOT deleted
+"""
+
+
 # --- 31e3. small-file compaction (sources/compact.py) ------------------------
 
 _COMPACT_DIR = "/tmp/graft_scratch/compact"
@@ -4585,6 +4658,7 @@ QUERIES = {
     "zorder_layout": q_zorder_layout,
     "grouped_split": q_grouped_split,
     "token_drift": q_token_drift,
+    "time_travel": q_time_travel,
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
@@ -4693,6 +4767,7 @@ ORACLE_SQL = {
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "grouped_split": SQL_GROUPED_SPLIT,
     "token_drift": SQL_TOKEN_DRIFT,
+    "time_travel": SQL_TIME_TRAVEL,
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,

@@ -97,3 +97,30 @@ def test_randomized_vs_naive(ray_session):
     for kw in ({}, {"broadcast_limit": 0}):
         got = _run(base, delta, **kw)
         pd.testing.assert_frame_equal(got, _naive(base, delta))
+
+
+def test_time_travel_vs_full_merge(ray_session):
+    """As-of v2 differs from the full merge exactly where v3 acted:
+    273-divisible ids are resurrected at v3 in the full merge but stay
+    tombstoned as of v2; 21-divisible ids show ' rev2' not ' rev3'."""
+    from searchengine_ray.pipelines.queries import q_time_travel, q_upsert_merge
+
+    sf = "/root/testdata/sf0.001"
+    asof = q_time_travel(sf).to_pandas().set_index("doc_id")
+    full = q_upsert_merge(sf).to_pandas().set_index("doc_id")
+
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id"])
+    ids = docs["doc_id"].to_numpy()
+    m273 = ids[(ids % 273 == 0)]
+    m21 = ids[(ids % 21 == 0) & (ids % 13 != 0)]
+    assert len(m21) > 0  # the plant binds at this scale
+    for i in m273:
+        assert i in full.index and i not in asof.index
+    for i in m21:
+        assert full.loc[i, "version"] == 3 and asof.loc[i, "version"] == 1
+        assert str(full.loc[i, "text"]).endswith(" rev3")
+        assert str(asof.loc[i, "text"]).endswith(" rev2")
+    # everything v3 never touched is identical between the two snapshots
+    untouched = asof.index[~np.isin(asof.index.to_numpy() % 21, [0])]
+    pd.testing.assert_frame_equal(asof.loc[untouched].sort_index(),
+                                  full.loc[untouched].sort_index())
