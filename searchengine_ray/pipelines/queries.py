@@ -2981,6 +2981,108 @@ FROM tc JOIN doc_len USING (doc_id) JOIN dfreq USING (token), n_docs
 """
 
 
+def q_corpus_refresh(sf_dir: str):
+    """Composed incremental corpus refresh — the full loop an incremental
+    crawl runs between yesterday and today: ``snapshot_diff`` (what
+    changed) → delta construction (added/changed take today's text;
+    REMOVED ids become empty-text replacement rows, merge_index's
+    removal contract) → ``merge_index`` folds the delta into the
+    persisted index without re-tokenizing the unchanged corpus.
+
+    Derivation: old = doc_id%7!=0 (ids %7==0 are new today); new =
+    doc_id%7!=3 (ids %7==3 were deleted), with %7==5 texts appended
+    ' refreshed'.  Gate: REBUILD EQUIVALENCE — the refreshed index must
+    equal a from-scratch SQL build of today's corpus, so removed docs'
+    postings are gone AND every surviving posting's tf_idf reflects the
+    shifted global df/n_docs.
+
+    Scale shape: the diff output is O(changes) by the incremental
+    contract — the driver pull below is bounded exactly like
+    merge_index's own delta-id broadcast (max_delta_ids); everything
+    corpus-scaled stays in the diff co-shuffle and the merge's single
+    postings-scale write sort."""
+    import tempfile
+
+    import ray
+
+    from searchengine_ray.pipelines.index_pipeline import (
+        build_postings, load_postings, merge_index, write_index)
+    from searchengine_ray.stages.dedup import snapshot_diff
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    old = ds.map_batches(lambda df: df[df["doc_id"] % 7 != 0],
+                         batch_format="pandas")
+
+    def derive_new(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df["doc_id"].to_numpy(np.int64)
+        keep = ids % 7 != 3
+        return pd.DataFrame({
+            "doc_id": ids[keep],
+            "text": np.where(ids[keep] % 7 == 5,
+                             df["text"].to_numpy()[keep] + " refreshed",
+                             df["text"].to_numpy()[keep])})
+
+    new = ds.map_batches(derive_new, batch_format="pandas")
+
+    # O(changes) by the incremental contract — same bound merge_index
+    # itself enforces on the delta-id broadcast (max_delta_ids)
+    diff = snapshot_diff(old, new).to_pandas()
+    upd = np.sort(diff.loc[diff["status"] != "removed",
+                           "doc_id"].to_numpy(np.int64))
+    removed = np.sort(diff.loc[diff["status"] == "removed",
+                               "doc_id"].to_numpy(np.int64))
+    upd_ref = ray.put(upd)
+
+    def pick_updated(df: pd.DataFrame) -> pd.DataFrame:
+        ids = ray.get(upd_ref)  # sorted; plasma-local after first touch
+        return df[np.isin(df["doc_id"].to_numpy(np.int64), ids)]
+
+    removal_rows = rd.from_pandas(pd.DataFrame({
+        "doc_id": removed,
+        "text": np.full(len(removed), "", dtype=object)}))
+    delta = new.map_batches(pick_updated,
+                            batch_format="pandas").union(removal_rows)
+
+    scratch = tempfile.mkdtemp(prefix="graft_corpus_refresh_")
+    write_index(build_postings(old, mode="simple"), scratch)
+    merge_index(scratch, delta, mode="simple")
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].astype(np.int64),
+            "token": df["token"],
+            "tf": df["tf"].round(6),
+            "tf_idf": df["tf_idf"].round(6)})
+
+    return load_postings(scratch).map_batches(project,
+                                              batch_format="pandas")
+
+
+SQL_CORPUS_REFRESH = """
+WITH corpus AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 5 THEN text || ' refreshed'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 3),
+toks AS (SELECT doc_id,
+                unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+'))
+                  AS token
+         FROM corpus),
+toks2 AS (SELECT * FROM toks WHERE token <> ''),
+doc_len AS (SELECT doc_id, count(*) AS n FROM toks2 GROUP BY doc_id),
+tc AS (SELECT doc_id, token, count(*) AS cnt FROM toks2
+       GROUP BY doc_id, token),
+dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks2
+          GROUP BY token),
+n_docs AS (SELECT count(DISTINCT doc_id) AS n FROM toks2)
+SELECT tc.doc_id, tc.token,
+       round(CAST(tc.cnt AS DOUBLE) / doc_len.n, 6) AS tf,
+       round((CAST(tc.cnt AS DOUBLE) / doc_len.n)
+             * ln(CAST(n_docs.n AS DOUBLE) / dfreq.df), 6) AS tf_idf
+FROM tc JOIN doc_len USING (doc_id) JOIN dfreq USING (token), n_docs
+"""
+
+
 def q_lm_perplexity(sf_dir: str):
     """CCNet-style quality scoring (Wenzek et al. 2020): train an
     add-one-smoothed bigram LM on a small reference split (doc_id % 5 == 0
@@ -4639,6 +4741,7 @@ QUERIES = {
     "remove_dup_spans": q_remove_dup_spans,
     "lm_perplexity": q_lm_perplexity,
     "index_merge": q_index_merge,
+    "corpus_refresh": q_corpus_refresh,
     "lm_quality_buckets": q_lm_quality_buckets,
     "event_value_bands": q_event_value_bands,
     "domain_quality_filter": q_domain_quality_filter,
@@ -4748,6 +4851,7 @@ ORACLE_SQL = {
     "remove_dup_spans": SQL_REMOVE_DUP_SPANS,
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "index_merge": SQL_INDEX_MERGE,
+    "corpus_refresh": SQL_CORPUS_REFRESH,
     "lm_quality_buckets": SQL_LM_QUALITY_BUCKETS,
     "event_value_bands": SQL_EVENT_VALUE_BANDS,
     "domain_quality_filter": SQL_DOMAIN_QUALITY_FILTER,

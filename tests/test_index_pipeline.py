@@ -146,3 +146,39 @@ def test_merge_index_equals_rebuild(ray_session, tmp_path):
     r = search_index(out, "snail")
     assert set(r["doc_id"]) == {1, 3}
     assert set(r["url"]) == {"u1b", "u3"}
+
+
+def test_merge_index_removal_via_empty_text(ray_session, tmp_path):
+    """Removal contract: an empty-text delta row REPLACES a doc with zero
+    postings — the doc vanishes from the index, its tokens' df drop, and
+    n_docs bookkeeping excludes it (the fast-path delta-scale arithmetic
+    must not count a removed id as a surviving doc)."""
+    from searchengine_ray.pipelines.index_pipeline import merge_index
+
+    base = pd.DataFrame({
+        "doc_id": np.array([0, 1, 2, 3], dtype=np.int64),
+        "text": ["cat dog", "dog bird", "cat fish", "bird cat"],
+    })
+    # remove doc 1, change doc 2, add doc 4
+    delta = pd.DataFrame({
+        "doc_id": np.array([1, 2, 4], dtype=np.int64),
+        "text": ["", "fish fish", "dog snail"],
+    })
+    final = pd.DataFrame({
+        "doc_id": np.array([0, 2, 3, 4], dtype=np.int64),
+        "text": ["cat dog", "fish fish", "bird cat", "dog snail"],
+    })
+
+    out = str(tmp_path / "idx")
+    write_index(build_postings(rd.from_pandas(base), mode="simple"), out)
+    summary = merge_index(out, rd.from_pandas(delta), mode="simple")
+
+    merged = (load_postings(out).to_pandas()
+              .sort_values(["doc_id", "token"]).reset_index(drop=True))
+    rebuilt = (build_postings(rd.from_pandas(final), mode="simple")
+               .to_pandas()
+               .sort_values(["doc_id", "token"]).reset_index(drop=True))
+    assert merged[["doc_id", "token"]].equals(rebuilt[["doc_id", "token"]])
+    assert np.allclose(merged["tf_idf"], rebuilt["tf_idf"])
+    assert 1 not in set(merged["doc_id"])          # removed id gone
+    assert summary["n_docs"] == 4                   # 0,2,3,4 — not 5
