@@ -1598,6 +1598,51 @@ GROUP BY fmt
 """
 
 
+def q_image_aspect_buckets(sf_dir: str):
+    """SDXL-style aspect-ratio bucketing + deterministic batch packing
+    (``stages/images.aspect_bucket_batches``): nearest palette bucket in
+    rounded log-aspect space (ties → palette index), then fixed-size
+    training batches in seeded hash order.  Map-only assignment; the
+    within-bucket rank is the value-based global_shuffle machinery on the
+    BALANCED (bucket, hash-prefix) pair — the bucket key alone has only
+    k groups and would pin whole buckets to single workers."""
+    from searchengine_ray.stages.images import aspect_bucket_batches
+
+    ds = _image_table_ds(columns=["image_id", "w", "h"])
+    return aspect_bucket_batches(ds, batch_size=16, salt="bucket0")
+
+
+_PALETTE_SQL = ", ".join(
+    f"({i}, {w}, {h})" for i, (w, h) in enumerate(
+        [(256, 256), (320, 256), (256, 320), (384, 256),
+         (256, 384), (448, 192), (192, 448)]))
+
+SQL_IMAGE_ASPECT_BUCKETS = f"""
+WITH palette(idx, bw, bh) AS (VALUES {_PALETTE_SQL}),
+assign AS (
+  SELECT image_id, idx, bw, bh,
+         row_number() OVER (
+           PARTITION BY image_id
+           ORDER BY round(abs(ln(CAST(w*bh AS DOUBLE)/(h*bw))), 6), idx)
+           AS rn
+  FROM read_parquet('{_IMG_PATH}') CROSS JOIN palette),
+ranked AS (
+  SELECT image_id, bw, bh,
+         row_number() OVER (
+           PARTITION BY idx
+           ORDER BY substr(sha256(image_id || ':bucket0'), 1, 12),
+                    image_id) - 1 AS rank,
+         count(*) OVER (PARTITION BY idx) AS n
+  FROM assign WHERE rn = 1)
+SELECT image_id,
+       CAST(bw AS BIGINT) AS bucket_w,
+       CAST(bh AS BIGINT) AS bucket_h,
+       CAST(rank // 16 AS BIGINT) AS batch_idx,
+       (rank // 16) < (n // 16) AS full
+FROM ranked
+"""
+
+
 def q_image_multimodal_neardup(sf_dir: str):
     """Multimodal near-dup pairs over the image+caption corpus: a pair is
     flagged per CHANNEL — phash hamming ≤ 4 (pixels) and/or caption 3-gram
@@ -4742,6 +4787,7 @@ QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "index_merge": q_index_merge,
     "corpus_refresh": q_corpus_refresh,
+    "image_aspect_buckets": q_image_aspect_buckets,
     "lm_quality_buckets": q_lm_quality_buckets,
     "event_value_bands": q_event_value_bands,
     "domain_quality_filter": q_domain_quality_filter,
@@ -4852,6 +4898,7 @@ ORACLE_SQL = {
     "lm_perplexity": SQL_LM_PERPLEXITY,
     "index_merge": SQL_INDEX_MERGE,
     "corpus_refresh": SQL_CORPUS_REFRESH,
+    "image_aspect_buckets": SQL_IMAGE_ASPECT_BUCKETS,
     "lm_quality_buckets": SQL_LM_QUALITY_BUCKETS,
     "event_value_bands": SQL_EVENT_VALUE_BANDS,
     "domain_quality_filter": SQL_DOMAIN_QUALITY_FILTER,

@@ -237,3 +237,108 @@ class SampleVideoFrames:
             "frame_idx": pa.array(o_idx, pa.int32()),
             "frame": pa.array(o_frame, pa.binary()),
         })
+
+
+DEFAULT_ASPECT_PALETTE = (
+    (256, 256), (320, 256), (256, 320), (384, 256),
+    (256, 384), (448, 192), (192, 448),
+)
+
+
+def aspect_bucket_batches(
+    ds,
+    palette=DEFAULT_ASPECT_PALETTE,
+    batch_size: int = 16,
+    salt: str = "bucket0",
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+):
+    """SDXL-style aspect-ratio bucketing + deterministic batch packing —
+    the dataset-assembly step a multi-resolution image trainer runs:
+    every image joins the palette bucket whose aspect ratio is nearest in
+    log space (key rounded to 6 decimals so numpy-vs-DuckDB ``ln`` ulps
+    cannot flip the argmin; ties break on palette index), then each
+    bucket's images pack into fixed-size training batches in a
+    deterministic seeded hash order (new ``salt`` = new epoch packing,
+    stable under re-runs and re-partitioning — ``random_shuffle`` is
+    neither).
+
+    Scale shape: assignment is MAP-ONLY (n×k vectorized log-ratio matrix,
+    k = len(palette)); the within-bucket rank is value-based like
+    ``global_shuffle`` — per-(bucket, hash-prefix) counts from one
+    ``pre_aggregate`` (k×256 rows, driver-tiny at any corpus size),
+    exclusive prefix sums broadcast, ONE co-shuffle on the BALANCED
+    (bucket, prefix) pair — never on the bucket alone, whose k groups
+    would each land whole on one worker — and a single vectorized
+    sort+cumcount kernel per shuffle bucket.  ``full`` marks batches with
+    exactly ``batch_size`` members (the trailing remainder batch is the
+    one a drop_last loader skips).
+
+    Output: (id_col, bucket_w: int64, bucket_h: int64, batch_idx: int64,
+    full: bool).
+    """
+    import pandas as pd
+
+    from searchengine_ray.stages.relational import (bucketed_apply,
+                                                    pre_aggregate)
+    from searchengine_ray.stages.sampling import hash_hex
+
+    bw = np.array([p[0] for p in palette], dtype=np.int64)
+    bh = np.array([p[1] for p in palette], dtype=np.int64)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        w = df[w_col].to_numpy(np.int64)
+        h = df[h_col].to_numpy(np.int64)
+        # |ln((w*bh)/(h*bw))| — identical operation order to the SQL
+        # mirror round(abs(ln(CAST(w*bh AS DOUBLE)/(h*bw))), 6)
+        key = np.round(np.abs(np.log(
+            (w[:, None] * bh[None, :]).astype(np.float64)
+            / (h[:, None] * bw[None, :]))), 6)
+        b = np.argmin(key, axis=1)  # first min = smallest palette index
+        k = hash_hex(df[id_col].tolist(), salt)
+        return pd.DataFrame({
+            id_col: df[id_col].to_numpy(),
+            "_b": b.astype(np.int64),
+            "_k": k,
+            "_g": np.fromiter((s[:2] for s in k), "<U2", count=len(k))})
+
+    # two consumers (prefix counts + rank pass): materialize the keyed
+    # projection once (id + bucket + 14 hash chars per row)
+    keyed = ds.map_batches(assign, batch_format="pandas").materialize()
+
+    per_g = pre_aggregate(keyed.select_columns(["_b", "_g"]), ["_b", "_g"],
+                          {"n": (None, "count")}).to_pandas()
+    per_g = per_g.sort_values(["_b", "_g"])  # lexicographic = key order
+    n_arr = per_g["n"].to_numpy(np.int64)
+    off_in_bucket = np.zeros(len(per_g), dtype=np.int64)
+    bucket_sizes = {}
+    for b_val, grp_idx in per_g.groupby("_b", sort=True).indices.items():
+        cnt = n_arr[grp_idx]
+        off_in_bucket[grp_idx] = np.concatenate(
+            ([0], np.cumsum(cnt[:-1])))
+        bucket_sizes[int(b_val)] = int(cnt.sum())
+    off = dict(zip(zip(per_g["_b"].astype(int), per_g["_g"]),
+                   off_in_bucket))
+
+    n_full = {b: s // batch_size for b, s in bucket_sizes.items()}
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_b", "_g", "_k", id_col], kind="mergesort")
+        r = g.groupby(["_b", "_g"], sort=False).cumcount().to_numpy(np.int64)
+        base = np.fromiter(
+            (off[(int(b), gg)] for b, gg in zip(g["_b"], g["_g"])),
+            dtype=np.int64, count=len(g))
+        rank = base + r
+        b = g["_b"].to_numpy(np.int64)
+        batch_idx = rank // batch_size
+        full_bound = np.fromiter((n_full[int(x)] for x in b),
+                                 dtype=np.int64, count=len(g))
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "bucket_w": bw[b],
+            "bucket_h": bh[b],
+            "batch_idx": batch_idx,
+            "full": batch_idx < full_bound})
+
+    return bucketed_apply(keyed, ["_b", "_g"], rank_bucket)

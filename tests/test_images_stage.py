@@ -115,3 +115,63 @@ def test_video_stub_contract(ray_session):
     assert out[out["video_id"] == "v1"]["frame_idx"].tolist() == [0]
     px = decode(out["frame"].iloc[0], "png")
     assert px.shape == (8, 8, 3)
+
+
+def test_aspect_bucket_batches(ray_session):
+    """Packing contract: nearest-log-aspect assignment (brute force),
+    every batch below a bucket's n//B bound has exactly B members and
+    full=True, the remainder batch is partial with full=False, and the
+    packing is deterministic under repartitioning (value-based rank)."""
+    import pandas as pd
+
+    from searchengine_ray.stages.images import (DEFAULT_ASPECT_PALETTE,
+                                                aspect_bucket_batches)
+
+    rng = np.random.default_rng(11)
+    n, B = 173, 8
+    df = pd.DataFrame({
+        "image_id": [f"img{i:04d}" for i in range(n)],
+        "w": rng.integers(24, 65, n).astype(np.int32),
+        "h": rng.integers(24, 65, n).astype(np.int32)})
+
+    out = aspect_bucket_batches(
+        rd.from_pandas(df).repartition(4), batch_size=B,
+        salt="t").to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert len(out) == n
+
+    # brute-force nearest-aspect assignment
+    bw = np.array([p[0] for p in DEFAULT_ASPECT_PALETTE], np.int64)
+    bh = np.array([p[1] for p in DEFAULT_ASPECT_PALETTE], np.int64)
+    w = df["w"].to_numpy(np.int64)
+    h = df["h"].to_numpy(np.int64)
+    key = np.round(np.abs(np.log(
+        (w[:, None] * bh[None, :]).astype(np.float64)
+        / (h[:, None] * bw[None, :]))), 6)
+    exp_b = np.argmin(key, axis=1)
+    assert (out["bucket_w"].to_numpy() == bw[exp_b]).all()
+    assert (out["bucket_h"].to_numpy() == bh[exp_b]).all()
+
+    # batch-size / full-flag contract per bucket
+    for (bwv, bhv), g in out.groupby(["bucket_w", "bucket_h"]):
+        sizes = g.groupby("batch_idx").size()
+        nb = len(g)
+        assert set(sizes.index) == set(range((nb + B - 1) // B))
+        for bi, s in sizes.items():
+            if bi < nb // B:
+                assert s == B
+                assert g.loc[g["batch_idx"] == bi, "full"].all()
+            else:
+                assert s == nb % B
+                assert not g.loc[g["batch_idx"] == bi, "full"].any()
+
+    # deterministic under a different partitioning
+    out2 = aspect_bucket_batches(
+        rd.from_pandas(df).repartition(9), batch_size=B,
+        salt="t").to_pandas().sort_values("image_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
+
+    # a new salt is a new epoch permutation: some image changes batch
+    out3 = aspect_bucket_batches(
+        rd.from_pandas(df).repartition(4), batch_size=B,
+        salt="t2").to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert (out3["batch_idx"].to_numpy() != out["batch_idx"].to_numpy()).any()
