@@ -157,6 +157,9 @@ def main() -> None:
         "knn_pq": Q.q_knn_pq,
         "knn_ivfpq": Q.q_knn_ivfpq,
         "bpe_stats": Q.q_bpe_stats,
+        "anchor_texts": Q.q_anchor_texts,
+        "postings_codec": Q.q_postings_codec,
+        "collocations": Q.q_collocations,
         "pagerank": Q.q_pagerank,
         "phrase_search": Q.q_phrase_search,
         "snapshot_diff": Q.q_snapshot_diff,

@@ -288,6 +288,17 @@ def hash_join(
     if num_buckets is None:
         num_buckets = default_num_buckets()
 
+    # the widen step needs pyarrow types for both schemas; pandas-blocked
+    # inputs (pre_aggregate / a previous hash_join output) report numpy or
+    # `object` dtypes instead — re-block those as Arrow once, up front
+    def _ensure_arrow(ds: Dataset) -> Dataset:
+        if all(isinstance(t, pa.DataType) for t in ds.schema().types):
+            return ds
+        return ds.map_batches(lambda t: t, batch_format="pyarrow")
+
+    left = _ensure_arrow(left)
+    right = _ensure_arrow(right)
+
     def tag(side: int):
         def fn(b: pa.Table) -> pa.Table:
             h = pd.util.hash_pandas_object(
