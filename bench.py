@@ -160,6 +160,7 @@ def main() -> None:
         "anchor_texts": Q.q_anchor_texts,
         "postings_codec": Q.q_postings_codec,
         "collocations": Q.q_collocations,
+        "temperature_mix": Q.q_temperature_mix,
         "pagerank": Q.q_pagerank,
         "phrase_search": Q.q_phrase_search,
         "snapshot_diff": Q.q_snapshot_diff,

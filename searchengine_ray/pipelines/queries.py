@@ -4710,6 +4710,37 @@ def q_bpe_stats(sf_dir: str):
     return bpe_token_stats(ds, merges)
 
 
+# --- 39b. temperature-based language re-balancing -----------------------------
+
+def q_temperature_mix(sf_dir: str):
+    """Multilingual temperature sampling (XLM-R / mT5, α=0.5): per-lang
+    keep rate sqrt(min_n/n_lang) DERIVED from the corpus (one O(langs)
+    pre_aggregate), thresholds broadcast, corpus filters map-only.  The
+    lang skew in testdata (en ≈ 3× de) makes the rates bind at every
+    scale.  See ``stages/sampling.temperature_mix`` for why α=0.5 is the
+    exactly-SQL-mirrorable exponent."""
+    from searchengine_ray.stages import sampling
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "lang"])
+    return sampling.temperature_mix(ds, "doc_id", "lang", "temp42")
+
+
+SQL_TEMPERATURE_MIX = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS mn FROM c),
+thr AS (SELECT lang,
+               CASE WHEN n = m.mn THEN 'g'
+                    ELSE lpad(lower(to_hex(CAST(floor(
+                           sqrt(CAST(m.mn AS DOUBLE) / n)
+                           * 281474976710656) AS BIGINT))), 12, '0')
+               END AS t
+        FROM c, m)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr USING (lang)
+WHERE substr(sha256(CAST(d.doc_id AS VARCHAR) || ':temp42'), 1, 12) < thr.t
+"""
+
+
 # --- 40. anchor-text aggregation over the link graph -------------------------
 
 def anchor_text_weights(docs, n_docs: int, k: int = 300) -> pd.DataFrame:
@@ -4961,6 +4992,7 @@ QUERIES = {
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
+    "temperature_mix": q_temperature_mix,
     "anchor_texts": q_anchor_texts,
     "postings_codec": q_postings_codec,
     "collocations": q_collocations,
@@ -5085,6 +5117,7 @@ ORACLE_SQL = {
     "resumable_sink": SQL_RESUMABLE_SINK,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "doc_embeddings": SQL_DOC_EMBEDDINGS,
+    "temperature_mix": SQL_TEMPERATURE_MIX,
     "anchor_texts": SQL_ANCHOR_TEXTS,
     "postings_codec": SQL_POSTINGS_CODEC,
     "collocations": SQL_COLLOCATIONS,

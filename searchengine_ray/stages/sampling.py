@@ -34,9 +34,10 @@ from hashlib import sha256
 
 import numpy as np
 import pandas as pd
+import ray
 from ray.data import Dataset
 
-from searchengine_ray.stages.relational import bucketed_apply
+from searchengine_ray.stages.relational import bucketed_apply, pre_aggregate
 
 HEX_DIGITS = 12  # 48 bits of hash → threshold granularity 2^-48
 
@@ -123,6 +124,50 @@ def weighted_mix(
         h = hash_hex(df[id_col].to_numpy(), salt)
         t = df[rate_col].map(thr).fillna(default_thr).to_numpy(dtype=object)
         return df[h < t.astype(f"<U{max(HEX_DIGITS, 1)}")]
+
+    return ds.map_batches(keep, batch_format="pandas")
+
+
+def temperature_mix(
+    ds: Dataset, id_col: str, stratum_col: str, salt: str,
+    max_strata: int = 100_000,
+) -> Dataset:
+    """Temperature-based stratum re-balancing (the multilingual sampling
+    of XLM-R / mT5: sampled counts ∝ n_s^α): keep each row of stratum s
+    with rate ``sqrt(min_n / n_s)`` — α fixed at 0.5, the one exponent
+    whose rate is a CORRECTLY-ROUNDED IEEE double on both engine and SQL
+    sides (sqrt is exactly rounded; libm ``pow`` is not), so the derived
+    48-bit threshold strings match bit-for-bit and the kept SET is
+    oracle-checkable with no rounding margin.  The smallest stratum keeps
+    everything; a stratum k× larger keeps sqrt(1/k) of its rows, pulling
+    the mix toward n_s^0.5.
+
+    Scale shape: ONE ``pre_aggregate`` for the per-stratum counts (the
+    only all-to-all; output is O(strata), raising above ``max_strata``),
+    thresholds broadcast once, the corpus itself filters map-only —
+    identical cost profile to :func:`weighted_mix` but with DATA-DERIVED
+    rates."""
+    counts = (pre_aggregate(ds, [stratum_col], {"n": (None, "count")})
+              .to_pandas())  # bounded: O(strata) ≤ max_strata
+    if len(counts) > max_strata:
+        raise ValueError(
+            f"{len(counts)} strata exceed max_strata={max_strata}; "
+            "temperature thresholds must stay driver-sized")
+    mn = int(counts["n"].min())
+    thr = {}
+    for s, n in zip(counts[stratum_col], counts["n"].astype(np.int64)):
+        if int(n) == mn:
+            thr[s] = "g"  # rate 1.0 — above every hex string
+        else:
+            rate = np.sqrt(np.float64(mn) / np.float64(n))
+            thr[s] = format(int(rate * 16 ** HEX_DIGITS), f"0{HEX_DIGITS}x")
+    thr_ref = ray.put(thr)
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(thr_ref)  # plasma-local
+        h = hash_hex(df[id_col].to_numpy(), salt)
+        lim = df[stratum_col].map(t).to_numpy(dtype=object)
+        return df[h < lim.astype(f"<U{HEX_DIGITS}")]
 
     return ds.map_batches(keep, batch_format="pandas")
 
