@@ -161,6 +161,8 @@ def main() -> None:
         "postings_codec": Q.q_postings_codec,
         "collocations": Q.q_collocations,
         "temperature_mix": Q.q_temperature_mix,
+        "zscore_outliers": Q.q_zscore_outliers,
+        "gap_fill_daily": Q.q_gap_fill_daily,
         "pagerank": Q.q_pagerank,
         "phrase_search": Q.q_phrase_search,
         "snapshot_diff": Q.q_snapshot_diff,

@@ -4710,6 +4710,105 @@ def q_bpe_stats(sf_dir: str):
     return bpe_token_stats(ds, merges)
 
 
+# --- 39a2. grouped z-score outlier detection ----------------------------------
+
+def q_zscore_outliers(sf_dir: str):
+    """Per-group standardization + outlier emit (the data-cleaning /
+    feature-scaling pass): z = (q − mean_g)/std_g over int64-cast
+    quantities, keep |z| > 1.6 (binds at every scale: ~8% of rows).
+    EXACT oracle parity with no rounding margin: moments are integer
+    sums (one ``pre_aggregate`` → O(groups) driver table, broadcast),
+    and mean/var/z use only division and sqrt — both correctly-rounded
+    IEEE — in the identical operation order as the SQL, so the filter
+    boundary cannot flip.  Map-only after the moments pass."""
+    import ray
+
+    ds = _pq(sf_dir, "lineitem",
+             columns=["l_orderkey", "l_linenumber", "l_returnflag",
+                      "l_quantity"])
+
+    def to_int(df: pd.DataFrame) -> pd.DataFrame:
+        q = df["l_quantity"].to_numpy(np.float64).astype(np.int64)
+        out = pd.DataFrame({"l_orderkey": df["l_orderkey"].to_numpy(np.int64),
+                            "l_linenumber":
+                                df["l_linenumber"].to_numpy(np.int64),
+                            "l_returnflag": df["l_returnflag"].to_numpy(),
+                            "q": q, "ssq": q * q})
+        return out
+
+    base = ds.map_batches(to_int, batch_format="pandas")
+    stats = pre_aggregate(base, ["l_returnflag"],
+                          {"n": (None, "count"), "s": ("q", "sum"),
+                           "ssq": ("ssq", "sum")}).to_pandas()  # O(groups)
+    mean = stats["s"].to_numpy(np.int64).astype(np.float64) \
+        / stats["n"].to_numpy(np.int64)
+    ex2 = stats["ssq"].to_numpy(np.int64).astype(np.float64) \
+        / stats["n"].to_numpy(np.int64)
+    std = np.sqrt(ex2 - mean * mean)
+    mtbl = {f: (m, sd) for f, m, sd in zip(stats["l_returnflag"], mean, std)}
+    mref = ray.put(mtbl)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(mref)
+        m = np.array([t[f][0] for f in df["l_returnflag"]])
+        sd = np.array([t[f][1] for f in df["l_returnflag"]])
+        z = (df["q"].to_numpy(np.int64).astype(np.float64) - m) / sd
+        keep = np.abs(z) > 1.6
+        out = df.loc[keep, ["l_orderkey", "l_linenumber", "l_returnflag",
+                            "q"]].copy()
+        out["z"] = np.round(z[keep], 6)
+        return out
+
+    return base.map_batches(score, batch_format="pandas")
+
+
+SQL_ZSCORE_OUTLIERS = """
+WITH l AS (SELECT l_orderkey, l_linenumber,
+                  l_returnflag, CAST(l_quantity AS BIGINT) AS q
+           FROM lineitem),
+st AS (SELECT l_returnflag, count(*) AS n, sum(q) AS s, sum(q*q) AS ssq
+       FROM l GROUP BY l_returnflag),
+z AS (SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, l.q,
+             (CAST(l.q AS DOUBLE) - CAST(st.s AS DOUBLE)/st.n)
+             / sqrt(CAST(st.ssq AS DOUBLE)/st.n
+                    - (CAST(st.s AS DOUBLE)/st.n)
+                      * (CAST(st.s AS DOUBLE)/st.n)) AS z
+      FROM l JOIN st USING (l_returnflag))
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_returnflag, q, round(z, 6) AS z
+FROM z WHERE abs(z) > 1.6
+"""
+
+
+# --- 39a3. time-series gap fill (date spine) -----------------------------------
+
+def q_gap_fill_daily(sf_dir: str):
+    """Per-user daily counts densified with explicit zero rows over each
+    user's [first, last] activity span — see
+    ``stages/sessions.gap_fill_daily`` for the scale shape (events
+    reduce to O(user-days) BEFORE the one co-shuffle; the spine kernel
+    is a segmented repeat/arange explode + composite-key searchsorted,
+    no per-user Python)."""
+    from searchengine_ray.stages.sessions import gap_fill_daily
+
+    ds = _pq(sf_dir, "events", columns=["user_id", "ts"])
+    return gap_fill_daily(ds)
+
+
+SQL_GAP_FILL_DAILY = """
+WITH d AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+                  count(*) AS n_events
+           FROM events GROUP BY user_id, day),
+spans AS (SELECT user_id, min(day) AS lo, max(day) AS hi FROM d
+          GROUP BY user_id),
+spine AS (SELECT user_id, unnest(generate_series(lo, hi)) AS day
+          FROM spans)
+SELECT s.user_id, s.day,
+       CAST(coalesce(d.n_events, 0) AS BIGINT) AS n_events
+FROM spine s LEFT JOIN d USING (user_id, day)
+"""
+
+
 # --- 39b. temperature-based language re-balancing -----------------------------
 
 def q_temperature_mix(sf_dir: str):
@@ -4992,6 +5091,8 @@ QUERIES = {
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
+    "zscore_outliers": q_zscore_outliers,
+    "gap_fill_daily": q_gap_fill_daily,
     "temperature_mix": q_temperature_mix,
     "anchor_texts": q_anchor_texts,
     "postings_codec": q_postings_codec,
@@ -5117,6 +5218,8 @@ ORACLE_SQL = {
     "resumable_sink": SQL_RESUMABLE_SINK,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "doc_embeddings": SQL_DOC_EMBEDDINGS,
+    "zscore_outliers": SQL_ZSCORE_OUTLIERS,
+    "gap_fill_daily": SQL_GAP_FILL_DAILY,
     "temperature_mix": SQL_TEMPERATURE_MIX,
     "anchor_texts": SQL_ANCHOR_TEXTS,
     "postings_codec": SQL_POSTINGS_CODEC,

@@ -384,3 +384,68 @@ def windowed_pair_join(
             key_col: lg[key_col].to_numpy(np.int64)[li]})
 
     return bucketed_apply(both, [key_col], per_bucket)
+
+
+def gap_fill_daily(events: Dataset, user_col: str = "user_id",
+                   ts_col: str = "ts",
+                   num_buckets: int | None = None) -> Dataset:
+    """Date-spine densification: per-user daily event counts INCLUDING
+    zero rows for every day in the user's [first, last] activity span —
+    the gap-fill a time-series feature pipeline runs before windowed
+    models (missing days must be explicit zeros, not absent rows).
+
+    Scale shape: raw events reduce to (user, day) counts via ONE
+    ``pre_aggregate`` (map-side combine — the exchange is O(active
+    user-days), never the event count), then one co-shuffle of that
+    already-small table groups each user whole and a single vectorized
+    kernel per bucket emits the spine (repeat/arange segmented explode +
+    one composite-key searchsorted merge; no per-user Python).  Output is
+    O(Σ span-days).  Day = epoch_us // 86_400_000_000 (int64)."""
+    from searchengine_ray.stages.relational import (bucketed_apply,
+                                                    pre_aggregate)
+
+    day_us = np.int64(86_400_000_000)
+
+    def to_day(df: pd.DataFrame) -> pd.DataFrame:
+        ts = df[ts_col].astype("datetime64[us]").astype(np.int64)
+        return pd.DataFrame({user_col: df[user_col].to_numpy(np.int64),
+                             "day": ts // day_us})
+
+    counts = pre_aggregate(events.map_batches(to_day, batch_format="pandas"),
+                           [user_col, "day"], {"n_events": (None, "count")})
+
+    def spine(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({user_col: pd.Series([], dtype=np.int64),
+                                 "day": pd.Series([], dtype=np.int64),
+                                 "n_events": pd.Series([], dtype=np.int64)})
+        g = g.sort_values([user_col, "day"], kind="mergesort")
+        u = g[user_col].to_numpy(np.int64)
+        d = g["day"].to_numpy(np.int64)
+        n = g["n_events"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        ends = np.r_[starts[1:], len(u)]
+        lo, hi = d[starts], d[ends - 1]
+        span = hi - lo + 1
+        total = int(span.sum())
+        base = np.repeat(lo, span)
+        offs = np.arange(total, dtype=np.int64) - np.repeat(
+            np.cumsum(span) - span, span)
+        out_day = base + offs
+        out_user = np.repeat(u[starts], span)
+        # composite-key merge of the existing counts into the spine
+        K = np.int64(1) << np.int64(32)
+        if int(out_day.max(initial=0)) >= int(K) or \
+                int(u.max(initial=0)) > (2**62) // int(K):
+            raise OverflowError("gap_fill_daily composite key overflow")
+        have = u * K + d  # sorted (user asc, day asc by construction)
+        want = out_user * K + out_day
+        pos = np.searchsorted(have, want)
+        pos_c = np.minimum(pos, len(have) - 1)
+        hit = have[pos_c] == want
+        out_n = np.where(hit, n[pos_c], np.int64(0))
+        return pd.DataFrame({user_col: out_user, "day": out_day,
+                             "n_events": out_n})
+
+    return bucketed_apply(counts, [user_col], spine,
+                          num_buckets=num_buckets)
