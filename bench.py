@@ -122,6 +122,7 @@ def main() -> None:
         "user_running_total": Q.q_user_running_total,
         "neardup_survivors": Q.q_neardup_survivors,
         "knn_ivf": Q.q_knn_ivf,
+        "knn_ivf_insert": Q.q_knn_ivf_insert,
         "image_pipeline": Q.q_image_pipeline,
         "semantic_dedup": Q.q_semantic_dedup,
         "distinct_users_hll": Q.q_distinct_users_hll,

@@ -1428,6 +1428,38 @@ def q_knn_ivf(sf_dir: str):
             .head(10).reset_index(drop=True))
 
 
+def q_knn_ivf_insert(sf_dir: str):
+    """Incremental IVF index maintenance, gated EXACTLY: build the
+    persisted hive-partitioned layout on 90% of the corpus, fold the
+    remaining 10% in via ``ivf_insert`` (FAISS add(): frozen centroids,
+    append-only list files — O(delta) work), then probe at nprobe =
+    num_centroids so the answer must equal brute force over the FULL
+    corpus — the same SQL oracle as ``knn_bruteforce``.  A from-scratch
+    rebuild never happens; if the insert mis-assigned a single vector or
+    clobbered an existing list file, the exact gate breaks."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    base = ds.map_batches(lambda df: df[df["vec_id"] % 10 != 0],
+                          batch_format="pandas")
+    delta = ds.map_batches(lambda df: df[df["vec_id"] % 10 == 0],
+                           batch_format="pandas")
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "==", 0)])
+    q = np.asarray(qt["embedding"].to_pylist()[0])
+
+    path = tempfile.mkdtemp(prefix="graft_ivf_insert_")
+    knn_stage.build_ivf_index(base, path, num_centroids=8)
+    knn_stage.ivf_insert(path, delta)
+    out = knn_stage.ivf_probe(path, q, k=50, nprobe=8, exclude_ids={0})
+    out["cosine"] = out["cosine"].round(6)
+    return (out.sort_values(["cosine", "vec_id"], ascending=[False, True])
+            .head(10).reset_index(drop=True))
+
+
 # --- 19. image-corpus queries over the input-hint table ---------------------
 
 def _image_table_ds(columns=None):
@@ -5038,6 +5070,7 @@ QUERIES = {
     "distinct_users_hll": q_distinct_users_hll,
     "events_sliding_1h": q_events_sliding_1h,
     "knn_ivf": q_knn_ivf,
+    "knn_ivf_insert": q_knn_ivf_insert,
     "image_phash_neardup": q_image_phash_neardup,
     "image_stats": q_image_stats,
     "image_multimodal_neardup": q_image_multimodal_neardup,
@@ -5150,6 +5183,7 @@ ORACLE_SQL = {
     "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
     "events_sliding_1h": SQL_EVENTS_SLIDING_1H,
     "knn_ivf": SQL_KNN,
+    "knn_ivf_insert": SQL_KNN,
     "simhash_pairs": SQL_SIMHASH_PAIRS,
     "fingerprint_neardup": SQL_FINGERPRINT_NEARDUP,
     "neardup_clusters": SQL_NEARDUP_CLUSTERS,

@@ -133,6 +133,33 @@ def build_ivf_index(
     return path
 
 
+def ivf_insert(path: str, delta: Dataset, emb_col: str = "embedding") -> str:
+    """Incremental insert into a persisted IVF layout (the FAISS ``add()``
+    contract): new vectors assign to the EXISTING centroids — no retrain,
+    no rewrite of existing list files — and land as NEW parquet files
+    appended inside their ``list_id=<c>/`` directories (Ray's writer
+    names files uniquely, so concurrent history accumulates; a probe
+    simply reads more files per list).  Index maintenance therefore costs
+    O(delta), never O(corpus) — the write-once/read-many layout stays
+    valid because list membership depends only on the frozen centroids.
+
+    Durability contract: like any multi-file append, a crashed insert can
+    leave a PARTIAL delta — wrap calls in the `sources/resumable.py`
+    marker discipline when exactly-once matters.  Rebalancing after heavy
+    drift (lists growing skewed) is a full ``build_ivf_index`` rebuild,
+    by design."""
+    cent = np.load(os.path.join(path, "_centroids.npy"))
+    cent_ref = ray.put(cent)
+    # one block per touched list before the write (same tiny-files
+    # rationale as build_ivf_index)
+    (delta.map_batches(_assign_lists(cent_ref, emb_col),
+                       batch_format="pandas")
+          .groupby("list_id")
+          .map_groups(lambda g: g, batch_format="pandas")
+          .write_parquet(path, partition_cols=["list_id"]))
+    return path
+
+
 def ivf_probe(
     path: str, query: np.ndarray, k: int = 10, nprobe: int = 4,
     id_col: str = "vec_id", emb_col: str = "embedding",

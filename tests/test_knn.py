@@ -216,3 +216,48 @@ def test_ivfpq_probe_reads_only_probed_lists(emb_ds, tmp_path):
                 member[v] = lid
     lists_hit = {member[v] for v in got["vec_id"]}
     assert len(lists_hit) == 1
+
+
+def test_ivf_insert_appends_and_matches_union(emb_ds, tmp_path):
+    """FAISS add() contract: frozen centroids, append-only files, and the
+    post-insert full-probe answer equals brute force over base ∪ delta."""
+    import os
+
+    from searchengine_ray.stages.knn import (build_ivf_index, ivf_insert,
+                                             ivf_probe)
+
+    base = emb_ds.map_batches(lambda df: df[df["vec_id"] % 5 != 0],
+                              batch_format="pandas")
+    delta = emb_ds.map_batches(lambda df: df[df["vec_id"] % 5 == 0],
+                               batch_format="pandas")
+    path = str(tmp_path / "ivf_ins")
+    build_ivf_index(base, path, num_centroids=8)
+
+    def _files(p):
+        out = {}
+        for d in os.listdir(p):
+            full = os.path.join(p, d)
+            if d.startswith("list_id=") and os.path.isdir(full):
+                for f in os.listdir(full):
+                    st = os.stat(os.path.join(full, f))
+                    out[f"{d}/{f}"] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    before = _files(path)
+    cent_before = np.load(os.path.join(path, "_centroids.npy"))
+    ivf_insert(path, delta)
+    after = _files(path)
+    # every pre-insert file survives byte-identically; new files appeared
+    for k, v in before.items():
+        assert after[k] == v, k
+    assert len(after) > len(before)
+    np.testing.assert_array_equal(
+        cent_before, np.load(os.path.join(path, "_centroids.npy")))
+
+    q = np.array(emb_ds.take(1)[0]["embedding"])
+    got = ivf_probe(path, q, k=15, nprobe=8, exclude_ids={0})
+    want = knn_bruteforce(emb_ds, q, k=15, exclude_ids={0})
+    pd.testing.assert_frame_equal(got.reset_index(drop=True),
+                                  want.reset_index(drop=True))
+    # a delta vector is findable by partial probe of its own list
+    assert (got["vec_id"] % 5 == 0).any()
