@@ -141,6 +141,7 @@ def main() -> None:
         "index_merge": Q.q_index_merge,
         "event_value_bands": Q.q_event_value_bands,
         "bm25_search": Q.q_bm25_search,
+        "bm25_compressed": Q.q_bm25_compressed,
         "hybrid_search": Q.q_hybrid_search,
         "upsert_merge": Q.q_upsert_merge,
         "rolling_active_users": Q.q_rolling_active_users,

@@ -3544,6 +3544,75 @@ ORDER BY score DESC, doc_id LIMIT 10
 """
 
 
+# --- 30a2. BM25 served FROM the compressed persisted index -------------------
+
+def q_bm25_compressed(sf_dir: str):
+    """The same BM25 top-10 as ``bm25_search`` — but served from the
+    PERSISTED compressed index instead of re-scanning the corpus: build
+    the (token, block) gap+tf+norm varint layout once
+    (``encode_postings_tf``, chunk_size=64 so multi-block lists are
+    actually exercised at test scale), then the probe reads ONLY the
+    query terms' rows via parquet filter pushdown, decodes map-only and
+    scores.  Gated by the SAME SQL oracle as ``bm25_search`` — a wrong
+    gap restart, tf byte or inline norm anywhere in the codec changes a
+    score and breaks the hash.  This is the retrieval story the codec
+    exists for: query cost is O(probed postings), never O(corpus)."""
+    import tempfile
+
+    import pyarrow.dataset as pads
+
+    from searchengine_ray.pipelines.search import BM25_B, BM25_K1
+    from searchengine_ray.stages.postings_codec import (
+        decode_postings_tf, encode_postings_tf)
+    from searchengine_ray.stages.relational import global_topk
+
+    terms = ["fast", "merge", "join"]
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    n_total = ds.count()
+    tc = text_stage.doc_term_counts(ds, mode="simple").materialize()
+
+    scratch = tempfile.mkdtemp(prefix="graft_bm25_idx_")
+    encode_postings_tf(tc, chunk_size=64).write_parquet(scratch)
+
+    # corpus stats sidecar: avgdl over token-bearing docs (per-batch
+    # scalar partials — the driver sees one row per batch)
+    dl = pre_aggregate(tc, ["doc_id"], {"doc_len": ("doc_len", "max")})
+    st = dl.map_batches(
+        lambda df: pd.DataFrame({"n": [len(df)],
+                                 "s": [int(df["doc_len"].sum())]}),
+        batch_format="pandas").to_pandas().sum()
+    avgdl = float(st["s"]) / float(st["n"])
+
+    # probe: only the query terms' blob rows leave storage
+    idx = rd.read_parquet(scratch, filter=pads.field("token").isin(terms))
+    posts = decode_postings_tf(idx).materialize()
+    dfreq = pre_aggregate(posts, ["token"],
+                          {"df": (None, "count")}).to_pandas()
+    idf = {t: float(np.log(1.0 + (n_total - d + 0.5) / (d + 0.5)))
+           for t, d in zip(dfreq["token"], dfreq["df"])}
+
+    def score_rows(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                                 "sc": pd.Series([], dtype=np.float64)})
+        iv = df["token"].map(idf).to_numpy(dtype=np.float64)
+        cnt = df["cnt"].to_numpy(dtype=np.float64)
+        dln = df["doc_len"].to_numpy(dtype=np.float64)
+        sc = iv * (cnt * (BM25_K1 + 1.0)) \
+            / (cnt + BM25_K1 * (1.0 - BM25_B + BM25_B * dln / avgdl))
+        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(np.int64),
+                             "sc": np.round(sc, 6)})
+
+    scored = pre_aggregate(
+        posts.map_batches(score_rows, batch_format="pandas"),
+        ["doc_id"], {"score": ("sc", "sum")})
+    out = global_topk(scored.map_batches(
+        lambda df: df.assign(score=df["score"].round(6)),
+        batch_format="pandas"), ["score", "doc_id"], [False, True], 10)
+    out["doc_id"] = out["doc_id"].astype(np.int64)
+    return out.reset_index(drop=True)
+
+
 # --- 30b. hybrid retrieval: BM25 + dense kNN fused by RRF -------------------
 
 
@@ -5107,6 +5176,7 @@ QUERIES = {
     "remove_boilerplate": q_remove_boilerplate,
     "global_shuffle": q_global_shuffle,
     "bm25_search": q_bm25_search,
+    "bm25_compressed": q_bm25_compressed,
     "hybrid_search": q_hybrid_search,
     "upsert_merge": q_upsert_merge,
     "rolling_active_users": q_rolling_active_users,
@@ -5225,6 +5295,7 @@ ORACLE_SQL = {
     "remove_boilerplate": SQL_REMOVE_BOILERPLATE,
     "global_shuffle": SQL_GLOBAL_SHUFFLE,
     "bm25_search": SQL_BM25_SEARCH,
+    "bm25_compressed": SQL_BM25_SEARCH,
     "hybrid_search": SQL_HYBRID_SEARCH,
     "upsert_merge": SQL_UPSERT_MERGE,
     "rolling_active_users": SQL_ROLLING_ACTIVE_USERS,

@@ -95,3 +95,96 @@ def decode_summary(blobs: Dataset) -> Dataset:
                              "n_bytes": lens})
 
     return blobs.map_batches(fn, batch_format="pandas")
+
+
+def _encode_tf_bucket(chunk_size: int):
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"token": pd.Series([], dtype=object),
+                              "chunk_id": pd.Series([], dtype=np.int64),
+                              "df": pd.Series([], dtype=np.int64),
+                              "n_bytes": pd.Series([], dtype=np.int64),
+                              "blob": pd.Series([], dtype=object)})
+        if len(df) == 0:
+            return empty
+        df = df.sort_values(["token", "doc_id"], kind="mergesort")
+        doc = df["doc_id"].to_numpy(np.int64)
+        cnt = df["cnt"].to_numpy(np.int64)
+        dlen = df["doc_len"].to_numpy(np.int64)
+        tok = df["token"].to_numpy()
+        change = np.concatenate(([True], tok[1:] != tok[:-1]))
+        tok_starts = np.flatnonzero(change)
+        tok_counts = np.diff(np.concatenate((tok_starts, [tok.size])))
+        # block split: segment boundaries every chunk_size postings WITHIN
+        # a token (delta restarts per block, so any block decodes alone)
+        pos_in_tok = np.arange(tok.size, dtype=np.int64) - np.repeat(
+            tok_starts, tok_counts)
+        seg_start_mask = change | (pos_in_tok % chunk_size == 0)
+        seg_starts = np.flatnonzero(seg_start_mask)
+        seg_counts = np.diff(np.concatenate((seg_starts, [tok.size])))
+        gaps = delta_encode(doc, seg_starts)
+        vals = np.empty(3 * tok.size, dtype=np.int64)
+        vals[0::3] = gaps
+        vals[1::3] = cnt
+        vals[2::3] = dlen
+        buf, nb = encode_stream(vals)
+        seg_bytes = np.add.reduceat(nb, seg_starts * 3)
+        offs = np.cumsum(seg_bytes) - seg_bytes
+        raw = buf.tobytes()
+        blobs = [raw[o:o + n] for o, n in zip(offs, seg_bytes)]
+        return pd.DataFrame({
+            "token": tok[seg_starts],
+            "chunk_id": (pos_in_tok[seg_starts] // chunk_size),
+            "df": seg_counts.astype(np.int64),
+            "n_bytes": seg_bytes.astype(np.int64),
+            "blob": blobs})
+    return fn
+
+
+def encode_postings_tf(tc: Dataset, chunk_size: int = 4096,
+                       num_buckets: int | None = None) -> Dataset:
+    """Ranked-retrieval index layout: per (token, block) blobs of
+    interleaved ``(doc-id gap, tf, doc_len)`` varints — the inline-norms
+    variant of Lucene's freq/norm streams.  Posting lists CHUNK into
+    ``chunk_size``-posting blocks with a delta restart per block, so one
+    row never grows unbounded (a stopword's list at 100 TB becomes many
+    bounded rows — the block-max WAND layout) and any block decodes
+    independently.  Input rows: (token, doc_id, cnt, doc_len)."""
+    return bucketed_apply(tc, ["token"], _encode_tf_bucket(chunk_size),
+                          num_buckets=num_buckets)
+
+
+def decode_postings_tf(blobs: Dataset) -> Dataset:
+    """Map-only inverse of :func:`encode_postings_tf`: (token, doc_id,
+    cnt, doc_len) rows recomputed entirely from the blob bytes."""
+
+    def fn(df: pd.DataFrame) -> pd.DataFrame:
+        if len(df) == 0:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "doc_id": pd.Series([], dtype=np.int64),
+                                 "cnt": pd.Series([], dtype=np.int64),
+                                 "doc_len": pd.Series([], dtype=np.int64)})
+        raw_list = [bytes(b) for b in df["blob"]]
+        lens = np.array([len(b) for b in raw_list], dtype=np.int64)
+        buf = np.frombuffer(b"".join(raw_list), dtype=np.uint8)
+        term = (buf & 0x80) == 0
+        ct = np.cumsum(term)
+        ends = np.cumsum(lens)
+        vals_upto = ct[ends - 1]
+        vcounts = np.diff(np.concatenate((np.array([0], dtype=np.int64),
+                                          vals_upto)))
+        if (vcounts % 3).any() or (vcounts < 3).any():
+            raise ValueError("corrupt tf-posting blob")
+        vals = decode_stream(buf)
+        gaps = vals[0::3]
+        cnt = vals[1::3]
+        dlen = vals[2::3]
+        counts = vcounts // 3  # postings per blob row
+        starts = np.cumsum(counts) - counts
+        doc = segmented_cumsum(gaps, starts, counts)
+        return pd.DataFrame({
+            "token": np.repeat(df["token"].to_numpy(), counts),
+            "doc_id": doc,
+            "cnt": cnt,
+            "doc_len": dlen})
+
+    return blobs.map_batches(fn, batch_format="pandas")

@@ -84,3 +84,64 @@ def test_truncated_blob_raises(ray_session):
     bad["blob"] = [bytes(b)[:-1] for b in bad["blob"]]
     with pytest.raises(Exception):
         decode_summary(rd.from_pandas(bad)).to_pandas()
+
+
+def test_tf_codec_roundtrip_with_blocks(ray_session):
+    from searchengine_ray.stages.postings_codec import (
+        decode_postings_tf, encode_postings_tf)
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for t in range(12):
+        n = int(rng.integers(1, 40))
+        ids = np.sort(rng.choice(np.arange(10_000), size=n, replace=False))
+        for d in ids:
+            rows.append((f"t{t}", int(d), int(rng.integers(1, 9)),
+                         int(rng.integers(5, 300))))
+    tc = pd.DataFrame(rows, columns=["token", "doc_id", "cnt", "doc_len"])
+    # chunk_size=7 forces multi-block lists with delta restarts
+    enc = encode_postings_tf(rd.from_pandas(tc).repartition(4),
+                             chunk_size=7, num_buckets=6).to_pandas()
+    assert (enc.groupby("token")["chunk_id"].max() >= 1).any()
+    assert (enc["df"] <= 7).all()
+    got = (decode_postings_tf(rd.from_pandas(enc)).to_pandas()
+           .sort_values(["token", "doc_id"]).reset_index(drop=True))
+    want = tc.sort_values(["token", "doc_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": np.int64, "cnt": np.int64,
+                    "doc_len": np.int64}), want)
+
+
+def test_tf_codec_blocks_decode_independently(ray_session):
+    from searchengine_ray.stages.postings_codec import (
+        decode_postings_tf, encode_postings_tf)
+
+    ids = np.arange(0, 1000, 13, dtype=np.int64)
+    tc = pd.DataFrame({"token": "w", "doc_id": ids,
+                       "cnt": np.ones(len(ids), dtype=np.int64),
+                       "doc_len": np.full(len(ids), 50, dtype=np.int64)})
+    enc = encode_postings_tf(rd.from_pandas(tc), chunk_size=10,
+                             num_buckets=2).to_pandas()
+    assert len(enc) > 1
+    # each block row alone reconstructs exactly its slice (delta restart)
+    for _, row in enc.iterrows():
+        one = decode_postings_tf(
+            rd.from_pandas(pd.DataFrame([row]))).to_pandas()
+        lo = int(row["chunk_id"]) * 10
+        np.testing.assert_array_equal(one["doc_id"].to_numpy(),
+                                      ids[lo:lo + int(row["df"])])
+
+
+def test_tf_codec_corrupt_raises(ray_session):
+    from searchengine_ray.stages.postings_codec import (
+        decode_postings_tf, encode_postings_tf)
+
+    tc = pd.DataFrame({"token": ["w", "w"], "doc_id": [1, 5],
+                       "cnt": [2, 1], "doc_len": [9, 9]})
+    enc = encode_postings_tf(rd.from_pandas(tc), num_buckets=2).to_pandas()
+    bad = enc.copy()
+    # drop one whole varint (the trailing doc_len byte): value count no
+    # longer divisible by 3
+    bad["blob"] = [bytes(b)[:-1] for b in bad["blob"]]
+    with pytest.raises(Exception):
+        decode_postings_tf(rd.from_pandas(bad)).to_pandas()
