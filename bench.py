@@ -164,6 +164,7 @@ def main() -> None:
         "collocations": Q.q_collocations,
         "temperature_mix": Q.q_temperature_mix,
         "zscore_outliers": Q.q_zscore_outliers,
+        "late_data": Q.q_late_data,
         "gap_fill_daily": Q.q_gap_fill_daily,
         "pagerank": Q.q_pagerank,
         "phrase_search": Q.q_phrase_search,

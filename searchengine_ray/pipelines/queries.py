@@ -4811,6 +4811,55 @@ def q_bpe_stats(sf_dir: str):
     return bpe_token_stats(ds, merges)
 
 
+# --- 39a1. watermark / late-data accounting ------------------------------------
+
+def q_late_data(sf_dir: str):
+    """Allowed-lateness accounting (Dataflow model): each event ARRIVES at
+    ``ts + ingestion delay`` where the delay is a deterministic per-event
+    hash, 0–8 h in 5-min steps (testdata's event_id order IS time order,
+    so a synthetic bounded delay is what makes the late path non-vacuous
+    at every sf — verified 15-45%% late).  The watermark is the running
+    max event time in arrival order; an event is late when its own time
+    falls more than 4 h behind it.  Per event-time day: (n_events,
+    n_late).  See ``stages/sessions.late_data_stats`` for the distributed
+    global prefix-max shape (range buckets → O(B) driver prefix → one
+    co-shuffle).  Integer-µs arithmetic throughout — exact oracle parity."""
+    import numpy as np
+    import pandas as pd
+
+    from searchengine_ray.stages.sessions import late_data_stats
+
+    def arrive(df: pd.DataFrame) -> pd.DataFrame:
+        eid = df["event_id"].to_numpy(np.int64)
+        ts = df["ts"].astype("datetime64[us]").astype(np.int64)
+        delay = (eid * np.int64(2654435761)) % np.int64(97) \
+            * np.int64(300_000_000)
+        return pd.DataFrame({"event_id": eid, "ak": ts + delay, "ts": df["ts"]})
+
+    ds = (_pq(sf_dir, "events", columns=["event_id", "ts"])
+          .map_batches(arrive, batch_format="pandas"))
+    return late_data_stats(ds, lateness_us=14_400_000_000,
+                           order_col="ak", tiebreak_col="event_id")
+
+
+SQL_LATE_DATA = """
+WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us,
+                  epoch_us(ts) + ((event_id * 2654435761) % 97) * 300000000
+                      AS ak
+           FROM events),
+w AS (SELECT ts_us,
+             max(ts_us) OVER (ORDER BY ak, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) AS wm
+      FROM e)
+SELECT ts_us // 86400000000 AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN wm IS NOT NULL AND ts_us < wm - 14400000000
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+FROM w GROUP BY day
+"""
+
+
 # --- 39a2. grouped z-score outlier detection ----------------------------------
 
 def q_zscore_outliers(sf_dir: str):
@@ -5194,6 +5243,7 @@ QUERIES = {
     "knn_pq": q_knn_pq,
     "knn_ivfpq": q_knn_ivfpq,
     "bpe_stats": q_bpe_stats,
+    "late_data": q_late_data,
     "zscore_outliers": q_zscore_outliers,
     "gap_fill_daily": q_gap_fill_daily,
     "temperature_mix": q_temperature_mix,
@@ -5323,6 +5373,7 @@ ORACLE_SQL = {
     "resumable_sink": SQL_RESUMABLE_SINK,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "doc_embeddings": SQL_DOC_EMBEDDINGS,
+    "late_data": SQL_LATE_DATA,
     "zscore_outliers": SQL_ZSCORE_OUTLIERS,
     "gap_fill_daily": SQL_GAP_FILL_DAILY,
     "temperature_mix": SQL_TEMPERATURE_MIX,

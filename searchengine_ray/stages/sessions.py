@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import ray
 from ray.data import Dataset
 
 
@@ -449,3 +450,97 @@ def gap_fill_daily(events: Dataset, user_col: str = "user_id",
 
     return bucketed_apply(counts, [user_col], spine,
                           num_buckets=num_buckets)
+
+
+def late_data_stats(events: Dataset, lateness_us: int,
+                    order_col: str = "event_id", ts_col: str = "ts",
+                    tiebreak_col: str | None = None,
+                    num_buckets: int = 256) -> Dataset:
+    """Watermark / allowed-lateness accounting (the Dataflow model): in
+    arrival order (``order_col``, ties broken by ``tiebreak_col``), the
+    watermark is the running max event time seen SO FAR minus
+    ``lateness_us``; an event is LATE when its own event time falls below
+    the watermark at its arrival.  Returns per event-time day
+    (epoch_us // 86.4e9): (day, n_events, n_late).
+
+    ``order_col`` is any int64 arrival key — a sequence number, or an
+    arrival timestamp derived upstream (possibly with duplicates, hence
+    the tiebreak).  Events with equal keys always land in the same range
+    bucket, so the tiebreak never has to cross the carry boundary.
+
+    Scale shape — a GLOBAL ordered prefix max without a global sort:
+    arrival order buckets by contiguous ``order_col`` range (map-only:
+    bucket = (id - min) * B // span from two metadata scalars), per-bucket
+    maxes reduce through ONE ``pre_aggregate`` to O(B) driver rows, the
+    exclusive prefix max broadcasts back, and one co-shuffle groups each
+    bucket whole for a vectorized sort + shifted cummax with the carry-in.
+    All event-time arithmetic is integer microseconds — engine and SQL
+    agree exactly."""
+    from searchengine_ray.stages.relational import (bucketed_apply,
+                                                    pre_aggregate)
+
+    day_us = np.int64(86_400_000_000)
+
+    def tag(df: pd.DataFrame) -> pd.DataFrame:
+        oid = df[order_col].to_numpy(np.int64)
+        ts = df[ts_col].astype("datetime64[us]").astype(np.int64)
+        out = {"oid": oid, "ts_us": ts}
+        if tiebreak_col is not None:
+            out["tb"] = df[tiebreak_col].to_numpy(np.int64)
+        return pd.DataFrame(out)
+
+    flat = events.map_batches(tag, batch_format="pandas").materialize()
+    from ray.data.aggregate import Max, Min
+
+    mm = flat.aggregate(Min("oid"), Max("oid"))  # ONE pass for both
+    lo, hi = int(mm["min(oid)"]), int(mm["max(oid)"])
+    span = max(hi - lo + 1, 1)
+    nb = min(num_buckets, span)
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["rb"] = ((df["oid"].to_numpy(np.int64) - np.int64(lo))
+                    * np.int64(nb) // np.int64(span))
+        return df
+
+    tagged = flat.map_batches(bucket, batch_format="pandas")
+    bmax = (pre_aggregate(tagged, ["rb"], {"mx": ("ts_us", "max")})
+            .to_pandas().sort_values("rb"))  # O(num_buckets) driver rows
+    carry = {}
+    # sentinel well below any real epoch yet far from INT64_MIN, so
+    # ``sentinel - lateness_us`` cannot wrap (numpy int64 overflow is
+    # silent); the stream's first event is never late, as with SQL's
+    # NULL-watermark row
+    running = np.int64(-(2 ** 62))
+    for rb_val, mx in zip(bmax["rb"], bmax["mx"]):
+        carry[int(rb_val)] = int(running)  # EXCLUSIVE prefix max
+        running = max(running, np.int64(mx))
+    carry_ref = ray.put(carry)
+
+    def flag(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return pd.DataFrame({"day": pd.Series([], dtype=np.int64),
+                                 "n_events": pd.Series([], dtype=np.int64),
+                                 "n_late": pd.Series([], dtype=np.int64)})
+        cmap = ray.get(carry_ref)
+        sort_cols = ["oid", "tb"] if "tb" in g.columns else ["oid"]
+        out = []
+        for rb_val, gg in g.groupby("rb", sort=True):
+            gg = gg.sort_values(sort_cols, kind="mergesort")
+            ts = gg["ts_us"].to_numpy(np.int64)
+            prefix = np.maximum.accumulate(ts)
+            shifted = np.empty_like(prefix)
+            shifted[0] = cmap[int(rb_val)]
+            shifted[1:] = np.maximum(prefix[:-1], cmap[int(rb_val)])
+            late = ts < shifted - np.int64(lateness_us)
+            out.append(pd.DataFrame({"day": ts // day_us,
+                                     "late": late.astype(np.int64)}))
+        cat = pd.concat(out, ignore_index=True)
+        return (cat.groupby("day", as_index=False)
+                .agg(n_events=("late", "size"), n_late=("late", "sum"))
+                .astype(np.int64))
+
+    flagged = bucketed_apply(tagged, ["rb"], flag)
+    return pre_aggregate(flagged, ["day"],
+                         {"n_events": ("n_events", "sum"),
+                          "n_late": ("n_late", "sum")})
