@@ -827,6 +827,18 @@ def q_incremental_neardup(sf_dir: str):
         _BAND_STORE_DIR, base, delta, threshold=0.65)
 
 
+# --- 15a3. PPJoin prefix-filtered exact set-similarity join ------------------
+
+def q_ppjoin_pairs(sf_dir: str):
+    """EXACT Jaccard-threshold self-join via global-df prefix filtering
+    (PPJoin family) — no LSH recall parameter, no df cap dropping hot
+    shingles.  Same output contract (and the same exact all-pairs SQL
+    oracle) as ``minhash_pairs``: any pruning-bound defect in the prefix
+    or length filters loses a pair and breaks the hash."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_stage.ppjoin_jaccard_pairs(ds, threshold=0.65)
+
+
 # --- 15b. exact n-gram Jaccard pairs (distributed form of reference D5) -----
 
 def q_ngram_jaccard(sf_dir: str):
@@ -5171,6 +5183,7 @@ QUERIES = {
     "text_features": q_text_features,
     "image_pipeline": q_image_pipeline,
     "minhash_pairs": q_minhash_pairs,
+    "ppjoin_pairs": q_ppjoin_pairs,
     "incremental_neardup": q_incremental_neardup,
     "simhash_pairs": q_simhash_pairs,
     "fingerprint_neardup": q_fingerprint_neardup,
@@ -5292,6 +5305,7 @@ ORACLE_SQL = {
     "index_stats": SQL_INDEX_STATS,
     "text_features": SQL_TEXT_FEATURES,
     "minhash_pairs": SQL_MINHASH_PAIRS,
+    "ppjoin_pairs": SQL_MINHASH_PAIRS,
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,

@@ -637,6 +637,129 @@ def ngram_containment_pairs(
     return counted.map_batches(containment_batch, batch_format="pandas")
 
 
+def ppjoin_jaccard_pairs(
+    ds: Dataset, threshold: float = 0.65, shingle_n: int = 3,
+    text_col: str = "text", id_col: str = "doc_id", round_to: int = 6,
+) -> Dataset:
+    """EXACT all-pairs Jaccard join via global-frequency prefix filtering
+    (the PPJoin family — Chaudhuri et al. ICDE'06, Xiao et al. WWW'08) —
+    the third point in the set-similarity design space alongside the df-cap
+    path (``ngram_jaccard_pairs``: exact under a cap that DROPS hot
+    shingles from the sets) and MinHash+LSH (``minhash_lsh_candidates``:
+    approximate recall).  Prefix filtering is exact over the FULL sets with
+    provably bounded candidate generation and no recall parameter.
+
+    Principle: order every doc's shingles by a single global total order
+    (document frequency ascending, shingle hash as tiebreak — rarest
+    first).  If J(A,B) > t then |A∩B| ≥ ⌈t·|A|⌉, so by pigeonhole the
+    first ``|A| - ⌈t·|A|⌉ + 1`` shingles of A (its *prefix*) and the
+    corresponding prefix of B must share an element.  Candidates therefore
+    come ONLY from prefix-token co-occurrence — and because the global
+    order puts frequent shingles LAST, a stop-phrase shingle shared by k
+    docs lands in almost no prefix: the O(k²) blowup the df cap exists to
+    kill never happens, without dropping anything from the sets.
+
+    Distributed shape (no driver state, vocabulary never broadcast):
+      1. ``explode_shingles`` → distinct (doc_id, sh, n) — materialized
+         ONCE (three consumers; Ray re-executes shared lazy sub-plans).
+      2. df per shingle via one ``pre_aggregate``; attach df to each row
+         by a tagged-union co-shuffle on ``sh`` (the vocab table is
+         unbounded at corpus scale — a broadcast would not survive).
+      3. co-shuffle on ``doc_id``: one lexsort per bucket ranks each
+         doc's shingles in global order, keep rank < prefix length.
+      4. co-shuffle prefix rows on ``sh``: per-bucket self-merge emits
+         candidate (a<b) pairs, length-filtered (J>t ⇒ t·|A| ≤ |B|).
+      5. dedupe candidates (``pre_aggregate``) and verify with the exact
+         two-all-to-all ``_pair_jaccard_coshuffle`` over the full sets.
+
+    Output: (doc_a, doc_b, jaccard) — identical contract (and oracle) to
+    the verified-MinHash path, but deterministic and parameter-free."""
+    from searchengine_ray.stages.relational import bucketed_apply, pre_aggregate
+
+    # prefix length p(n) = n - α(n) + 1 where α = minimal overlap a J>t
+    # pair must have: ov > t·n ⇒ ov ≥ floor(t·n - eps) + 1.  The eps guards
+    # the float product landing one ulp ABOVE an exact integer t·n (which
+    # would shorten the prefix below the pigeonhole bound); erring long by
+    # one row costs a few extra candidates, never recall.
+    eps = 1e-9
+
+    exploded = explode_shingles(ds, shingle_n, text_col, id_col).materialize()
+    dfc = pre_aggregate(exploded, ["sh"], {"df": (None, "count")})
+
+    cols = ["sh", "doc_id", "n", "df", "side"]
+
+    def tag_rows(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.zeros(len(df), dtype=np.int64)
+        return pd.DataFrame({"sh": df["sh"].to_numpy(dtype=np.int64),
+                             "doc_id": df["doc_id"].to_numpy(dtype=np.int64),
+                             "n": df["n"].to_numpy(dtype=np.int64),
+                             "df": z, "side": z})[cols]
+
+    def tag_df(df: pd.DataFrame) -> pd.DataFrame:
+        z = np.zeros(len(df), dtype=np.int64)
+        return pd.DataFrame({"sh": df["sh"].to_numpy(dtype=np.int64),
+                             "doc_id": z, "n": z,
+                             "df": df["df"].to_numpy(dtype=np.int64),
+                             "side": np.full(len(df), -1, dtype=np.int64)})[cols]
+
+    both = (exploded.map_batches(tag_rows, batch_format="pandas")
+            .union(dfc.map_batches(tag_df, batch_format="pandas")))
+
+    def attach_df(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy()
+        rows = g[side == 0]
+        dft = g[side == -1]
+        return rows[["doc_id", "sh", "n"]].merge(
+            dft[["sh", "df"]], on="sh")[["doc_id", "sh", "n", "df"]]
+
+    withdf = bucketed_apply(both, ["sh"], attach_df)
+
+    def prefix_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype=np.int64),
+                              "sh": pd.Series([], dtype=np.int64),
+                              "n": pd.Series([], dtype=np.int64)})
+        if not len(g):
+            return empty
+        doc = g["doc_id"].to_numpy(dtype=np.int64)
+        dfv = g["df"].to_numpy(dtype=np.int64)
+        shv = g["sh"].to_numpy(dtype=np.int64)
+        nv = g["n"].to_numpy(dtype=np.int64)
+        # one lexsort per bucket: primary doc, then the global (df, sh)
+        # order within each doc (np.lexsort keys are last-is-primary)
+        order = np.lexsort((shv, dfv, doc))
+        doc_s, sh_s, n_s = doc[order], shv[order], nv[order]
+        new = np.empty(doc_s.size, dtype=bool)
+        new[0] = True
+        np.not_equal(doc_s[1:], doc_s[:-1], out=new[1:])
+        seg_start = np.flatnonzero(new)
+        seg_len = np.diff(np.append(seg_start, doc_s.size))
+        rank = np.arange(doc_s.size, dtype=np.int64) - np.repeat(seg_start,
+                                                                 seg_len)
+        plen = n_s - np.floor(threshold * n_s.astype(np.float64)
+                              - eps).astype(np.int64)
+        keep = rank < plen
+        return pd.DataFrame({"doc_id": doc_s[keep], "sh": sh_s[keep],
+                             "n": n_s[keep]})
+
+    prefix = bucketed_apply(withdf, ["doc_id"], prefix_bucket)
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.merge(g, on="sh", suffixes=("_a", "_b"))
+        m = m[m["doc_id_a"] < m["doc_id_b"]]
+        na = m["n_a"].to_numpy(dtype=np.float64)
+        nb = m["n_b"].to_numpy(dtype=np.float64)
+        # length filter: J>t ⇒ ov > t·max(|A|,|B|) and ov ≤ min(|A|,|B|)
+        ok = (nb >= threshold * na - eps) & (na >= threshold * nb - eps)
+        m = m[ok]
+        return pd.DataFrame({"doc_a": m["doc_id_a"].to_numpy(dtype=np.int64),
+                             "doc_b": m["doc_id_b"].to_numpy(dtype=np.int64)})
+
+    pair_rows = bucketed_apply(prefix, ["sh"], pairs_bucket)
+    cand = pre_aggregate(pair_rows, ["doc_a", "doc_b"],
+                         {"hits": (None, "count")})
+    return _pair_jaccard_coshuffle(cand, exploded, threshold, round_to)
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

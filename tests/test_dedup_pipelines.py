@@ -283,3 +283,83 @@ def test_incremental_neardup_equals_full_recompute(ray_session, tmp_path):
     # nothing base-base leaked through
     assert (inc_s["doc_a"].isin(delta_ids)
             | inc_s["doc_b"].isin(delta_ids)).all()
+
+
+def _brute_jaccard_pairs(texts, threshold, shingle_n=3, round_to=6):
+    """Exact all-pairs shingle-set jaccard over the SAME hash/tokenize
+    pipeline the engine uses — the PPJoin correctness oracle."""
+    from searchengine_ray.functions.ngrams import shingle_hashes
+    from searchengine_ray.stages.text import simple_tokens
+
+    sets = [shingle_hashes(simple_tokens(t or ""), shingle_n) for t in texts]
+    want = {}
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union > threshold:
+                want[(a, b)] = round(inter / union, round_to)
+    return want
+
+
+def _ppjoin_corpus():
+    """Corpus that stresses every PPJoin pruning bound: planted near/exact
+    dups, a HOT stop-phrase shared by every doc (the shape the df-cap path
+    drops — prefix filtering must stay exact through it), and hot-only
+    docs whose overlap lives entirely in frequent shingles."""
+    rng = np.random.RandomState(23)
+    vocab = [f"tok{i}" for i in range(300)]
+    hot = "common header phrase every document repeats verbatim always "
+    base = hot + " ".join(rng.choice(vocab, size=50))
+    texts = [base,
+             base + " tiny tail edit",                  # near-dup of 0
+             base.replace("tok", "TOK", 3),             # near-dup of 0
+             base,                                      # exact dup of 0
+             hot * 4,                                   # hot-only doc
+             hot * 4 + "one extra word here",           # near-dup of 4
+             ]
+    texts += [hot + " ".join(rng.choice(vocab, size=40))
+              for _ in range(40)]
+    return texts
+
+
+def test_ppjoin_matches_brute_force(ray_session):
+    from searchengine_ray.stages.dedup import ppjoin_jaccard_pairs
+
+    texts = _ppjoin_corpus()
+    want = _brute_jaccard_pairs(texts, 0.65)
+    assert (0, 3) in want and (0, 1) in want and (4, 5) in want
+    assert len(want) >= 4
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts})).repartition(4)
+    out = ppjoin_jaccard_pairs(ds, threshold=0.65).to_pandas()
+    got = {(int(a), int(b)): float(j)
+           for a, b, j in zip(out["doc_a"], out["doc_b"], out["jaccard"])}
+    assert got == pytest.approx(want)
+
+
+def test_ppjoin_integer_threshold_boundary(ray_session):
+    """threshold=0.5 with even shingle counts makes t*n land EXACTLY on an
+    integer — the eps guard in the prefix-length floor must err LONG (keep
+    the pair) and the strict J>t comparison must still exclude J==t."""
+    from searchengine_ray.stages.dedup import ppjoin_jaccard_pairs
+
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(120)]
+    texts = [" ".join(rng.choice(vocab, size=n))
+             for n in (18, 18, 20, 22, 34, 34)]
+    texts += [texts[0] + " zz yy",            # near-dup of 0
+              texts[4],                        # exact dup of 4
+              " ".join(texts[2].split()[:12])]  # prefix-subset of 2
+    want = _brute_jaccard_pairs(texts, 0.5)
+    assert len(want) >= 2
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64),
+        "text": texts})).repartition(3)
+    out = ppjoin_jaccard_pairs(ds, threshold=0.5).to_pandas()
+    got = {(int(a), int(b)): float(j)
+           for a, b, j in zip(out["doc_a"], out["doc_b"], out["jaccard"])}
+    assert got == pytest.approx(want)
