@@ -839,6 +839,30 @@ def q_ppjoin_pairs(sf_dir: str):
     return dedup_stage.ppjoin_jaccard_pairs(ds, threshold=0.65)
 
 
+# --- 15a4. edit-distance title join (Ed-Join; character-level family) -------
+
+def q_title_edit_neardup(sf_dir: str):
+    """Fuzzy title matching (record linkage): EXACT Levenshtein <= 4
+    self-join over 32-char title prefixes via global-rarity q-gram prefix
+    filtering (Ed-Join) + a pair-vectorized DP verify.  Character-level
+    complement to the token-set dedup families; the all-pairs DuckDB
+    ``levenshtein`` oracle pins every pruning bound."""
+    from searchengine_ray.stages.editdist import edit_distance_pairs
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    return edit_distance_pairs(ds, max_dist=4, q=3, prefix_chars=32)
+
+
+SQL_TITLE_EDIT_NEARDUP = """
+WITH t AS (SELECT doc_id, substr(text, 1, 32) AS title FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE abs(length(a.title) - length(b.title)) <= 4
+  AND levenshtein(a.title, b.title) <= 4
+"""
+
+
 # --- 15b. exact n-gram Jaccard pairs (distributed form of reference D5) -----
 
 def q_ngram_jaccard(sf_dir: str):
@@ -5184,6 +5208,7 @@ QUERIES = {
     "image_pipeline": q_image_pipeline,
     "minhash_pairs": q_minhash_pairs,
     "ppjoin_pairs": q_ppjoin_pairs,
+    "title_edit_neardup": q_title_edit_neardup,
     "incremental_neardup": q_incremental_neardup,
     "simhash_pairs": q_simhash_pairs,
     "fingerprint_neardup": q_fingerprint_neardup,
@@ -5306,6 +5331,7 @@ ORACLE_SQL = {
     "text_features": SQL_TEXT_FEATURES,
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "ppjoin_pairs": SQL_MINHASH_PAIRS,
+    "title_edit_neardup": SQL_TITLE_EDIT_NEARDUP,
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
