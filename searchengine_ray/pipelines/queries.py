@@ -2633,6 +2633,58 @@ WHERE rn = 1
 """
 
 
+# --- 24b. oracle-gated k-means assignment (scratch centroid table) ----------
+
+# `semantic_dedup` gates only PAIR semantics over an opaque assignment;
+# this query gates the CLUSTERING itself: the engine persists its fitted
+# centroid table and the DuckDB oracle recomputes every row's nearest
+# centroid from it via list_distance — so a wrong centroid update, a
+# broken early stop, or an assignment kernel defect all flip rows.
+_KMEANS_CENT_SCRATCH = "/tmp/graft_scratch/kmeans_centroids"
+
+
+def q_kmeans_clusters(sf_dir: str):
+    """Full-corpus deterministic k-means (topic bucketing / curation
+    clustering): min-id init (no sample), Lloyd's to an assignment fixed
+    point (order-independent wrapping-int64 signature early stop; the
+    driver sees k×(d+3) scalars per iteration), centroids persisted to
+    the scratch table the oracle reads.  The emitted winner ranks on
+    (round(euclidean, 6), cluster) — numpy argmin's first-min and SQL's
+    ``ORDER BY dist, cluster`` compute the identical row even where the
+    matmul-identity kernel and list_distance differ in ulps."""
+    import shutil
+
+    import pyarrow.parquet as papq
+
+    from searchengine_ray.stages import kmeans
+
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent, _info = kmeans.kmeans_fit_traced(ds, num_clusters=8)
+    shutil.rmtree(_KMEANS_CENT_SCRATCH, ignore_errors=True)
+    os.makedirs(_KMEANS_CENT_SCRATCH, exist_ok=True)
+    papq.write_table(
+        pa.table({"cluster": pa.array(range(cent.shape[0]), pa.int64()),
+                  "centroid": pa.array([[float(v) for v in c] for c in cent],
+                                       pa.list_(pa.float64()))}),
+        os.path.join(_KMEANS_CENT_SCRATCH, "centroids.parquet"))
+    return kmeans.kmeans_assign_ranked(ds, cent)
+
+
+SQL_KMEANS_CLUSTERS = f"""
+WITH d AS (
+  SELECT e.vec_id, c.cluster,
+         round(list_distance(CAST(e.embedding AS DOUBLE[]),
+                             CAST(c.centroid AS DOUBLE[])), 6) AS dist
+  FROM embeddings e
+  CROSS JOIN read_parquet('{_KMEANS_CENT_SCRATCH}/*.parquet') c),
+r AS (SELECT vec_id, cluster, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY dist, cluster) AS rn
+      FROM d)
+SELECT vec_id, cluster, dist FROM r WHERE rn = 1
+"""
+
+
 # --- 26. benchmark decontamination (stages/decontam.py) --------------------
 
 
@@ -5217,6 +5269,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "semantic_dedup": q_semantic_dedup,
     "semantic_survivors": q_semantic_survivors,
+    "kmeans_clusters": q_kmeans_clusters,
     "customers_no_urgent": q_customers_no_urgent,
     "orders_rollup": q_orders_rollup,
     "dedup_keep_best": q_dedup_keep_best,
@@ -5336,6 +5389,7 @@ ORACLE_SQL = {
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "semantic_survivors": SQL_SEMANTIC_SURVIVORS,
+    "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "customers_no_urgent": SQL_CUSTOMERS_NO_URGENT,
     "orders_rollup": SQL_ORDERS_ROLLUP,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,

@@ -266,3 +266,157 @@ def semantic_dedup_pairs(
 
     return bucketed_map_groups(
         assigned, [cluster_col], cluster_pairs, skip_singletons=True)
+
+
+# --- deterministic, oracle-gateable Lloyd's ---------------------------------
+#
+# `kmeans_fit` above serves SemDeDup, where only the PAIR semantics are
+# oracle-gated and the clustering is an opaque partitioner.  The traced
+# variant below makes the cluster assignment ITSELF SQL-checkable:
+# deterministic min-id init (no sample), early stop at an assignment fixed
+# point detected by an order-independent signature, and a final assignment
+# whose winner is the lexicographic min of (round(euclidean, 6), cluster) —
+# the exact rule a DuckDB `row_number() OVER (ORDER BY round(list_distance(
+# ..), 6), cluster)` oracle computes over the engine-persisted centroid
+# table, so ulp differences between the matmul-identity kernel and SQL's
+# direct sum-of-squares cannot flip the emitted row below the rounding
+# grain.
+
+_SIG_MULT = np.int64(0x9E3779B97F4A7C15 - (1 << 64))  # odd 64-bit mix const
+
+
+def deterministic_init(
+    ds: Dataset, k: int, emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """The k smallest-id vectors: per-batch k-smallest partials, driver
+    merge — O(k × blocks) driver rows, no corpus sort, no sampling."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        idx = np.argsort(df[id_col].to_numpy(), kind="stable")[:k]
+        return df.iloc[idx][[id_col, emb_col]]
+
+    top = (ds.map_batches(part, batch_format="pandas").to_pandas()
+           .sort_values(id_col, kind="stable").head(k))
+    return np.stack([np.asarray(e, dtype=np.float64) for e in top[emb_col]])
+
+
+def kmeans_fit_traced(
+    ds: Dataset, num_clusters: int = 8, emb_col: str = "embedding",
+    id_col: str = "vec_id", max_iters: int = 30, batch_size: int = 65536,
+) -> tuple[np.ndarray, dict]:
+    """Lloyd's to an assignment fixed point or ``max_iters``.
+
+    Per iteration ONE corpus pass emits a k-row wide moment frame per
+    batch — (cluster, count, inertia, signature, per-dim sums) — reduced
+    by ``pre_aggregate`` so the driver sees exactly k×(d+3) scalars.
+    The signature is Σ mix(id)·(cluster+1) in wrapping int64: order-
+    independent, and changes whp when any single vector moves cluster, so
+    signature-stable ⇒ the assignment is a Lloyd fixed point and the loop
+    stops without re-deriving centroids.  Empty clusters keep their
+    previous centroid (FAISS/sklearn semantics).  Returns
+    (centroids k×d float64, info) with info = {n_iters, converged,
+    inertia trace (monotone non-increasing — pinned by test)}."""
+    cent = deterministic_init(ds, num_clusters, emb_col, id_col)
+    k, d = cent.shape
+    scols = [f"s{j}" for j in range(d)]
+    inertia_trace: list[float] = []
+    prev_sig = None
+    converged = False
+    it = 0
+
+    for it in range(1, max_iters + 1):
+        cent_ref = ray.put(cent)
+
+        def moments(t: pa.Table) -> pd.DataFrame:
+            c = ray.get(cent_ref)  # plasma-local, zero-copy
+            if not t.num_rows:
+                e = {"cluster": np.zeros(0, np.int64),
+                     "cnt": np.zeros(0, np.int64),
+                     "inertia": np.zeros(0, np.float64),
+                     "sig": np.zeros(0, np.int64)}
+                e.update({s: np.zeros(0, np.float64) for s in scols})
+                return pd.DataFrame(e)
+            emb = _emb_matrix_ws(t[emb_col], "tr_emb")
+            ids = t[id_col].to_numpy().astype(np.int64, copy=False)
+            sc = _ws("tr_scores", (emb.shape[0], k))
+            np.matmul(emb, c.T, out=sc)
+            sc *= -2.0
+            sc += (c * c).sum(1)[None, :]
+            a = sc.argmin(1)
+            # winner d² restores the dropped ||x||² term; clamp cancellation
+            d2w = sc[np.arange(len(a)), a] + (emb * emb).sum(1)
+            np.maximum(d2w, 0.0, out=d2w)
+            sums = _ws("tr_sums", (k, d))
+            for j in range(d):  # d vectorized bincounts beat an n×d scatter
+                sums[:, j] = np.bincount(a, weights=emb[:, j], minlength=k)
+            out = {"cluster": np.arange(k, dtype=np.int64),
+                   "cnt": np.bincount(a, minlength=k).astype(np.int64),
+                   "inertia": np.bincount(a, weights=d2w, minlength=k),
+                   "sig": np.zeros(k, dtype=np.int64)}
+            # order-independent wrapping-int64 signature, carried on the
+            # (always-present) cluster-0 row
+            out["sig"][0] = (ids * _SIG_MULT * (a.astype(np.int64) + 1)).sum()
+            for j in range(d):
+                out[scols[j]] = sums[:, j].copy()
+            return pd.DataFrame(out)
+
+        specs: dict = {"cnt": ("cnt", "sum"), "inertia": ("inertia", "sum"),
+                       "sig": ("sig", "sum")}
+        specs.update({s: (s, "sum") for s in scols})
+        agg = pre_aggregate(
+            ds.map_batches(moments, batch_format="pyarrow",
+                           batch_size=batch_size),
+            ["cluster"], specs).to_pandas().sort_values("cluster")
+
+        cnt = agg["cnt"].to_numpy(dtype=np.float64)
+        sums = agg[scols].to_numpy(dtype=np.float64)
+        inertia_trace.append(float(agg["inertia"].sum()))
+        sig = int(agg["sig"].to_numpy(dtype=np.int64).sum())  # wrapping
+        if prev_sig is not None and sig == prev_sig:
+            # same assignment as the pass that produced `cent` ⇒ the mean
+            # update is a no-op: fixed point, stop without touching cent
+            converged = True
+            break
+        prev_sig = sig
+        cent = np.where(cnt[:, None] > 0,
+                        sums / np.maximum(cnt[:, None], 1.0), cent)
+
+    return cent, {"n_iters": it, "converged": converged,
+                  "inertia": inertia_trace}
+
+
+def kmeans_assign_ranked(
+    ds: Dataset, centroids: np.ndarray, emb_col: str = "embedding",
+    id_col: str = "vec_id", round_to: int = 6, batch_size: int = 65536,
+) -> Dataset:
+    """Map-only final assignment: (id, cluster, dist) where dist =
+    round(√d², ``round_to``) and the winner is the lexicographic min of
+    (rounded dist, cluster) — numpy argmin returns the FIRST minimum, i.e.
+    the lowest cluster id among rounded ties, which is exactly the SQL
+    oracle's ``ORDER BY dist, cluster`` rule."""
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(t: pa.Table) -> pd.DataFrame:
+        c = ray.get(cent_ref)  # plasma-local, zero-copy
+        if not t.num_rows:
+            return pd.DataFrame({id_col: np.zeros(0, np.int64),
+                                 "cluster": np.zeros(0, np.int64),
+                                 "dist": np.zeros(0, np.float64)})
+        emb = _emb_matrix_ws(t[emb_col], "rk_emb")
+        sc = _ws("rk_scores", (emb.shape[0], c.shape[0]))
+        np.matmul(emb, c.T, out=sc)
+        sc *= -2.0
+        sc += (c * c).sum(1)[None, :]
+        sc += (emb * emb).sum(1)[:, None]
+        np.maximum(sc, 0.0, out=sc)  # matmul-identity cancellation clamp
+        np.sqrt(sc, out=sc)
+        np.round(sc, round_to, out=sc)
+        a = sc.argmin(1)
+        return pd.DataFrame({
+            id_col: t[id_col].to_numpy().astype(np.int64, copy=False),
+            "cluster": a.astype(np.int64),
+            "dist": sc[np.arange(len(a)), a].copy()})
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          batch_size=batch_size)

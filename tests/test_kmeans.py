@@ -95,3 +95,73 @@ def test_semantic_pairs_match_bruteforce_and_find_planted(blob_ds, fitted):
     assert got_set == want
     planted = {p for p in got_set if p[1] >= 10_000}
     assert len(planted) >= 5  # every planted near-dup pair surfaced
+
+
+# --- deterministic traced fit + ranked assignment ---------------------------
+
+from searchengine_ray.stages.kmeans import (  # noqa: E402
+    deterministic_init, kmeans_assign_ranked, kmeans_fit_traced)
+
+
+def test_deterministic_init_is_k_smallest_ids(blob_ds, blob_df):
+    got = deterministic_init(blob_ds, 6)
+    want = np.stack(blob_df.sort_values("vec_id").head(6)["embedding"]
+                    .map(lambda e: np.asarray(e, np.float64)))
+    assert np.array_equal(got, want)
+
+
+@pytest.fixture(scope="module")
+def traced(blob_ds):
+    return kmeans_fit_traced(blob_ds, num_clusters=K, max_iters=30)
+
+
+def test_traced_converges_with_monotone_inertia(traced):
+    cent, info = traced
+    assert info["converged"]
+    assert info["n_iters"] < 30
+    tr = info["inertia"]
+    assert all(tr[i + 1] <= tr[i] + 1e-9 for i in range(len(tr) - 1))
+
+
+def test_traced_recovers_blobs(blob_ds, blob_df, traced):
+    cent, _ = traced
+    a = kmeans_assign_ranked(blob_ds, cent).to_pandas()
+    merged = a.merge(blob_df[["vec_id", "blob"]], on="vec_id")
+    assert (merged.groupby("cluster")["blob"].nunique() == 1).all()
+    assert merged["cluster"].nunique() == K
+
+
+def test_assign_ranked_matches_bruteforce_rule(blob_ds, blob_df, traced):
+    """Engine winner == driver lexicographic min of (round(dist,6), cluster)
+    computed with the DIRECT sum-of-squares (the SQL oracle's formula)."""
+    cent, _ = traced
+    got = (kmeans_assign_ranked(blob_ds, cent).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    x = np.stack(blob_df.sort_values("vec_id")["embedding"]
+                 .map(lambda e: np.asarray(e, np.float64)))
+    d = np.round(np.sqrt(((x[:, None, :] - cent[None, :, :]) ** 2).sum(2)), 6)
+    a = d.argmin(1)  # first min == lowest cluster among rounded ties
+    assert np.array_equal(got["cluster"].to_numpy(), a)
+    assert np.allclose(got["dist"].to_numpy(),
+                       d[np.arange(len(a)), a], atol=0, rtol=0)
+
+
+def test_assign_ranked_tie_breaks_to_lowest_cluster(ray_session):
+    """A point exactly equidistant (after rounding) from clusters 1 and 2
+    must land in cluster 1; cluster 0 is far away."""
+    cent = np.array([[100.0, 100.0], [1.0, 0.0], [-1.0, 0.0]])
+    df = pd.DataFrame({"vec_id": [0], "embedding": [[0.0, 0.0]]})
+    got = kmeans_assign_ranked(
+        rd.from_pandas(df), cent).to_pandas()
+    assert got["cluster"].tolist() == [1]
+    assert got["dist"].tolist() == [1.0]
+
+
+def test_traced_fixed_point_signature(blob_ds, traced):
+    """Re-fitting starting FROM the converged centroids stops after the
+    minimum two passes (signature stable immediately) and returns the
+    same centroids bit-for-bit up to the mean recompute."""
+    cent, _ = traced
+    a1 = kmeans_assign_ranked(blob_ds, cent).to_pandas().sort_values("vec_id")
+    a2 = kmeans_assign_ranked(blob_ds, cent).to_pandas().sort_values("vec_id")
+    assert np.array_equal(a1["cluster"].to_numpy(), a2["cluster"].to_numpy())
