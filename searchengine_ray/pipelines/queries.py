@@ -2371,6 +2371,42 @@ WHERE hx < CASE source {_MIX_CASE} ELSE '' END
 """
 
 
+# factors chosen to exercise every path: ≥2 full copies + fraction,
+# exactly one, fraction-only downsample (base 0), one copy + fraction
+_EPOCH_FACTORS = {f"src{i}": [2.45, 1.0, 0.3, 1.75][i % 4] for i in range(20)}
+_EPOCH_SALT = "epochs7"
+
+
+def q_epoch_mix(sf_dir: str):
+    """LLaMA-style multi-epoch source upsampling: each doc appears
+    floor(f) times plus one hash-deterministic extra with probability
+    frac(f), f per source — the training-mix recipe Bernoulli keep-rates
+    cannot express (they top out at one copy).  Map-only np.repeat
+    explode; rows carry epoch = 0..copies-1."""
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "source"])
+    return sampling.epoch_mix(ds, "doc_id", "source", _EPOCH_FACTORS,
+                              _EPOCH_SALT)
+
+
+_EPOCH_BASE_CASE = " ".join(
+    f"WHEN '{s}' THEN {int(np.floor(f))}" for s, f in
+    sorted(_EPOCH_FACTORS.items()))
+_EPOCH_FR_CASE = " ".join(
+    f"WHEN '{s}' THEN '{sampling.frac_to_hex(f - np.floor(f))}'"
+    for s, f in sorted(_EPOCH_FACTORS.items()))
+
+SQL_EPOCH_MIX = f"""
+SELECT doc_id, source, unnest(range(reps)) AS epoch
+FROM (SELECT doc_id, source,
+             CASE source {_EPOCH_BASE_CASE} ELSE 1 END
+             + CASE WHEN substr(sha256(CAST(doc_id AS VARCHAR)
+                                       || ':{_EPOCH_SALT}'), 1, 12)
+                         < CASE source {_EPOCH_FR_CASE} ELSE '' END
+                    THEN 1 ELSE 0 END AS reps
+      FROM documents)
+"""
+
+
 def q_weighted_sample(sf_dir: str):
     """Exact-k WEIGHTED sample without replacement (Efraimidis-Spirakis;
     the streaming-weighted-sampling shape from the retrieved paper list):
@@ -5295,6 +5331,7 @@ QUERIES = {
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
     "weighted_mix": q_weighted_mix,
+    "epoch_mix": q_epoch_mix,
     "weighted_sample": q_weighted_sample,
     "join_sample": q_join_sample,
     "pack_sequences": q_pack_sequences,
@@ -5418,6 +5455,7 @@ ORACLE_SQL = {
     "split_assign": SQL_SPLIT_ASSIGN,
     "stratified_sample": SQL_STRATIFIED_SAMPLE,
     "weighted_mix": SQL_WEIGHTED_MIX,
+    "epoch_mix": SQL_EPOCH_MIX,
     "weighted_sample": SQL_WEIGHTED_SAMPLE,
     "join_sample": SQL_JOIN_SAMPLE,
     "pack_sequences": SQL_PACK_SEQUENCES,

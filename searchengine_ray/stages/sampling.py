@@ -128,6 +128,46 @@ def weighted_mix(
     return ds.map_batches(keep, batch_format="pandas")
 
 
+def epoch_mix(
+    ds: Dataset, id_col: str, source_col: str,
+    epochs: Mapping[str, float], salt: str, default_epochs: float = 1.0,
+    epoch_col: str = "epoch",
+) -> Dataset:
+    """Multi-epoch source upsampling (the LLaMA-style data recipe: each
+    source contributes a fractional number of epochs to the training mix).
+    A row whose source has factor f appears floor(f) times plus one more
+    with probability frac(f) — so 2.45 epochs means two guaranteed copies
+    and a 45% hash-deterministic third, while 0.3 downsamples exactly like
+    ``weighted_mix``.  E[copies] = f with hard integer floors, which
+    Bernoulli keep-rates cannot express (they top out at one copy).
+
+    Map-only: per batch one ``np.repeat`` explode plus a segmented arange
+    for the epoch index — no shuffle, no global pass, deterministic in
+    (id, salt) so re-runs and resumed shards agree.  Output rows carry
+    ``epoch_col`` = 0..copies-1 so downstream ordering (e.g.
+    ``global_shuffle`` keyed on (id, epoch)) can separate the copies."""
+    base = {k: int(np.floor(v)) for k, v in epochs.items()}
+    thr = {k: frac_to_hex(v - np.floor(v)) for k, v in epochs.items()}
+    default_base = int(np.floor(default_epochs))
+    default_thr = frac_to_hex(default_epochs - np.floor(default_epochs))
+    u_len = max(HEX_DIGITS, 1)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        src = df[source_col]
+        b = src.map(base).fillna(default_base).to_numpy(dtype=np.int64)
+        t = (src.map(thr).fillna(default_thr)
+             .to_numpy(dtype=object).astype(f"<U{u_len}"))
+        h = hash_hex(df[id_col].to_numpy(), salt)
+        reps = b + (h < t)
+        out = df.iloc[np.repeat(np.arange(len(df)), reps)].copy()
+        # epoch index 0..reps-1 per source row: segmented arange
+        out[epoch_col] = (np.arange(int(reps.sum()), dtype=np.int64)
+                          - np.repeat(np.cumsum(reps) - reps, reps))
+        return out
+
+    return ds.map_batches(explode, batch_format="pandas")
+
+
 def temperature_mix(
     ds: Dataset, id_col: str, stratum_col: str, salt: str,
     max_strata: int = 100_000,

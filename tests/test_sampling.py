@@ -319,3 +319,46 @@ def test_token_drift_brute(ray_session):
     assert np.array_equal(got_sorted["kl_term"].to_numpy(), want_kl)
     assert np.array_equal(got_sorted["p_train"].to_numpy(),
                           np.round(p_tr, 8))
+
+
+def test_epoch_mix_matches_brute_force(ray_session):
+    import ray.data as rd
+    from hashlib import sha256 as _sha
+
+    n = 400
+    df = pd.DataFrame({"doc_id": np.arange(n),
+                       "source": [f"s{i % 5}" for i in range(n)]})
+    factors = {"s0": 2.45, "s1": 1.0, "s2": 0.3, "s3": 1.75, "s4": 0.0}
+    got = (sampling.epoch_mix(rd.from_pandas(df).repartition(4),
+                              "doc_id", "source", factors, "ep1")
+           .to_pandas().sort_values(["doc_id", "epoch"])
+           .reset_index(drop=True))
+
+    rows = []
+    for _, r in df.iterrows():
+        f = factors[r["source"]]
+        base = int(np.floor(f))
+        h = _sha(f"{r['doc_id']}:ep1".encode()).hexdigest()[:12]
+        reps = base + (h < sampling.frac_to_hex(f - np.floor(f)))
+        for e in range(reps):
+            rows.append((r["doc_id"], r["source"], e))
+    want = (pd.DataFrame(rows, columns=["doc_id", "source", "epoch"])
+            .sort_values(["doc_id", "epoch"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"epoch": np.int64}), want.astype({"epoch": np.int64}))
+
+    # structural guarantees: f=1.0 -> exactly one copy; f=0.0 -> none;
+    # base floor always present; epoch indices contiguous from 0
+    per = got.groupby(["doc_id", "source"])["epoch"].agg(["count", "max"])
+    s1 = per.reset_index().query("source == 's1'")
+    assert (s1["count"] == 1).all()
+    assert "s4" not in set(got["source"])
+    s0 = per.reset_index().query("source == 's0'")
+    assert (s0["count"] >= 2).all() and s0["count"].max() == 3
+    assert (per["max"] == per["count"] - 1).all()
+
+    # expectation binds: mean copies for s0 near 2.45, s2 near 0.3
+    n_src = (df["source"] == "s0").sum()
+    assert abs(s0["count"].sum() / n_src - 2.45) < 0.2
+    n2 = got[got["source"] == "s2"].groupby("doc_id").size()
+    assert 0.1 < len(n2) / (df["source"] == "s2").sum() < 0.5
