@@ -4077,6 +4077,81 @@ GROUP BY o_orderkey
 """
 
 
+# --- interval overlap join (campaign attribution; scratch interval table) ---
+
+_INTERVAL_SCRATCH = "/tmp/graft_scratch/campaign_intervals"
+_N_INTERVALS = 60
+
+
+def q_interval_join(sf_dir: str):
+    """Interval overlap join: every event matched to every campaign
+    window whose [start, end) contains its timestamp — the attribution /
+    maintenance-window shape with NO equi-key to hash on.  60
+    deterministic overlapping windows (hash-placed starts, 1-72 h) are
+    synthesized from the event extent and persisted for the oracle; the
+    join range-buckets the time axis and FRAGMENTS each interval at
+    bucket boundaries so each pair is found exactly once in the single
+    co-shuffle (``stages/sessions.interval_join``).  Output: per-interval
+    event count + value sum, empty windows kept with zeros."""
+    import shutil
+    from hashlib import sha256 as _sha
+
+    import pyarrow.parquet as papq
+
+    from searchengine_ray.stages.sessions import (
+        fact_extent_us, interval_join)
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "ts_us": df["ts"].to_numpy("datetime64[us]").astype(np.int64),
+            "value": df["value"].to_numpy(np.float64)})
+
+    facts = ds.map_batches(to_us, batch_format="pandas")
+    t0, t1 = fact_extent_us(facts)
+    span = max(t1 - t0, 1)
+    rows = []
+    for i in range(_N_INTERVALS):
+        h = int.from_bytes(_sha(f"{i}:ivl".encode()).digest()[:8], "big")
+        start = t0 + (h % span)
+        rows.append((i, start,
+                     start + (1 + (h >> 32) % 72) * 3_600_000_000))
+    shutil.rmtree(_INTERVAL_SCRATCH, ignore_errors=True)
+    os.makedirs(_INTERVAL_SCRATCH, exist_ok=True)
+    papq.write_table(
+        pa.table({"interval_id": pa.array([r[0] for r in rows], pa.int64()),
+                  "start_us": pa.array([r[1] for r in rows], pa.int64()),
+                  "end_us": pa.array([r[2] for r in rows], pa.int64())}),
+        os.path.join(_INTERVAL_SCRATCH, "intervals.parquet"))
+    intervals = rd.read_parquet(_INTERVAL_SCRATCH)
+    pairs = interval_join(facts, intervals, (t0, t1), carry_col="value")
+    agg = pre_aggregate(pairs, ["interval_id"],
+                        {"n_events": ("event_id", "count"),
+                         "value_sum": ("value", "sum")}).to_pandas()
+    # complete against the full window list (O(K)=60 rows, bounded)
+    out = (pd.DataFrame({"interval_id": np.arange(_N_INTERVALS,
+                                                  dtype=np.int64)})
+           .merge(agg, on="interval_id", how="left"))
+    return pd.DataFrame({
+        "interval_id": out["interval_id"].to_numpy(np.int64),
+        "n_events": out["n_events"].fillna(0).to_numpy(np.int64),
+        "value_sum": np.round(out["value_sum"].fillna(0.0)
+                              .to_numpy(np.float64), 6)})
+
+
+SQL_INTERVAL_JOIN = f"""
+SELECT i.interval_id,
+       CAST(count(e.event_id) AS BIGINT) AS n_events,
+       round(coalesce(sum(e.value), 0.0), 6) AS value_sum
+FROM read_parquet('{_INTERVAL_SCRATCH}/*.parquet') i
+LEFT JOIN events e
+  ON epoch_us(e.ts) >= i.start_us AND epoch_us(e.ts) < i.end_us
+GROUP BY i.interval_id
+"""
+
+
 def q_stream_join(sf_dir: str):
     """Stream-stream bounded-time join: every (click, purchase) pair of
     the same user with the purchase in (click_ts, click_ts + 1 h] — the
@@ -5363,6 +5438,7 @@ QUERIES = {
     "user_trend": q_user_trend,
     "compact_small_files": q_compact_small_files,
     "stream_join": q_stream_join,
+    "interval_join": q_interval_join,
     "bloom_join": q_bloom_join,
     "zorder_layout": q_zorder_layout,
     "grouped_split": q_grouped_split,
@@ -5487,6 +5563,7 @@ ORACLE_SQL = {
     "user_trend": SQL_USER_TREND,
     "compact_small_files": SQL_COMPACT_SMALL_FILES,
     "stream_join": SQL_STREAM_JOIN,
+    "interval_join": SQL_INTERVAL_JOIN,
     "bloom_join": SQL_BLOOM_JOIN,
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "grouped_split": SQL_GROUPED_SPLIT,

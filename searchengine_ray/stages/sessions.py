@@ -544,3 +544,126 @@ def late_data_stats(events: Dataset, lateness_us: int,
     return pre_aggregate(flagged, ["day"],
                          {"n_events": ("n_events", "sum"),
                           "n_late": ("n_late", "sum")})
+
+
+def fact_extent_us(facts: Dataset, ts_col: str = "ts_us") -> tuple[int, int]:
+    """Global [min, max] of an int64 ts column via per-batch scalar
+    partials — O(blocks) driver rows (the value_histogram extent shape)."""
+
+    def part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"mn": pd.Series([], dtype=np.int64),
+                                 "mx": pd.Series([], dtype=np.int64)})
+        t = df[ts_col].to_numpy(np.int64)
+        return pd.DataFrame({"mn": [t.min()], "mx": [t.max()]})
+
+    p = facts.map_batches(part, batch_format="pandas").to_pandas()
+    return int(p["mn"].min()), int(p["mx"].max())
+
+
+def interval_join(
+    facts: Dataset, intervals: Dataset, extent_us: tuple[int, int],
+    ts_col: str = "ts_us", fact_id_col: str = "event_id",
+    interval_id_col: str = "interval_id",
+    start_col: str = "start_us", end_col: str = "end_us",
+    carry_col: str | None = None,
+    num_buckets: int | None = None, chunk_rows: int = 4096,
+) -> Dataset:
+    """Interval overlap join: every fact paired with every interval whose
+    ``[start, end)`` contains its timestamp — the campaign-attribution /
+    maintenance-window / promo-overlap shape, where there is NO equi-key
+    to hash on.
+
+    Scale shape: the fact time extent splits into ``num_buckets`` range
+    buckets; each interval FRAGMENTS at bucket boundaries (one fragment
+    per covered bucket, clipped), so a fragment lives in exactly one
+    bucket and a fact matches an interval in exactly the bucket holding
+    its timestamp — each pair is found once, no cross-bucket dedup.  Both
+    sides co-shuffle ONCE on the bucket id (tagged union, fixed-width
+    fill — never nulls); the per-bucket kernel is a chunked vectorized
+    containment mask.  Partitioning assumption: the number of intervals
+    OVERLAPPING one bucket's span bounds the kernel's m; long intervals
+    replicate to every covered bucket (fragment count ≤ num_buckets per
+    interval).  ``chunk_rows`` bounds the mask temporary at chunk×m cells.
+
+    Output: (fact_id, interval_id[, carry_col]) pairs."""
+    from searchengine_ray.stages.relational import (
+        bucketed_apply, default_num_buckets)
+
+    t0, t1 = extent_us
+    nb = num_buckets if num_buckets is not None else default_num_buckets()
+    w = (t1 - t0) // nb + 1  # max-ts fact lands in bucket nb-1
+    hi_clip = t0 + nb * w
+
+    def tag_facts(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[ts_col].to_numpy(np.int64)
+        out = {"rb": (t - t0) // w,
+               "_side": np.full(len(df), 1, dtype=np.int8),
+               fact_id_col: df[fact_id_col].to_numpy(np.int64),
+               "ts": t,
+               interval_id_col: np.full(len(df), -1, dtype=np.int64),
+               "fs": np.zeros(len(df), dtype=np.int64),
+               "fe": np.zeros(len(df), dtype=np.int64)}
+        if carry_col is not None:
+            out[carry_col] = df[carry_col].to_numpy(np.float64)
+        return pd.DataFrame(out)
+
+    def tag_frags(df: pd.DataFrame) -> pd.DataFrame:
+        s = np.maximum(df[start_col].to_numpy(np.int64), t0)
+        e = np.minimum(df[end_col].to_numpy(np.int64), hi_clip)
+        iid = df[interval_id_col].to_numpy(np.int64)
+        keep = e > s  # interval overlaps the fact extent at all
+        s, e, iid = s[keep], e[keep], iid[keep]
+        b0 = (s - t0) // w
+        reps = (e - 1 - t0) // w - b0 + 1
+        tot = int(reps.sum())
+        rb = (np.arange(tot, dtype=np.int64)
+              - np.repeat(np.cumsum(reps) - reps, reps)
+              + np.repeat(b0, reps))
+        sr, er = np.repeat(s, reps), np.repeat(e, reps)
+        out = {"rb": rb,
+               "_side": np.full(tot, 0, dtype=np.int8),
+               fact_id_col: np.full(tot, -1, dtype=np.int64),
+               "ts": np.zeros(tot, dtype=np.int64),
+               interval_id_col: np.repeat(iid, reps),
+               "fs": np.maximum(sr, t0 + rb * w),
+               "fe": np.minimum(er, t0 + (rb + 1) * w)}
+        if carry_col is not None:
+            out[carry_col] = np.zeros(tot, dtype=np.float64)
+        return pd.DataFrame(out)
+
+    both = facts.map_batches(tag_facts, batch_format="pandas").union(
+        intervals.map_batches(tag_frags, batch_format="pandas"))
+
+    empty_cols = {fact_id_col: pd.Series([], dtype=np.int64),
+                  interval_id_col: pd.Series([], dtype=np.int64)}
+    if carry_col is not None:
+        empty_cols[carry_col] = pd.Series([], dtype=np.float64)
+    empty = pd.DataFrame(empty_cols)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["_side"].to_numpy()
+        f = g[side == 1]
+        r = g[side == 0]
+        if not len(f) or not len(r):
+            return empty.copy()
+        t = f["ts"].to_numpy(np.int64)
+        fs = r["fs"].to_numpy(np.int64)
+        fe = r["fe"].to_numpy(np.int64)
+        fid = f[fact_id_col].to_numpy(np.int64)
+        iid = r[interval_id_col].to_numpy(np.int64)
+        carry = (f[carry_col].to_numpy(np.float64)
+                 if carry_col is not None else None)
+        outs = []
+        for c0 in range(0, len(t), chunk_rows):
+            tt = t[c0:c0 + chunk_rows, None]
+            fi, ri = np.nonzero((tt >= fs[None, :]) & (tt < fe[None, :]))
+            if not fi.size:
+                continue
+            cols = {fact_id_col: fid[c0 + fi], interval_id_col: iid[ri]}
+            if carry is not None:
+                cols[carry_col] = carry[c0 + fi]
+            outs.append(pd.DataFrame(cols))
+        return pd.concat(outs, ignore_index=True) if outs else empty.copy()
+
+    return bucketed_apply(both, ["rb"], per_bucket)

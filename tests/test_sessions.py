@@ -258,3 +258,67 @@ def test_windowed_pair_join_edges(ray_session):
     pairs = {(r.left_id, r.right_id) for r in got.itertuples()}
     # ts==100 right excluded (strict >); 150 and 200 in (100, 200]
     assert pairs == {(0, 11), (0, 12)}
+
+
+def test_interval_join_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.sessions import fact_extent_us, interval_join
+
+    rng = np.random.RandomState(17)
+    n, k = 3000, 40
+    ts = rng.randint(0, 1_000_000, n).astype(np.int64)
+    facts = pd.DataFrame({"event_id": np.arange(n, dtype=np.int64),
+                          "ts_us": ts,
+                          "value": rng.rand(n)})
+    s = rng.randint(-50_000, 1_000_000, k).astype(np.int64)
+    d = rng.randint(1, 120_000, k).astype(np.int64)
+    iv = pd.DataFrame({"interval_id": np.arange(k, dtype=np.int64),
+                       "start_us": s, "end_us": s + d})
+    # plants: entirely before extent, entirely after, spans everything,
+    # and one guaranteed-empty (no fact can be inside a width-0... use a
+    # gap): put an interval in a range we then exclude from facts
+    iv.loc[0, ["start_us", "end_us"]] = [-9_000_000, -8_000_000]
+    iv.loc[1, ["start_us", "end_us"]] = [9_000_000, 10_000_000]
+    iv.loc[2, ["start_us", "end_us"]] = [-1, 2_000_000]
+
+    fds = rd.from_pandas(facts).repartition(6)
+    ids = rd.from_pandas(iv).repartition(3)
+    ext = fact_extent_us(fds)
+    assert ext == (int(ts.min()), int(ts.max()))
+    got = (interval_join(fds, ids, ext, carry_col="value",
+                         num_buckets=7, chunk_rows=257)
+           .to_pandas())
+
+    m = (ts[:, None] >= s[None, :]) & (ts[:, None] < (s + d)[None, :])
+    # restore the planted rows in the mask
+    for j in range(3):
+        m[:, j] = ((ts >= iv.loc[j, "start_us"])
+                   & (ts < iv.loc[j, "end_us"]))
+    fi, ri = np.nonzero(m)
+    want = set(zip(fi.tolist(), ri.tolist()))
+    assert set(zip(got["event_id"], got["interval_id"])) == want
+    assert len(got) == len(want)  # exactly-once: no cross-bucket dup
+    assert (got["interval_id"] != 0).all() and (got["interval_id"] != 1).all()
+    # carry column rides with the fact
+    vals = facts.set_index("event_id")["value"]
+    assert np.allclose(got["value"].to_numpy(),
+                       vals.loc[got["event_id"]].to_numpy())
+
+
+def test_interval_join_boundary_semantics(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.sessions import interval_join
+
+    facts = pd.DataFrame({"event_id": np.arange(4, dtype=np.int64),
+                          "ts_us": np.array([100, 199, 200, 99],
+                                            dtype=np.int64)})
+    iv = pd.DataFrame({"interval_id": np.array([7], dtype=np.int64),
+                       "start_us": np.array([100], dtype=np.int64),
+                       "end_us": np.array([200], dtype=np.int64)})
+    got = interval_join(rd.from_pandas(facts), rd.from_pandas(iv),
+                        (99, 200), num_buckets=3).to_pandas()
+    # start inclusive, end exclusive — even with the interval fragmented
+    # across range buckets
+    assert sorted(got["event_id"]) == [0, 1]
