@@ -2721,6 +2721,77 @@ SELECT vec_id, cluster, dist FROM r WHERE rn = 1
 """
 
 
+# --- 25c. DSIR importance-resampling selection (stages/dsir.py) -------------
+
+_DSIR_B = 512
+_DSIR_SALT = "dsir1"
+_DSIR_K = 100
+
+
+def q_dsir_select(sf_dir: str):
+    """DSIR (Xie et al. 2023): select the 100 docs whose hashed-n-gram
+    distribution best matches the English slice — unigram+bigram buckets,
+    add-one-smoothed target/raw LMs fit in ONE pre-aggregated corpus
+    pass, the O(B) log-ratio table broadcast, scoring map-only, top-k by
+    (rounded score, doc_id) via the two-level merge.  Every log-ratio is
+    ln of an exact-integer ratio (the PMI discipline) so engine and SQL
+    round the same doubles."""
+    from searchengine_ray.stages import dsir
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def mask(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(np.int64),
+            "text": df["text"],
+            "is_target": (df["lang"] == "en").to_numpy()})
+
+    out = dsir.dsir_select(ds.map_batches(mask, batch_format="pandas"),
+                           "is_target", k=_DSIR_K, salt=_DSIR_SALT,
+                           n_buckets=_DSIR_B)
+    return pd.DataFrame({"doc_id": out["doc_id"].to_numpy(np.int64),
+                         "score": out["score"].to_numpy(np.float64)})
+
+
+SQL_DSIR_SELECT = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+p AS (SELECT doc_id, lang, unnest(ts) AS tok,
+             unnest(range(0, len(ts))) AS pos
+      FROM toks WHERE len(ts) > 0),
+grams AS (
+  SELECT doc_id, lang, tok AS g FROM p
+  UNION ALL
+  SELECT a.doc_id, a.lang, a.tok || ' ' || b.tok AS g
+  FROM p a JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1),
+hb AS (SELECT doc_id, lang,
+              CAST('0x' || substr(sha256(g || ':{_DSIR_SALT}'), 1, 12)
+                   AS BIGINT) % {_DSIR_B} AS b
+       FROM grams),
+tt AS (SELECT count(*) + {_DSIR_B} AS v FROM hb WHERE lang = 'en'),
+qt AS (SELECT count(*) + {_DSIR_B} AS v FROM hb),
+tc AS (SELECT b, count(*) AS c FROM hb WHERE lang = 'en' GROUP BY b),
+qc AS (SELECT b, count(*) AS c FROM hb GROUP BY b),
+docb AS (SELECT doc_id, b, count(*) AS c FROM hb GROUP BY doc_id, b),
+scored AS (
+  SELECT d.doc_id,
+         sum(d.c * ln(CAST((coalesce(t.c, 0) + 1) * qt.v AS DOUBLE)
+                      / CAST((q.c + 1) * tt.v AS DOUBLE))) AS s
+  FROM docb d
+  JOIN qc q USING (b)
+  LEFT JOIN tc t USING (b), tt, qt
+  GROUP BY d.doc_id),
+r AS (SELECT d.doc_id, round(coalesce(s.s, 0), 6) AS score,
+             row_number() OVER (ORDER BY round(coalesce(s.s, 0), 6) DESC,
+                                d.doc_id) AS rn
+      FROM documents d LEFT JOIN scored s USING (doc_id))
+SELECT doc_id, score FROM r WHERE rn <= {_DSIR_K}
+"""
+
+
 # --- 26. benchmark decontamination (stages/decontam.py) --------------------
 
 
@@ -5381,6 +5452,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "semantic_survivors": q_semantic_survivors,
     "kmeans_clusters": q_kmeans_clusters,
+    "dsir_select": q_dsir_select,
     "customers_no_urgent": q_customers_no_urgent,
     "orders_rollup": q_orders_rollup,
     "dedup_keep_best": q_dedup_keep_best,
@@ -5503,6 +5575,7 @@ ORACLE_SQL = {
     "semantic_dedup": SQL_SEMANTIC_DEDUP,
     "semantic_survivors": SQL_SEMANTIC_SURVIVORS,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
+    "dsir_select": SQL_DSIR_SELECT,
     "customers_no_urgent": SQL_CUSTOMERS_NO_URGENT,
     "orders_rollup": SQL_ORDERS_ROLLUP,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
