@@ -187,6 +187,12 @@ def main() -> None:
         "covisit_pairs": Q.q_covisit_pairs,
         "decayed_engagement": Q.q_decayed_engagement,
         "funnel_stages": Q.q_funnel_stages,
+        "ppjoin_pairs": Q.q_ppjoin_pairs,
+        "title_edit_neardup": Q.q_title_edit_neardup,
+        "kmeans_clusters": Q.q_kmeans_clusters,
+        "epoch_mix": Q.q_epoch_mix,
+        "interval_join": Q.q_interval_join,
+        "dsir_select": Q.q_dsir_select,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

@@ -4148,6 +4148,154 @@ GROUP BY o_orderkey
 """
 
 
+# --- k-anonymity suppression (stages/privacy.py) ----------------------------
+
+_KANON = 14
+
+
+def q_k_anonymize(sf_dir: str):
+    """k-anonymity suppression over the (user_id, event_type)
+    quasi-identifier: only rows whose combination occurs ≥ 14 times
+    survive — one pre_aggregate for the group counts, qualifying set
+    broadcast (size-routed to a co-shuffle above the bound), corpus
+    filters map-only."""
+    from searchengine_ray.stages.privacy import k_anonymity_suppress
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id",
+                                       "event_type"])
+    out = k_anonymity_suppress(ds, ["user_id", "event_type"], _KANON)
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "event_type": df["event_type"]})
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+SQL_K_ANONYMIZE = f"""
+SELECT event_id, user_id, event_type
+FROM (SELECT event_id, user_id, event_type,
+             count(*) OVER (PARTITION BY user_id, event_type) AS n
+      FROM events)
+WHERE n >= {_KANON}
+"""
+
+
+# --- NDJSON quarantine ingest (sources/jsonl.py; scratch corpus) ------------
+
+_JSONL_SCRATCH = "/tmp/graft_scratch/jsonl_corpus"
+_JSONL_N = 4000
+_JSONL_TYPES = ["click", "view", "purchase", "scroll", "hover"]
+
+
+def _jsonl_corpus() -> str:
+    """Deterministic dirty NDJSON corpus: 88% valid (with an optional
+    field absent on a slice), 12% malformed across all four error
+    categories.  Idempotent; written once per process."""
+    import json as _json
+
+    marker = os.path.join(_JSONL_SCRATCH, "_done")
+    if os.path.exists(marker):
+        return _JSONL_SCRATCH
+    import shutil
+
+    shutil.rmtree(_JSONL_SCRATCH, ignore_errors=True)
+    os.makedirs(_JSONL_SCRATCH, exist_ok=True)
+    files = [[] for _ in range(4)]
+    for i in range(_JSONL_N):
+        m = (i * 2654435761) % 100
+        t = _JSONL_TYPES[i % 5]
+        if m < 88:
+            rec = {"event_id": i, "event_type": t}
+            if i % 7:
+                rec["value"] = (i % 997) / 8
+            line = _json.dumps(rec)
+        elif m < 92:
+            line = '{"event_id": ' + str(i)           # syntax
+        elif m < 95:
+            line = f'[1, 2, {i}]'                     # not_object
+        elif m < 98:
+            line = _json.dumps({"event_id": f"e{i}",  # bad_type
+                                "event_type": t})
+        else:
+            line = _json.dumps({"event_type": t,      # missing_field
+                                "value": 1.0})
+        files[i % 4].append(line)
+    for j, lines in enumerate(files):
+        with open(os.path.join(_JSONL_SCRATCH, f"part{j}.jsonl"), "w") as f:
+            f.write("\n".join(lines) + "\n")
+    open(marker, "w").close()
+    return _JSONL_SCRATCH
+
+
+def q_jsonl_ingest(sf_dir: str):
+    """NDJSON ingest with malformed-row quarantine (the reference's
+    doc-reader malformed-drop contract, S2, generalized to a dirty
+    source): Arrow C++ fast path per clean batch, per-line isolation on
+    dirty ones, valid ∪ quarantine an exact partition of the input.
+    Output: per-event-type counts + value sums over VALID rows, plus one
+    row per quarantine error category."""
+    from searchengine_ray.sources.jsonl import jsonl_ingest
+
+    path = _jsonl_corpus()
+    spec = [("event_id", "int", True), ("event_type", "str", True),
+            ("value", "float", False)]
+    valid, quar = jsonl_ingest(
+        [os.path.join(path, f"part{j}.jsonl") for j in range(4)], spec)
+    va = pre_aggregate(valid, ["event_type"],
+                       {"n": ("event_id", "count"),
+                        "value_sum": ("value", "sum")}).to_pandas()
+    qa = pre_aggregate(quar, ["err"],
+                       {"n": ("line", "count")}).to_pandas()
+    out = pd.concat([
+        pd.DataFrame({"bucket": va["event_type"],
+                      "n": va["n"].to_numpy(np.int64),
+                      "value_sum": np.round(
+                          va["value_sum"].to_numpy(np.float64), 6)}),
+        pd.DataFrame({"bucket": "_quarantine:" + qa["err"],
+                      "n": qa["n"].to_numpy(np.int64),
+                      "value_sum": 0.0})], ignore_index=True)
+    return out
+
+
+SQL_JSONL_INGEST = f"""
+WITH raw AS (
+  SELECT line FROM read_csv('{_JSONL_SCRATCH}/part*.jsonl',
+    delim='\x01', header=false, quote='', escape='',
+    columns={{'line': 'VARCHAR'}})),
+j AS (SELECT line, try_cast(line AS JSON) AS js FROM raw),
+cls AS (
+  SELECT line, js,
+    CASE
+      WHEN js IS NULL THEN 'syntax'
+      WHEN json_type(js) <> 'OBJECT' THEN 'not_object'
+      WHEN json_extract(js, '$.event_id') IS NULL
+           OR json_type(js, '$.event_id') = 'NULL' THEN 'missing_field'
+      WHEN json_type(js, '$.event_id') NOT IN ('BIGINT', 'UBIGINT')
+           THEN 'bad_type'
+      WHEN json_extract(js, '$.event_type') IS NULL
+           OR json_type(js, '$.event_type') = 'NULL' THEN 'missing_field'
+      WHEN json_type(js, '$.event_type') <> 'VARCHAR' THEN 'bad_type'
+      WHEN json_extract(js, '$.value') IS NOT NULL
+           AND json_type(js, '$.value')
+               NOT IN ('DOUBLE', 'BIGINT', 'UBIGINT', 'NULL')
+           THEN 'bad_type'
+      ELSE ''
+    END AS err
+  FROM j)
+SELECT js->>'$.event_type' AS bucket, CAST(count(*) AS BIGINT) AS n,
+       round(coalesce(sum(CAST(js->>'$.value' AS DOUBLE)), 0), 6)
+         AS value_sum
+FROM cls WHERE err = '' GROUP BY 1
+UNION ALL
+SELECT '_quarantine:' || err, CAST(count(*) AS BIGINT),
+       CAST(0.0 AS DOUBLE)
+FROM cls WHERE err <> '' GROUP BY err
+"""
+
+
 # --- interval overlap join (campaign attribution; scratch interval table) ---
 
 _INTERVAL_SCRATCH = "/tmp/graft_scratch/campaign_intervals"
@@ -5511,6 +5659,8 @@ QUERIES = {
     "compact_small_files": q_compact_small_files,
     "stream_join": q_stream_join,
     "interval_join": q_interval_join,
+    "k_anonymize": q_k_anonymize,
+    "jsonl_ingest": q_jsonl_ingest,
     "bloom_join": q_bloom_join,
     "zorder_layout": q_zorder_layout,
     "grouped_split": q_grouped_split,
@@ -5637,6 +5787,8 @@ ORACLE_SQL = {
     "compact_small_files": SQL_COMPACT_SMALL_FILES,
     "stream_join": SQL_STREAM_JOIN,
     "interval_join": SQL_INTERVAL_JOIN,
+    "k_anonymize": SQL_K_ANONYMIZE,
+    "jsonl_ingest": SQL_JSONL_INGEST,
     "bloom_join": SQL_BLOOM_JOIN,
     "zorder_layout": SQL_ZORDER_LAYOUT,
     "grouped_split": SQL_GROUPED_SPLIT,
