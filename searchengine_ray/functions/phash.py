@@ -96,3 +96,24 @@ def phash_bands(h: int, num_bands: int = 5) -> list[tuple[int, int]]:
         hi = 64 if b == num_bands - 1 else lo + width
         out.append((b, (u >> lo) & ((1 << (hi - lo)) - 1)))
     return out
+
+
+def dihedral_orbit(pixels: np.ndarray) -> list[np.ndarray]:
+    """The 8 dihedral transforms (4 rotations × optional mirror) of an
+    (h, w, 3) array — all LOSSLESS pixel permutations, so the orbit SET
+    of any rotated/mirrored copy equals the original's orbit exactly."""
+    out = []
+    p = pixels
+    for _ in range(4):
+        out.append(p)
+        out.append(p[:, ::-1])
+        p = np.rot90(p)
+    return out
+
+
+def dihedral_min_phash(pixels: np.ndarray) -> int:
+    """Canonical rotation/flip-invariant perceptual hash: min of
+    ``phash64`` over the dihedral orbit.  Exactly invariant — a rot90 /
+    fliplr copy yields the identical orbit, hence the identical min
+    (pinned by test); plain ``phash64`` has no such guarantee."""
+    return min(phash64(t) for t in dihedral_orbit(pixels))

@@ -1520,6 +1520,70 @@ def q_image_phash_neardup(sf_dir: str):
     return out.map_batches(rename, batch_format="pandas")
 
 
+# the engine materializes its canonical dihedral-min phash here; the
+# oracle computes the PAIR semantics from the same table (the
+# simhash/phash scratch pattern) — the hash's rotation invariance is
+# pytest-pinned (tests/test_imagecodec.py)
+_ROT_SCRATCH = "/tmp/graft_scratch/rot_phash"
+
+
+def q_image_rot_neardup(sf_dir: str):
+    """Rotation/flip-robust image near-dup: canonical dihedral-min phash
+    (min of phash64 over the 8 lossless rot/flip transforms — EXACTLY
+    invariant, so a rotated copy hashes identically) banded + verified
+    like ``image_phash_neardup``.  Planted transformed copies (one per
+    image_id with hash%5==0, a deterministic non-identity transform)
+    bind the invariance in data: plain phash misses every such pair
+    (pinned by test); the canonical hash pairs them at hamming 0.
+    Decode runs once per image; the copy transforms the decoded pixels
+    directly (rot90/fliplr are exact)."""
+    import shutil
+    from hashlib import sha256 as _sha
+
+    from searchengine_ray.functions.imagecodec import decode
+    from searchengine_ray.functions.phash import (
+        dihedral_min_phash, dihedral_orbit)
+
+    ds = _image_table_ds(columns=["image_id", "bytes", "fmt"])
+
+    def canon(df: pd.DataFrame) -> pd.DataFrame:
+        ids, hs = [], []
+        for iid, blob, fmt in zip(df["image_id"], df["bytes"], df["fmt"]):
+            px = decode(bytes(blob), fmt)
+            ids.append(iid)
+            hs.append(dihedral_min_phash(px))
+            hv = int.from_bytes(_sha(iid.encode()).digest()[:8], "big")
+            if hv % 5 == 0:  # planted non-identity transformed copy
+                t = dihedral_orbit(px)[1 + hv % 7]
+                ids.append(iid + "#rot")
+                hs.append(dihedral_min_phash(np.ascontiguousarray(t)))
+        return pd.DataFrame({"image_id": ids,
+                             "chash": np.array(hs, dtype=np.int64)})
+
+    hashed = ds.map_batches(canon, batch_format="pandas")
+    shutil.rmtree(_ROT_SCRATCH, ignore_errors=True)
+    hashed.write_parquet(_ROT_SCRATCH)
+    out = dedup_stage.hash_neardup_pairs(
+        rd.read_parquet(_ROT_SCRATCH), hash_col="chash",
+        id_col="image_id", max_hamming=4)
+
+    def rename(df: pd.DataFrame) -> pd.DataFrame:
+        return df.rename(columns={"id_a": "image_a", "id_b": "image_b"})
+
+    return out.map_batches(rename, batch_format="pandas")
+
+
+SQL_IMAGE_ROT_NEARDUP = f"""
+SELECT a.image_id AS image_a, b.image_id AS image_b,
+       CAST(bit_count(xor(CAST(a.chash AS BIGINT),
+                          CAST(b.chash AS BIGINT))) AS BIGINT) AS hamming
+FROM read_parquet('{_ROT_SCRATCH}/*.parquet') a
+JOIN read_parquet('{_ROT_SCRATCH}/*.parquet') b
+  ON a.image_id < b.image_id
+WHERE bit_count(xor(CAST(a.chash AS BIGINT), CAST(b.chash AS BIGINT))) <= 4
+"""
+
+
 def q_image_stats(sf_dir: str):
     """Per-format corpus stats (count, total pixel area, total caption
     tokens) — integer-exact aggregates, columns pruned so image bytes are
@@ -5612,6 +5676,7 @@ QUERIES = {
     "knn_ivf": q_knn_ivf,
     "knn_ivf_insert": q_knn_ivf_insert,
     "image_phash_neardup": q_image_phash_neardup,
+    "image_rot_neardup": q_image_rot_neardup,
     "image_stats": q_image_stats,
     "image_multimodal_neardup": q_image_multimodal_neardup,
     "image_multimodal_clusters": q_image_multimodal_clusters,
@@ -5740,6 +5805,7 @@ ORACLE_SQL = {
     "neardup_survivors": SQL_NEARDUP_SURVIVORS,
     "image_pipeline": SQL_IMAGE_PIPELINE,
     "image_phash_neardup": SQL_IMAGE_PHASH_NEARDUP,
+    "image_rot_neardup": SQL_IMAGE_ROT_NEARDUP,
     "image_stats": SQL_IMAGE_STATS,
     "image_multimodal_neardup": SQL_IMAGE_MULTIMODAL_NEARDUP,
     "image_multimodal_clusters": SQL_IMAGE_MM_CLUSTERS,

@@ -102,3 +102,36 @@ def test_phash_bands_pigeonhole():
 def test_unknown_fmt_raises():
     with pytest.raises(NotImplementedError):
         encode(_img(9), "webp")
+
+
+# --- dihedral-canonical phash ------------------------------------------------
+
+
+def test_dihedral_min_phash_exactly_invariant():
+    from searchengine_ray.functions.phash import (
+        dihedral_min_phash, dihedral_orbit, phash64)
+
+    rng = np.random.RandomState(7)
+    for shape in ((48, 64, 3), (33, 33, 3), (64, 48, 3)):
+        px = (rng.rand(*shape) * 255).astype(np.uint8)
+        base = dihedral_min_phash(px)
+        for t in dihedral_orbit(px):
+            assert dihedral_min_phash(np.ascontiguousarray(t)) == base
+    # necessity: plain phash64 is NOT rotation invariant on a structured
+    # image (left half bright, right half dark)
+    px = np.zeros((40, 60, 3), dtype=np.uint8)
+    px[:, :30] = 220
+    assert phash64(np.rot90(px)) != phash64(px)
+    assert dihedral_min_phash(np.rot90(px)) == dihedral_min_phash(px)
+
+
+def test_dihedral_min_phash_survives_lossless_roundtrip():
+    from searchengine_ray.functions.imagecodec import decode, encode
+    from searchengine_ray.functions.phash import dihedral_min_phash
+
+    rng = np.random.RandomState(9)
+    px = (rng.rand(32, 48, 3) * 255).astype(np.uint8)
+    rot = np.ascontiguousarray(np.rot90(px))
+    # PNG is lossless: a re-encoded rotated copy hashes identically
+    back = decode(encode(rot, "png"), "png")
+    assert dihedral_min_phash(back) == dihedral_min_phash(px)
