@@ -193,6 +193,8 @@ def main() -> None:
         "epoch_mix": Q.q_epoch_mix,
         "interval_join": Q.q_interval_join,
         "dsir_select": Q.q_dsir_select,
+        "k_anonymize": Q.q_k_anonymize,
+        "image_rot_neardup": Q.q_image_rot_neardup,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

@@ -84,6 +84,124 @@ def levenshtein_batch(a_strs, b_strs) -> np.ndarray:
     return prev[np.arange(P), lb]
 
 
+def _pack_codes_matrix(strs, pad: int,
+                       ws_key: str | None = None
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """(P, Lmax) int32 code-point matrix + lengths, fully vectorized:
+    one utf-32 encode of the joined string, one masked scatter — no
+    per-row Python fill (the per-pair loop was the measured bottleneck
+    of the full kernel at 10^5+ pairs).  ``ws_key`` reuses a per-process
+    buffer."""
+    P = len(strs)
+    lens = np.fromiter((len(s or "") for s in strs), dtype=np.int64,
+                       count=P)
+    L = int(lens.max()) if P else 0
+    shape = (P, max(L, 1))
+    if ws_key is None:
+        M = np.full(shape, pad, dtype=np.int32)
+    else:
+        M = _edws(ws_key, shape, np.int32)
+        M[:] = pad
+    if lens.sum():
+        flat = np.frombuffer("".join(s or "" for s in strs)
+                             .encode("utf-32-le"), dtype=np.uint32)
+        M[np.arange(shape[1])[None, :] < lens[:, None]] = \
+            flat.astype(np.int32)
+    return M, lens
+
+
+_BINF = np.int32(1 << 20)  # band sentinel: larger than any real distance
+
+# per-worker-process reusable band buffers (the minhash/kmeans workspace
+# discipline — this host first-touch page-faults fresh allocations at
+# ~8 MB/s, and the band loop would otherwise allocate P×W per row)
+_EDWS: dict = {}
+
+
+def _edws(key: str, shape: tuple, dtype) -> np.ndarray:
+    buf = _EDWS.get(key)
+    if (buf is None or buf.shape[0] < shape[0] or buf.shape[1:] != shape[1:]
+            or buf.dtype != dtype):
+        buf = np.empty(shape, dtype=dtype)
+        _EDWS[key] = buf
+    return buf[:shape[0]]
+
+
+def levenshtein_batch_banded(a_strs, b_strs, k: int) -> np.ndarray:
+    """Ukkonen-banded Levenshtein for P pairs with threshold ``k``:
+    EXACT wherever the true distance is <= k, and returns a value > k
+    (capped at k+1) otherwise — the verify contract, where only
+    ``dist <= k`` survivors are emitted.  Pinned against the full DP by
+    test.
+
+    Vectorized across pairs × the 2k+1 band: per row one contiguous
+    (P, 2k+1) slice of the sentinel-padded B matrix, the same
+    prefix-min insertion cascade as the full kernel but over band-local
+    columns, int32 throughout — per-row work drops from P×len(b) to
+    P×(2k+1) cells and the pack is scatter-vectorized."""
+    P = len(a_strs)
+    out = np.full(P, k + 1, dtype=np.int64)
+    if P == 0:
+        return out
+    A, la = _pack_codes_matrix(a_strs, _PAD, ws_key="bd_A")
+    B, lb = _pack_codes_matrix(b_strs, _PAD - 1, ws_key="bd_B")
+    ok = np.abs(la - lb) <= k
+    if not ok.any():
+        return out
+    W = 2 * k + 1
+    La = int(la.max())
+    Lb = B.shape[1]
+    # pad B with k+1 sentinel columns both sides: row i reads the
+    # contiguous slice BP[:, i : i+W] = b chars at j-1 for j = i-k..i+k
+    BP = _edws("bd_BP", (P, Lb + 2 * k + 2), np.int32)
+    BP[:] = _PAD - 1
+    BP[:, k + 1:k + 1 + Lb] = B
+    tcols = np.arange(W, dtype=np.int32)
+    # row-0 band: prev[t] = D[0][j] = j at j = t-k, INF where j < 0
+    j0 = tcols - np.int32(k)
+    prev = _edws("bd_prev", (P, W), np.int32)
+    prev[:] = np.where(j0 >= 0, j0, _BINF)[None, :]
+    base = _edws("bd_base", (P, W), np.int32)
+    tmp = _edws("bd_tmp", (P, W), np.int32)
+    for i in range(1, La + 1):
+        bc = BP[:, i:i + W]
+        np.add(prev, (bc != A[:, i - 1][:, None]), out=base,
+               casting="unsafe")                      # substitution
+        np.add(prev[:, 1:], np.int32(1), out=tmp[:, 1:])
+        np.minimum(base[:, :-1], tmp[:, 1:], out=base[:, :-1])  # deletion
+        if i <= k:  # column j=0 sits in the band at t=k-i: D[i][0] = i
+            base[:, k - i] = np.minimum(base[:, k - i], np.int32(i))
+        # insertion cascade within the band (left-to-right prefix min)
+        np.subtract(base, tcols, out=tmp)
+        np.minimum.accumulate(tmp, axis=1, out=tmp)
+        np.add(tmp, tcols, out=tmp)
+        np.minimum(tmp, _BINF, out=tmp)
+        np.copyto(prev, tmp, where=(i <= la)[:, None])
+    t_ans = (lb - la + k).astype(np.int64)
+    sel = ok & (t_ans >= 0) & (t_ans < W)
+    out[sel] = np.minimum(prev[np.flatnonzero(sel), t_ans[sel]],
+                          np.int64(k + 1))
+    return out
+
+
+_DP_CHUNK = 200_000  # pairs per banded-DP call: keeps the per-worker
+# band buffers ~7 MB so the one-time first-touch fault cost (this host:
+# ~8 MB/s) is paid once and every later call reuses the same pages
+
+
+def banded_dist_chunked(a_strs, b_strs, k: int,
+                        chunk: int = _DP_CHUNK) -> np.ndarray:
+    """``levenshtein_batch_banded`` in bounded slices — same output."""
+    P = len(a_strs)
+    if P <= chunk:
+        return levenshtein_batch_banded(a_strs, b_strs, k)
+    out = np.empty(P, dtype=np.int64)
+    for c0 in range(0, P, chunk):
+        out[c0:c0 + chunk] = levenshtein_batch_banded(
+            a_strs[c0:c0 + chunk], b_strs[c0:c0 + chunk], k)
+    return out
+
+
 def _pack_grams(codes: np.ndarray, q: int) -> np.ndarray:
     """Distinct q-grams of one code-point array, packed losslessly into
     int64 (21 bits per code point, q <= 3; collision-free so the df order
@@ -136,14 +254,105 @@ def _explode_grams_batch(df: pd.DataFrame, q: int, qd: int) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": out_doc, "g": out_g, "l": out_l})
 
 
+# prefix filtering is routed out when its estimated candidate mass is
+# within this fraction of all-pairs: on a gram-poor alphabet (synthetic
+# or short-title corpora) every "rare" gram is shared corpus-wide, the
+# filter prunes nothing, and the blocked brute force does the SAME
+# Θ(n²) verifies at kernel speed without generating/shuffling the
+# duplicated candidate rows (measured 84 → ~11 s at sf0.1).
+DENSE_ROUTE_RHO = 0.2
+
+
+def _dense_blocked_pairs(
+    strs: Dataset, max_dist: int, chunk_rows: int = 256,
+) -> Dataset:
+    """Exact all-pairs edit join via triangle blocking: strings hash into
+    K = ceil(n/chunk) chunks, every row replicates to the K pair-buckets
+    containing its chunk (n×K rows — √-scale replication), each (i, j)
+    bucket runs the length filter + banded DP over its ≤ chunk² grid.
+    Each unordered pair lives in exactly one bucket — no dedup pass."""
+    from searchengine_ray.stages.relational import bucketed_map_groups
+
+    n = strs.count()
+    k_chunks = max(1, -(-n // chunk_rows))
+
+    def replicate(df: pd.DataFrame) -> pd.DataFrame:
+        doc = df["doc_id"].to_numpy(np.int64)
+        c = ((doc * np.int64(2654435761)) % np.int64(2 ** 31)) % k_chunks
+        m = len(df)
+        jj = np.tile(np.arange(k_chunks, dtype=np.int64), m)
+        cc = np.repeat(c, k_chunks)
+        lo = np.minimum(cc, jj)
+        hi = np.maximum(cc, jj)
+        return pd.DataFrame({
+            "pb": lo * k_chunks + hi,
+            "ch": cc,
+            "doc_id": np.repeat(doc, k_chunks),
+            "s": np.repeat(df["s"].to_numpy(), k_chunks),
+            "l": np.repeat(df["l"].to_numpy(np.int64), k_chunks)})
+
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64),
+                          "doc_b": pd.Series([], dtype=np.int64),
+                          "dist": pd.Series([], dtype=np.int64)})
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return empty.copy()
+        pb = int(g["pb"].iloc[0])
+        i, j = divmod(pb, k_chunks)
+        if i == j:
+            m = g
+            ai, bi = np.triu_indices(len(m), k=1)
+        else:
+            ga = g[g["ch"].to_numpy() == i]
+            gb = g[g["ch"].to_numpy() == j]
+            if not len(ga) or not len(gb):
+                return empty.copy()
+            na, nb = len(ga), len(gb)
+            ai = np.repeat(np.arange(na), nb)
+            bi = np.tile(np.arange(nb), na)
+        if not ai.size:
+            return empty.copy()
+        left = g if i == j else ga
+        right = g if i == j else gb
+        la = left["l"].to_numpy(np.int64)[ai]
+        lb = right["l"].to_numpy(np.int64)[bi]
+        keep = np.abs(la - lb) <= max_dist
+        ai, bi = ai[keep], bi[keep]
+        if not ai.size:
+            return empty.copy()
+        da = left["doc_id"].to_numpy(np.int64)[ai]
+        db = right["doc_id"].to_numpy(np.int64)[bi]
+        dist = banded_dist_chunked(
+            left["s"].to_numpy()[ai].tolist(),
+            right["s"].to_numpy()[bi].tolist(), max_dist)
+        ok = dist <= max_dist
+        da, db, dist = da[ok], db[ok], dist[ok]
+        return pd.DataFrame({"doc_a": np.minimum(da, db),
+                             "doc_b": np.maximum(da, db),
+                             "dist": dist})
+
+    reps = strs.map_batches(replicate, batch_format="pandas")
+    return bucketed_map_groups(reps, ["pb"], per_group)
+
+
 def edit_distance_pairs(
     ds: Dataset, max_dist: int, q: int = 3,
     text_col: str = "text", id_col: str = "doc_id",
     prefix_chars: int | None = None,
+    dense_route_rho: float = DENSE_ROUTE_RHO,
 ) -> Dataset:
     """All (id_a < id_b, dist) pairs with Levenshtein distance <= max_dist
     between the (optionally ``prefix_chars``-truncated) strings.  Exact —
-    see module docstring for the pruning-bound argument."""
+    see module docstring for the pruning-bound argument.
+
+    Size-routed (the skew-join discipline): after the df pre-aggregate,
+    an O(blocks)-driver-rows pass estimates the prefix filter's candidate
+    mass (Σ(df·p)²/2 with p = prefix share of the average gram set); when
+    that is within ``dense_route_rho`` of all-pairs the filter cannot pay
+    for its candidate shuffles and the blocked brute force runs instead —
+    same output, no recall dependence either way (both routes end in the
+    same exact verify kernel)."""
     if q > 3:
         raise ValueError("q <= 3 (three 21-bit code points per int64 key)")
     from searchengine_ray.stages.relational import bucketed_apply, pre_aggregate
@@ -167,7 +376,27 @@ def edit_distance_pairs(
     dfc = pre_aggregate(
         exploded.map_batches(lambda df: df[df["g"] != -1][["g"]],
                              batch_format="pandas"),
-        ["g"], {"df": (None, "count")})
+        ["g"], {"df": (None, "count")}).materialize()
+
+    # selectivity estimate from per-batch scalar partials (O(blocks)
+    # driver rows; the df table itself never lands on the driver)
+    n_docs = strs.count()
+    gram_rows = exploded.count()
+
+    def df2_part(df: pd.DataFrame) -> pd.DataFrame:
+        if "df" not in df.columns or not len(df):
+            return pd.DataFrame({"s2": pd.Series([], dtype=np.float64)})
+        v = df["df"].to_numpy(np.float64)
+        return pd.DataFrame({"s2": [float(v @ v)]})
+
+    sum_df2 = float(dfc.map_batches(df2_part, batch_format="pandas")
+                    .to_pandas()["s2"].sum())
+    avg_grams = max(gram_rows / max(n_docs, 1), 1.0)
+    p_pref = min(1.0, plen_cap / avg_grams)
+    cand_est = sum_df2 * p_pref * p_pref / 2.0
+    if n_docs > 1 and cand_est >= (dense_route_rho
+                                   * n_docs * (n_docs - 1) / 2.0):
+        return _dense_blocked_pairs(strs, max_dist)
 
     cols = ["g", "doc_id", "l", "df", "side"]
 
@@ -292,7 +521,10 @@ def _pair_edit_verify(cand: Dataset, strs: Dataset, max_dist: int) -> Dataset:
             suffixes=("_a", "_b"))
         if not len(m):
             return empty
-        dist = levenshtein_batch(m["s_a"].tolist(), m["s_b"].tolist())
+        # banded kernel: exact for every dist <= max_dist (the only
+        # survivors), > max_dist pairs just need to be dropped
+        dist = banded_dist_chunked(m["s_a"].tolist(),
+                                   m["s_b"].tolist(), max_dist)
         keep = dist <= max_dist
         return pd.DataFrame({"doc_a": m["pair_a"].to_numpy(dtype=np.int64)[keep],
                              "doc_b": m["pair_b"].to_numpy(dtype=np.int64)[keep],

@@ -86,10 +86,15 @@ def test_edit_distance_pairs_matches_brute_force(ray_session):
     ds = rd.from_pandas(pd.DataFrame({
         "doc_id": np.arange(len(texts), dtype=np.int64),
         "text": texts})).repartition(4)
-    out = edit_distance_pairs(ds, max_dist=D).to_pandas()
-    got = {(int(a), int(b)): int(d)
-           for a, b, d in zip(out["doc_a"], out["doc_b"], out["dist"])}
-    assert got == want
+    # BOTH routes must equal the brute force: rho > 1 forces the prefix
+    # filter, rho = 0 forces the dense blocked path (the small dense
+    # vocabulary here would otherwise always route dense)
+    for rho in (1.1, 0.0):
+        out = edit_distance_pairs(ds, max_dist=D,
+                                  dense_route_rho=rho).to_pandas()
+        got = {(int(a), int(b)): int(d)
+               for a, b, d in zip(out["doc_a"], out["doc_b"], out["dist"])}
+        assert got == want, rho
 
 
 def test_edit_distance_prefix_chars_and_boundary(ray_session):
@@ -118,3 +123,42 @@ def test_edit_distance_prefix_chars_and_boundary(ray_session):
     assert (0, 1) in got and got[(0, 1)] == 4       # boundary kept
     assert (0, 2) not in got                         # one past boundary
     assert _ref_lev(texts[0][:28], texts[2][:28]) == 5
+
+
+def test_banded_kernel_matches_full_dp():
+    """levenshtein_batch_banded == full DP wherever dist <= k, and
+    returns > k (capped k+1) elsewhere — incl. empties, unicode, and
+    workspace reuse across differently-sized calls."""
+    from searchengine_ray.stages.editdist import (
+        banded_dist_chunked, levenshtein_batch, levenshtein_batch_banded)
+
+    random.seed(4)
+    alphabet = "abcdefg"
+    A, B = [], []
+    for _ in range(2000):
+        s = "".join(random.choice(alphabet)
+                    for _ in range(random.randint(0, 12)))
+        t = list(s)
+        for _ in range(random.randint(0, 6)):
+            op = random.randint(0, 2)
+            if op == 0 and t:
+                t[random.randrange(len(t))] = random.choice(alphabet)
+            elif op == 1 and t:
+                del t[random.randrange(len(t))]
+            else:
+                t.insert(random.randint(0, len(t)), random.choice(alphabet))
+        A.append(s)
+        B.append("".join(t))
+    A += ["", "", "abc", "日本語テスト", "abc"]
+    B += ["", "abcd", "", "日本語テスロ", "abc"]
+    full = levenshtein_batch(A, B)
+    for k in (0, 1, 2, 4, 7):
+        band = levenshtein_batch_banded(A, B, k)
+        le = full <= k
+        assert np.array_equal(band[le], full[le]), k
+        assert (band[~le] > k).all(), k
+    # chunked wrapper identical; workspace reuse at a smaller size
+    band4 = levenshtein_batch_banded(A, B, 4)
+    assert np.array_equal(banded_dist_chunked(A, B, 4, chunk=97), band4)
+    small = levenshtein_batch_banded(A[:50], B[:50], 4)
+    assert np.array_equal(small, band4[:50])
