@@ -304,6 +304,7 @@ def deterministic_init(
 def kmeans_fit_traced(
     ds: Dataset, num_clusters: int = 8, emb_col: str = "embedding",
     id_col: str = "vec_id", max_iters: int = 30, batch_size: int = 65536,
+    driver_reduce_max_rows: int = DRIVER_REDUCE_MAX_ROWS,
 ) -> tuple[np.ndarray, dict]:
     """Lloyd's to an assignment fixed point or ``max_iters``.
 
@@ -324,6 +325,11 @@ def kmeans_fit_traced(
     prev_sig = None
     converged = False
     it = 0
+    # same size routing as kmeans_fit: below the threshold the k-row
+    # per-batch partials reduce on the driver (≤ ceil(n/batch) × k rows)
+    # instead of paying one pre_aggregate all-to-all PER ITERATION —
+    # at sf-scale latency each saved exchange is ~1 s × n_iters
+    driver_reduce = ds.count() <= driver_reduce_max_rows
 
     for it in range(1, max_iters + 1):
         cent_ref = ray.put(cent)
@@ -361,13 +367,19 @@ def kmeans_fit_traced(
                 out[scols[j]] = sums[:, j].copy()
             return pd.DataFrame(out)
 
-        specs: dict = {"cnt": ("cnt", "sum"), "inertia": ("inertia", "sum"),
-                       "sig": ("sig", "sum")}
-        specs.update({s: (s, "sum") for s in scols})
-        agg = pre_aggregate(
-            ds.map_batches(moments, batch_format="pyarrow",
-                           batch_size=batch_size),
-            ["cluster"], specs).to_pandas().sort_values("cluster")
+        partials = ds.map_batches(moments, batch_format="pyarrow",
+                                  batch_size=batch_size)
+        if driver_reduce:
+            agg = (partials.to_pandas()
+                   .groupby("cluster", as_index=False).sum()
+                   .sort_values("cluster"))
+        else:
+            specs: dict = {"cnt": ("cnt", "sum"),
+                           "inertia": ("inertia", "sum"),
+                           "sig": ("sig", "sum")}
+            specs.update({s: (s, "sum") for s in scols})
+            agg = (pre_aggregate(partials, ["cluster"], specs)
+                   .to_pandas().sort_values("cluster"))
 
         cnt = agg["cnt"].to_numpy(dtype=np.float64)
         sums = agg[scols].to_numpy(dtype=np.float64)
