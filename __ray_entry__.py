@@ -7,7 +7,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``: one callable per implemented operator/pipeline
   (SURVEY.md §2); each takes ``sf_dir``.
 - ``oracle_sql()``: DuckDB-equivalent SQL for each SQL-expressible query —
-  125 of 129, including every near-dup family (verified MinHash ≡ exact
+  126 of 130, including every near-dup family (verified MinHash ≡ exact
   all-pairs jaccard; embedding LSH ≡ all-pairs cosine; simhash / phash /
   audio fingerprints ≡ bit_count(xor) over engine-materialized scratch
   tables) and the image/audio pipelines (golden-table TRUE-flag gates).

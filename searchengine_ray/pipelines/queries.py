@@ -2785,6 +2785,72 @@ SELECT vec_id, cluster, dist FROM r WHERE rn = 1
 """
 
 
+# --- 24c. cluster-balanced diversity sampling (kmeans × stratified) ---------
+
+_KM_SAMPLE_SCRATCH = "/tmp/graft_scratch/kmeans_sample_centroids"
+_KM_SAMPLE_K = 12
+_KM_SAMPLE_SALT = "csamp1"
+
+
+def q_cluster_sample(sf_dir: str):
+    """Diversity-balanced sampling (the DataComp/SemDeDup curation shape):
+    k-means topic buckets over the embedding corpus, then an exact
+    12-per-cluster deterministic hash-order sample — balanced coverage of
+    the embedding space instead of the raw density.  Composes the
+    oracle-gated assignment (centroids persisted for the SQL) with the
+    stratified sampler's one co-shuffle; the oracle recomputes BOTH
+    stages (list_distance argmin CTE + QUALIFY row_number per cluster)."""
+    import shutil
+
+    import pyarrow.parquet as papq
+
+    from searchengine_ray.stages import kmeans
+
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent, _info = kmeans.kmeans_fit_traced(ds, num_clusters=8)
+    shutil.rmtree(_KM_SAMPLE_SCRATCH, ignore_errors=True)
+    os.makedirs(_KM_SAMPLE_SCRATCH, exist_ok=True)
+    papq.write_table(
+        pa.table({"cluster": pa.array(range(cent.shape[0]), pa.int64()),
+                  "centroid": pa.array([[float(v) for v in c] for c in cent],
+                                       pa.list_(pa.float64()))}),
+        os.path.join(_KM_SAMPLE_SCRATCH, "centroids.parquet"))
+    assigned = (kmeans.kmeans_assign_ranked(ds, cent)
+                .select_columns(["vec_id", "cluster"]))
+    out = sampling.stratified_sample(assigned, "cluster", "vec_id",
+                                     _KM_SAMPLE_K, _KM_SAMPLE_SALT)
+
+    def fmt(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vec_id": df["vec_id"].to_numpy(np.int64),
+            "cluster": df["cluster"].to_numpy(np.int64)})
+
+    return out.map_batches(fmt, batch_format="pandas")
+
+
+SQL_CLUSTER_SAMPLE = f"""
+WITH d AS (
+  SELECT e.vec_id, c.cluster,
+         round(list_distance(CAST(e.embedding AS DOUBLE[]),
+                             CAST(c.centroid AS DOUBLE[])), 6) AS dist
+  FROM embeddings e
+  CROSS JOIN read_parquet('{_KM_SAMPLE_SCRATCH}/*.parquet') c),
+a AS (SELECT vec_id, cluster
+      FROM (SELECT vec_id, cluster,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cluster) AS rn
+            FROM d)
+      WHERE rn = 1)
+SELECT vec_id, cluster
+FROM (SELECT vec_id, cluster,
+             substr(sha256(CAST(vec_id AS VARCHAR)
+                           || ':{_KM_SAMPLE_SALT}'), 1, 12) AS hx
+      FROM a)
+QUALIFY row_number() OVER (PARTITION BY cluster
+                           ORDER BY hx, vec_id) <= {_KM_SAMPLE_K}
+"""
+
+
 # --- 25c. DSIR importance-resampling selection (stages/dsir.py) -------------
 
 _DSIR_B = 512
@@ -5665,6 +5731,7 @@ QUERIES = {
     "semantic_survivors": q_semantic_survivors,
     "kmeans_clusters": q_kmeans_clusters,
     "dsir_select": q_dsir_select,
+    "cluster_sample": q_cluster_sample,
     "customers_no_urgent": q_customers_no_urgent,
     "orders_rollup": q_orders_rollup,
     "dedup_keep_best": q_dedup_keep_best,
@@ -5791,6 +5858,7 @@ ORACLE_SQL = {
     "semantic_survivors": SQL_SEMANTIC_SURVIVORS,
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "dsir_select": SQL_DSIR_SELECT,
+    "cluster_sample": SQL_CLUSTER_SAMPLE,
     "customers_no_urgent": SQL_CUSTOMERS_NO_URGENT,
     "orders_rollup": SQL_ORDERS_ROLLUP,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,

@@ -165,3 +165,25 @@ def test_traced_fixed_point_signature(blob_ds, traced):
     a1 = kmeans_assign_ranked(blob_ds, cent).to_pandas().sort_values("vec_id")
     a2 = kmeans_assign_ranked(blob_ds, cent).to_pandas().sort_values("vec_id")
     assert np.array_equal(a1["cluster"].to_numpy(), a2["cluster"].to_numpy())
+
+
+def test_cluster_balanced_sample_equalizes_coverage(blob_ds, blob_df,
+                                                    traced):
+    """Diversity sampling: k per k-means cluster regardless of cluster
+    mass — a 4:1 planted density skew still yields equal per-cluster
+    counts (the raw-distribution sample would follow the skew)."""
+    from searchengine_ray.stages.sampling import stratified_sample
+
+    cent, _ = traced
+    assigned = (kmeans_assign_ranked(blob_ds, cent)
+                .select_columns(["vec_id", "cluster"]))
+    got = stratified_sample(assigned, "cluster", "vec_id", 10,
+                            "t_csamp").to_pandas()
+    per = got.groupby("cluster").size()
+    assert (per == 10).all() and len(per) == K
+    # deterministic under a different partitioning
+    got2 = stratified_sample(assigned.repartition(11), "cluster",
+                             "vec_id", 10, "t_csamp").to_pandas()
+    a = got.sort_values(["cluster", "vec_id"]).reset_index(drop=True)
+    b = got2.sort_values(["cluster", "vec_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
