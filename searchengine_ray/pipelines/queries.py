@@ -2851,6 +2851,61 @@ QUALIFY row_number() OVER (PARTITION BY cluster
 """
 
 
+# --- 24d. distributed PCA projection (scratch component table) --------------
+
+# The covariance comes from ONE corpus pass (d×(d+2) driver scalars,
+# never a sample — stages/pca.py); the fitted basis is persisted to the
+# scratch table and the DuckDB oracle recomputes every row's projection
+# from it via list_inner_product, so a wrong moment sum, a broken
+# eigendecomposition ordering, or a projection kernel defect all flip
+# rows.  The engine subtracts the SAME precomputed μ·v scalar the oracle
+# reads, so only sub-ulp inner-product association separates the two
+# sides (absorbed by round-6).
+_PCA_SCRATCH = "/tmp/graft_scratch/pca_components"
+_PCA_M = 8
+
+
+def q_pca_project(sf_dir: str):
+    """Top-8 principal-component projection of the embedding corpus
+    (the dimensionality-reduction step of embedding curation): exact
+    full-corpus covariance from one pass, driver-side eigh, map-only
+    projection; components + μ·v persisted for the oracle."""
+    import shutil
+
+    import pyarrow.parquet as papq
+
+    from searchengine_ray.stages import pca
+
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    mean, comp, _evals, _n = pca.pca_fit(ds, n_components=_PCA_M)
+    mu_dot = mean @ comp.T
+    shutil.rmtree(_PCA_SCRATCH, ignore_errors=True)
+    os.makedirs(_PCA_SCRATCH, exist_ok=True)
+    papq.write_table(
+        pa.table({"comp": pa.array(range(comp.shape[0]), pa.int64()),
+                  "component": pa.array([[float(v) for v in c] for c in comp],
+                                        pa.list_(pa.float64())),
+                  "mu_dot": pa.array([float(v) for v in mu_dot],
+                                     pa.float64())}),
+        os.path.join(_PCA_SCRATCH, "components.parquet"))
+    return pca.pca_project(ds, mean, comp)
+
+
+SQL_PCA_PROJECT = f"""
+WITH proj AS (
+  SELECT e.vec_id, c.comp,
+         round(list_inner_product(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(c.component AS DOUBLE[]))
+               - c.mu_dot, 6) AS p
+  FROM embeddings e
+  CROSS JOIN read_parquet('{_PCA_SCRATCH}/*.parquet') c)
+SELECT vec_id,
+       {', '.join(f'max(CASE WHEN comp = {r} THEN p END) AS p{r}'
+                  for r in range(_PCA_M))}
+FROM proj GROUP BY vec_id
+"""
+
+
 # --- 25c. DSIR importance-resampling selection (stages/dsir.py) -------------
 
 _DSIR_B = 512
@@ -5732,6 +5787,7 @@ QUERIES = {
     "kmeans_clusters": q_kmeans_clusters,
     "dsir_select": q_dsir_select,
     "cluster_sample": q_cluster_sample,
+    "pca_project": q_pca_project,
     "customers_no_urgent": q_customers_no_urgent,
     "orders_rollup": q_orders_rollup,
     "dedup_keep_best": q_dedup_keep_best,
@@ -5859,6 +5915,7 @@ ORACLE_SQL = {
     "kmeans_clusters": SQL_KMEANS_CLUSTERS,
     "dsir_select": SQL_DSIR_SELECT,
     "cluster_sample": SQL_CLUSTER_SAMPLE,
+    "pca_project": SQL_PCA_PROJECT,
     "customers_no_urgent": SQL_CUSTOMERS_NO_URGENT,
     "orders_rollup": SQL_ORDERS_ROLLUP,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
