@@ -5743,6 +5743,44 @@ ORDER BY pmi DESC, tok_a, tok_b LIMIT 100
 """
 
 
+# --- 43. long→wide pivot (per-entity feature matrix) -------------------------
+
+_PIVOT_CATS = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_event_type_pivot(sf_dir: str):
+    """Per-user wide feature matrix from the event log — (sum, count) of
+    value per event type, zero-filled: the feature-store reshape.  The
+    pivot happens MAP-SIDE (one partial row per user per batch, 2×C
+    fixed-width columns); the only all-to-all is the O(users)
+    ``pre_aggregate`` — see ``stages/relational.pivot_wide``.  Sums
+    round to 2 (the ``pricing_summary`` discipline: engine partials and
+    the oracle's sequential sum differ only in ~1e-10 association
+    noise)."""
+    from searchengine_ray.stages.relational import pivot_wide
+
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_type", "value"])
+    wide = pivot_wide(ds, "user_id", "event_type", "value", _PIVOT_CATS)
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        for c in _PIVOT_CATS:
+            df[f"{c}_sum"] = np.round(df[f"{c}_sum"].to_numpy(np.float64), 2)
+        return df
+
+    return wide.map_batches(finish, batch_format="pandas")
+
+
+SQL_EVENT_TYPE_PIVOT = f"""
+SELECT user_id,
+       {', '.join(
+           f"round(sum(CASE WHEN event_type = '{c}' THEN value ELSE 0 END), 2)"
+           f" AS {c}_sum, "
+           f"CAST(count(CASE WHEN event_type = '{c}' THEN 1 END) AS BIGINT)"
+           f" AS {c}_cnt" for c in _PIVOT_CATS)}
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
@@ -5756,6 +5794,7 @@ QUERIES = {
     "parts_by_brand": q_parts_by_brand,
     "props_k_stats": q_props_k_stats,
     "events_by_type": q_events_by_type,
+    "event_type_pivot": q_event_type_pivot,
     "events_user_daily": q_events_user_daily,
     "sessionize": q_sessionize,
     "dedup_exact": q_dedup_exact,
@@ -5890,6 +5929,7 @@ ORACLE_SQL = {
     "parts_by_brand": SQL_PARTS_BY_BRAND,
     "props_k_stats": SQL_PROPS_K_STATS,
     "events_by_type": SQL_EVENTS_BY_TYPE,
+    "event_type_pivot": SQL_EVENT_TYPE_PIVOT,
     "events_user_daily": SQL_EVENTS_USER_DAILY,
     "sessionize": SQL_SESSIONIZE,
     "dedup_exact": SQL_DEDUP_EXACT,

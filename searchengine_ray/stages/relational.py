@@ -696,3 +696,84 @@ def skew_join(
 
     hot_out = left.map_batches(probe, batch_format="pandas")
     return cold.union(hot_out)
+
+
+def pivot_wide(
+    ds: Dataset,
+    key: str,
+    pivot_col: str,
+    value_col: str,
+    categories: Sequence[str],
+    strict: bool = True,
+    batch_size: int = 65536,
+) -> Dataset:
+    """Long→wide pivot: one row per ``key`` with (sum, count) of
+    ``value_col`` per declared category of ``pivot_col`` — the
+    feature-matrix reshape (per-entity wide features from an event log).
+
+    Scale shape: the pivot happens MAP-SIDE — each batch reduces to one
+    partial row per key with 2×C numeric columns (one pandas
+    groupby-unstack kernel, no per-row Python), and the only all-to-all
+    is the O(distinct keys) ``pre_aggregate`` over those fixed-width
+    partials.  A naive long aggregate on (key, category) followed by a
+    widening shuffle would move the same rows TWICE and emit a
+    categories-dependent schema per bucket; declaring ``categories`` up
+    front keeps the output schema fixed at any scale (the lakehouse
+    contract) and bounds the partial width.
+
+    ``strict=True`` raises on a category value outside the declared set
+    (data-quality guard); ``strict=False`` ignores such rows.  Output
+    columns: ``key``, then ``{c}_sum`` (float64) and ``{c}_cnt`` (int64)
+    per category, zero-filled for keys with no rows in a category.
+    """
+    cats = list(categories)
+    if len(set(cats)) != len(cats):
+        raise ValueError("pivot_wide: duplicate categories")
+    sum_cols = {c: f"{c}_sum" for c in cats}
+    cnt_cols = {c: f"{c}_cnt" for c in cats}
+    out_cols = [v for c in cats for v in (sum_cols[c], cnt_cols[c])]
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        seen = df[pivot_col].unique()
+        extra = [v for v in seen if v not in sum_cols]
+        if extra:
+            if strict:
+                raise ValueError(
+                    f"pivot_wide: undeclared {pivot_col} values {extra!r}; "
+                    f"declare them in categories= or pass strict=False")
+            df = df[df[pivot_col].isin(list(sum_cols))]
+        if not len(df):
+            e: dict = {key: pd.Series([], dtype=np.int64)}
+            e.update({sum_cols[c]: pd.Series([], dtype=np.float64)
+                      for c in cats})
+            e.update({cnt_cols[c]: pd.Series([], dtype=np.int64)
+                      for c in cats})
+            return pd.DataFrame(e)[[key, *out_cols]]
+        g = df.groupby([key, pivot_col], observed=True)[value_col].agg(
+            ["sum", "size"])
+        wide = g.unstack(pivot_col)
+        out = pd.DataFrame({key: wide.index.to_numpy()})
+        for c in cats:
+            s = (wide[("sum", c)] if ("sum", c) in wide.columns
+                 else pd.Series(0.0, index=wide.index))
+            n = (wide[("size", c)] if ("size", c) in wide.columns
+                 else pd.Series(0, index=wide.index))
+            out[sum_cols[c]] = s.fillna(0.0).to_numpy(np.float64)
+            out[cnt_cols[c]] = n.fillna(0).to_numpy(np.int64)
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas",
+                              batch_size=batch_size)
+    specs: dict = {}
+    for c in cats:
+        specs[sum_cols[c]] = (sum_cols[c], "sum")
+        specs[cnt_cols[c]] = (cnt_cols[c], "sum")
+    agg = pre_aggregate(partials, [key], specs)
+
+    def fix_types(df: pd.DataFrame) -> pd.DataFrame:
+        for c in cats:
+            df[cnt_cols[c]] = df[cnt_cols[c]].to_numpy(np.int64)
+            df[sum_cols[c]] = df[sum_cols[c]].to_numpy(np.float64)
+        return df[[key, *out_cols]]
+
+    return agg.map_batches(fix_types, batch_format="pandas")
