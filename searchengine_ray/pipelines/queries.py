@@ -4155,6 +4155,52 @@ def q_pagerank(sf_dir: str):
     return pagerank(edges, num_nodes=n, iters=3, damping=0.85)
 
 
+# --- 31d. multi-source BFS hop distances (stages/graph.py) -------------------
+
+
+def q_graph_bfs(sf_dir: str):
+    """Hop distance from a seed set (crawl-depth labeling / link-distance
+    features) over the same closed deterministic doc graph as
+    ``pagerank``: seeds = doc_id % 97 == 0, 3 hops of frontier expansion
+    — each round one map pass + one distinct ``pre_aggregate`` on the
+    broadcast route (the O(V)-driver pagerank discipline; the
+    distributed route is pinned identical by pytest).  The oracle
+    unrolls the three levels and takes min(hop) per node — exactly
+    first-reach BFS."""
+    from searchengine_ray.stages.graph import multi_source_bfs
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id"])
+    n = ds.count()
+
+    def explode_edges(df: pd.DataFrame) -> pd.DataFrame:
+        src = np.repeat(df["doc_id"].to_numpy(np.int64), 3)
+        j = np.tile(np.array([1, 2, 3], dtype=np.int64), len(df))
+        dst = (src * 31 + j) % n
+        keep = src != dst
+        return pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+    edges = ds.map_batches(explode_edges, batch_format="pandas")
+    seeds = np.arange(0, n, 97, dtype=np.int64)
+    return multi_source_bfs(edges, seeds, max_hops=3)
+
+
+SQL_GRAPH_BFS = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (SELECT doc_id AS src, (doc_id * 31 + j.j) % n.n AS dst
+      FROM documents, n, (VALUES (1), (2), (3)) AS j(j)
+      WHERE doc_id <> (doc_id * 31 + j.j) % n.n),
+h0 AS (SELECT doc_id AS node FROM documents WHERE doc_id % 97 = 0),
+h1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN h0 ON e.src = h0.node),
+h2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN h1 ON e.src = h1.node),
+h3 AS (SELECT DISTINCT e.dst AS node FROM e JOIN h2 ON e.src = h2.node),
+lv AS (SELECT node, 0 AS hop FROM h0
+       UNION ALL SELECT node, 1 FROM h1
+       UNION ALL SELECT node, 2 FROM h2
+       UNION ALL SELECT node, 3 FROM h3)
+SELECT node, CAST(min(hop) AS BIGINT) AS hop FROM lv GROUP BY node
+"""
+
+
 def q_decayed_engagement(sf_dir: str):
     """Time-decayed per-user engagement score — the feature-engineering
     staple (recency-weighted activity): score(u) = Σ value·exp(-age/τ)
@@ -5904,6 +5950,7 @@ QUERIES = {
     "postings_codec": q_postings_codec,
     "collocations": q_collocations,
     "pagerank": q_pagerank,
+    "graph_bfs": q_graph_bfs,
     "triangle_count": q_triangle_count,
     "covisit_pairs": q_covisit_pairs,
     "decayed_engagement": q_decayed_engagement,
@@ -6028,6 +6075,7 @@ ORACLE_SQL = {
     "knn_pq": SQL_KNN_MULTI,  # refine=None ⇒ exact, same contract as knn_ivf
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,
+    "graph_bfs": SQL_GRAPH_BFS,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "covisit_pairs": SQL_COVISIT_PAIRS,
     "decayed_engagement": SQL_DECAYED_ENGAGEMENT,

@@ -285,3 +285,115 @@ def triangle_count(edges: Dataset, src_col: str = "src",
 
     parts = bucketed_apply(both, ["key"], close).to_pandas()
     return int(parts["n"].sum())
+
+
+def multi_source_bfs(edges: Dataset, seeds, max_hops: int,
+                     src_col: str = "src", dst_col: str = "dst",
+                     broadcast_threshold: int = DEFAULT_BROADCAST_NODES,
+                     force_distributed: bool = False) -> Dataset:
+    """Multi-source BFS hop distances over a directed edge Dataset — the
+    frontier-expansion graph primitive (crawl-depth labeling, seed-set
+    influence radius, link-distance features).  Returns (node, hop) for
+    every node reachable within ``max_hops``, hop = fewest edges from any
+    seed (seeds themselves at hop 0).
+
+    SIZE-ROUTED like ``pagerank``: while the visited set fits the driver
+    (``broadcast_threshold`` nodes) each round broadcasts the SORTED
+    frontier via ``ray.put`` and runs one map pass + one
+    ``pre_aggregate`` distinct over candidate dsts (driver pull =
+    O(frontier out-neighborhood) rows); the edge list streams map-only
+    every round.  Above the threshold the fully distributed path keeps
+    the distance table a Dataset: per round ONE ``hash_join`` co-shuffle
+    (frontier ⨝ edges on src), ONE ``pre_aggregate`` distinct, and ONE
+    ``hash_semi_anti_join`` against the visited set, with per-round
+    ``materialize()`` (the iterative-Dataset contract in CLAUDE.md).
+    Both routes are pinned identical by tests.
+
+    Rounds are inherently sequential (hop h+1 needs hop h's frontier) —
+    the parallelism is inside each round, proportional to frontier edge
+    volume, exactly the BSP frontier model (Pregel; Malewicz et al.
+    2010)."""
+    import ray
+    import ray.data as rd
+
+    from searchengine_ray.stages.relational import (
+        hash_join, hash_semi_anti_join, pre_aggregate)
+
+    seeds = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    if seeds.size == 0:
+        raise ValueError("multi_source_bfs: empty seed set")
+    if max_hops < 0:
+        raise ValueError("multi_source_bfs: negative max_hops")
+    edges = edges.materialize()  # streamed once per round
+
+    if not force_distributed:
+        visited = seeds.copy()          # sorted invariant
+        hops = np.zeros(seeds.size, np.int64)
+        frontier = seeds
+        for h in range(1, max_hops + 1):
+            if frontier.size == 0 or visited.size > broadcast_threshold:
+                break
+            f_ref = ray.put(frontier)  # sorted
+
+            def step(df: pd.DataFrame) -> pd.DataFrame:
+                f = ray.get(f_ref)  # plasma-local, zero-copy
+                src = df[src_col].to_numpy(np.int64)
+                pos = np.searchsorted(f, src)
+                pos[pos == f.size] = 0
+                m = f[pos] == src
+                return pd.DataFrame(
+                    {"node": df[dst_col].to_numpy(np.int64)[m]}
+                ).drop_duplicates()
+
+            cand = pre_aggregate(
+                edges.map_batches(step, batch_format="pandas"),
+                ["node"], {"_c": (None, "count")}).to_pandas()
+            c = cand["node"].to_numpy(np.int64)
+            new = np.sort(c[~np.isin(c, visited)])
+            if new.size == 0:
+                frontier = new
+                break
+            order = np.argsort(np.concatenate([visited, new]), kind="stable")
+            visited = np.concatenate([visited, new])[order]
+            hops = np.concatenate([hops, np.full(new.size, h, np.int64)])[order]
+            frontier = new
+        else:
+            frontier = np.array([], dtype=np.int64)
+        if frontier.size == 0:
+            return rd.from_pandas(pd.DataFrame(
+                {"node": visited, "hop": hops}))
+        # visited outgrew the driver mid-walk: restart distributed.  The
+        # honest fallback — same contract as the pagerank route threshold.
+        return multi_source_bfs(edges, seeds, max_hops, src_col, dst_col,
+                                broadcast_threshold, force_distributed=True)
+
+    dist = rd.from_pandas(pd.DataFrame(
+        {"node": seeds, "hop": np.zeros(seeds.size, np.int64)})).materialize()
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        fr = frontier.map_batches(
+            lambda df: pd.DataFrame({src_col: df["node"]}),
+            batch_format="pandas")
+        joined = hash_join(edges, fr, on=src_col)
+        cand = pre_aggregate(
+            joined.map_batches(
+                lambda df: pd.DataFrame(
+                    {"node": df[dst_col].to_numpy(np.int64)}),
+                batch_format="pandas"),
+            ["node"], {"_c": (None, "count")})
+        new = hash_semi_anti_join(
+            cand.map_batches(
+                lambda df: pd.DataFrame(
+                    {"node": df["node"].to_numpy(np.int64)}),
+                batch_format="pandas"),
+            dist, on="node", anti=True)
+        new = new.map_batches(
+            lambda df, _h=h: pd.DataFrame(
+                {"node": df["node"].to_numpy(np.int64),
+                 "hop": np.full(len(df), _h, np.int64)}),
+            batch_format="pandas").materialize()
+        if new.count() == 0:
+            break
+        dist = dist.union(new).materialize()
+        frontier = new
+    return dist

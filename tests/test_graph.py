@@ -189,3 +189,73 @@ def test_decayed_engagement_matches_brute_force(ray_session):
     raw = ev.groupby("user_id")["value"].sum()
     assert (got.set_index("user_id")["score"] <= raw + 1e-9).all()
     assert (got.set_index("user_id")["score"] < raw).any()
+
+
+# --- multi-source BFS ---------------------------------------------------------
+
+
+def _bfs_brute(edges_df, seeds, max_hops):
+    import collections
+    adj = collections.defaultdict(list)
+    for s, d in zip(edges_df["src"], edges_df["dst"]):
+        adj[int(s)].append(int(d))
+    dist = {int(s): 0 for s in seeds}
+    frontier = sorted(dist)
+    for h in range(1, max_hops + 1):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    return dist
+
+
+def test_bfs_matches_brute_force_both_routes(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.graph import multi_source_bfs
+
+    rng = np.random.default_rng(17)
+    edges_df = pd.DataFrame({
+        "src": rng.integers(0, 200, 900).astype(np.int64),
+        "dst": rng.integers(0, 200, 900).astype(np.int64)})
+    edges_df = edges_df[edges_df.src != edges_df.dst].reset_index(drop=True)
+    seeds = [0, 5, 111]
+    ref = _bfs_brute(edges_df, seeds, 3)
+    for forced in (False, True):
+        got = (multi_source_bfs(rd.from_pandas(edges_df).repartition(4),
+                                seeds, 3, force_distributed=forced)
+               .to_pandas().sort_values("node").reset_index(drop=True))
+        assert dict(zip(got["node"], got["hop"])) == ref, f"forced={forced}"
+        assert got["hop"].dtype == np.int64 and got["node"].dtype == np.int64
+
+
+def test_bfs_hop_zero_and_unreachable(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.graph import multi_source_bfs
+
+    # 0→1→2→3 chain plus isolated 9: hops bind exactly, 9 never appears
+    edges_df = pd.DataFrame({"src": [0, 1, 2, 8],
+                             "dst": [1, 2, 3, 9]}).astype(np.int64)
+    got = (multi_source_bfs(rd.from_pandas(edges_df), [0], 2)
+           .to_pandas().sort_values("node"))
+    assert dict(zip(got["node"], got["hop"])) == {0: 0, 1: 1, 2: 2}
+    # max_hops=0: seeds only
+    got0 = multi_source_bfs(rd.from_pandas(edges_df), [3, 0], 0).to_pandas()
+    assert dict(zip(got0["node"], got0["hop"])) == {0: 0, 3: 0}
+
+
+def test_bfs_min_hop_on_multiple_paths(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.graph import multi_source_bfs
+
+    # node 4 reachable at hop 2 (0→1→4) and hop 1 (5→4): min wins
+    edges_df = pd.DataFrame({"src": [0, 1, 5],
+                             "dst": [1, 4, 4]}).astype(np.int64)
+    got = (multi_source_bfs(rd.from_pandas(edges_df), [0, 5], 3)
+           .to_pandas())
+    assert dict(zip(got["node"], got["hop"]))[4] == 1
