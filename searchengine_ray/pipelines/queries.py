@@ -4231,6 +4231,29 @@ def q_decayed_engagement(sf_dir: str):
         batch_format="pandas")
 
 
+def q_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention matrix over the event log: users cohorted
+    by first active epoch-week, distinct-counted per (cohort, offset) —
+    see ``stages/sessions.retention_cohorts`` for the three-
+    pre_aggregate + one-join scale shape (shuffle volume = user-weeks,
+    never events)."""
+    from searchengine_ray.stages.sessions import retention_cohorts
+
+    ds = _pq(sf_dir, "events", columns=["user_id", "ts"])
+    return retention_cohorts(ds)
+
+
+SQL_RETENTION_COHORTS = """
+WITH w AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+uw AS (SELECT DISTINCT user_id, week FROM w),
+f AS (SELECT user_id, min(week) AS cohort_week FROM w GROUP BY user_id)
+SELECT f.cohort_week, uw.week - f.cohort_week AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw JOIN f ON uw.user_id = f.user_id
+GROUP BY f.cohort_week, week_offset
+"""
+
+
 SQL_DECAYED_ENGAGEMENT = """
 WITH t AS (SELECT max(epoch_us(ts)) AS tmax FROM events)
 SELECT user_id,
@@ -5954,6 +5977,7 @@ QUERIES = {
     "triangle_count": q_triangle_count,
     "covisit_pairs": q_covisit_pairs,
     "decayed_engagement": q_decayed_engagement,
+    "retention_cohorts": q_retention_cohorts,
     "funnel_stages": q_funnel_stages,
     "phrase_search": q_phrase_search,
     "snapshot_diff": q_snapshot_diff,
@@ -6079,6 +6103,7 @@ ORACLE_SQL = {
     "triangle_count": SQL_TRIANGLE_COUNT,
     "covisit_pairs": SQL_COVISIT_PAIRS,
     "decayed_engagement": SQL_DECAYED_ENGAGEMENT,
+    "retention_cohorts": SQL_RETENTION_COHORTS,
     "funnel_stages": SQL_FUNNEL_STAGES,
     "phrase_search": SQL_PHRASE_SEARCH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

@@ -667,3 +667,54 @@ def interval_join(
         return pd.concat(outs, ignore_index=True) if outs else empty.copy()
 
     return bucketed_apply(both, ["rb"], per_bucket)
+
+
+def retention_cohorts(ds: Dataset, user_col: str = "user_id",
+                      ts_col: str = "ts",
+                      period_us: int = 7 * 86400 * 1_000_000) -> Dataset:
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by their FIRST active period (epoch-based fixed weeks, no
+    calendar), counted distinct per (cohort, period offset).
+
+    Scale shape: the event log reduces map-side to distinct
+    (user, period) through ONE ``pre_aggregate`` (shuffle volume =
+    user-periods, never events), the per-user first period is a second
+    ``pre_aggregate`` min over the SAME mapped rows, one ``hash_join``
+    co-shuffle attaches cohorts to the already-reduced user-period
+    table, and the final (cohort, offset) count is a third
+    ``pre_aggregate`` — the matrix is O(periods²) rows regardless of
+    corpus size.  Nothing event-scaled ever reaches the driver.
+
+    Output: (cohort_week, week_offset, n_users), offset 0 = the cohort's
+    own period (every cohort member is active there by definition —
+    pinned by test)."""
+    from searchengine_ray.stages.relational import hash_join, pre_aggregate
+
+    def to_period(df: pd.DataFrame) -> pd.DataFrame:
+        us = df[ts_col].astype("int64").to_numpy()  # datetime64[us] → μs
+        return pd.DataFrame({
+            "u": df[user_col].to_numpy(np.int64),
+            "week": us // np.int64(period_us)})
+
+    mapped = ds.map_batches(to_period, batch_format="pandas")
+    uw = pre_aggregate(mapped, ["u", "week"], {"_c": (None, "count")})
+    first = pre_aggregate(mapped, ["u"], {"cohort_week": ("week", "min")})
+    j = hash_join(uw, first, on="u")
+
+    def offs(df: pd.DataFrame) -> pd.DataFrame:
+        cw = df["cohort_week"].to_numpy(np.int64)
+        return pd.DataFrame({
+            "cohort_week": cw,
+            "week_offset": df["week"].to_numpy(np.int64) - cw})
+
+    out = pre_aggregate(j.map_batches(offs, batch_format="pandas"),
+                        ["cohort_week", "week_offset"],
+                        {"n_users": (None, "count")})
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "cohort_week": df["cohort_week"].to_numpy(np.int64),
+            "week_offset": df["week_offset"].to_numpy(np.int64),
+            "n_users": df["n_users"].to_numpy(np.int64)})
+
+    return out.map_batches(fix, batch_format="pandas")

@@ -322,3 +322,62 @@ def test_interval_join_boundary_semantics(ray_session):
     # start inclusive, end exclusive — even with the interval fragmented
     # across range buckets
     assert sorted(got["event_id"]) == [0, 1]
+
+
+# --- retention cohorts --------------------------------------------------------
+
+
+def test_retention_cohorts_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.sessions import retention_cohorts
+
+    rng = np.random.default_rng(23)
+    n = 800
+    ts = (np.int64(1_700_000_000_000_000)
+          + rng.integers(0, 40 * 86400 * 1_000_000, n))
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 60, n).astype(np.int64),
+        "ts": pd.to_datetime(ts, unit="us")})
+    got = (retention_cohorts(rd.from_pandas(df).repartition(5))
+           .to_pandas()
+           .sort_values(["cohort_week", "week_offset"])
+           .reset_index(drop=True))
+    W = 7 * 86400 * 1_000_000
+    b = df.assign(week=df["ts"].astype("int64") // W)
+    first = b.groupby("user_id")["week"].min().rename("cw")
+    uw = b[["user_id", "week"]].drop_duplicates().join(first, on="user_id")
+    ref = (uw.assign(cohort_week=uw["cw"],
+                     week_offset=uw["week"] - uw["cw"])
+           .groupby(["cohort_week", "week_offset"]).size()
+           .rename("n_users").reset_index()
+           .sort_values(["cohort_week", "week_offset"])
+           .reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got, ref.astype({"cohort_week": np.int64, "week_offset": np.int64,
+                         "n_users": np.int64}))
+
+
+def test_retention_cohorts_offset_zero_is_cohort_size(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.sessions import retention_cohorts
+
+    # every cohort member is active in its own first week by definition,
+    # so offset-0 n_users == the cohort's total distinct users
+    rng = np.random.default_rng(3)
+    n = 400
+    ts = (np.int64(1_700_000_000_000_000)
+          + rng.integers(0, 30 * 86400 * 1_000_000, n))
+    df = pd.DataFrame({
+        "user_id": rng.integers(0, 25, n).astype(np.int64),
+        "ts": pd.to_datetime(ts, unit="us")})
+    got = retention_cohorts(rd.from_pandas(df)).to_pandas()
+    W = 7 * 86400 * 1_000_000
+    first = (df.assign(week=df["ts"].astype("int64") // W)
+             .groupby("user_id")["week"].min())
+    sizes = first.value_counts().sort_index()
+    z = (got[got["week_offset"] == 0]
+         .set_index("cohort_week")["n_users"].sort_index())
+    assert (z == sizes).all()
+    assert (got["week_offset"] >= 0).all()
