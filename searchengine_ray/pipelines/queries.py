@@ -863,6 +863,56 @@ WHERE abs(length(a.title) - length(b.title)) <= 4
 """
 
 
+# --- 14c. record linkage best-match (stages/editdist.py) --------------------
+
+def q_record_linkage(sf_dir: str):
+    """Entity resolution: a deterministically dirtied title feed linked
+    back to the clean registry — block on the first 4 title chars (the
+    dirt model perturbs only the tail, so blocking is sound and the
+    oracle mirrors the same block join), score with the exact banded
+    Levenshtein kernel, keep each query's minimum-distance registry row
+    (ties → smallest id) at dist ≤ 4.  One tagged-union co-shuffle on
+    the block key; see ``stages/editdist.linkage_best_match``."""
+    from searchengine_ray.stages.editdist import linkage_best_match
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def clean(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"reg_id": df["doc_id"].to_numpy(np.int64),
+                             "r_text": df["text"].str.slice(0, 32)})
+
+    def dirty(df: pd.DataFrame) -> pd.DataFrame:
+        t = df["text"].str.slice(0, 32)
+        m = df["doc_id"].to_numpy(np.int64) % 3
+        qt = t.copy()
+        qt[m == 0] = t[m == 0].str.slice(0, -1)   # last char dropped
+        qt[m == 1] = t[m == 1] + "x"              # char appended
+        return pd.DataFrame({"query_id": df["doc_id"].to_numpy(np.int64),
+                             "q_text": qt})
+
+    registry = docs.map_batches(clean, batch_format="pandas")
+    queries = docs.map_batches(dirty, batch_format="pandas")
+    return linkage_best_match(queries, registry, max_dist=4, block_chars=4)
+
+
+SQL_RECORD_LINKAGE = """
+WITH c AS (SELECT doc_id AS cid, substr(text, 1, 32) AS ct FROM documents),
+q AS (SELECT doc_id AS qid,
+             CASE WHEN doc_id % 3 = 0 THEN substr(t, 1, length(t) - 1)
+                  WHEN doc_id % 3 = 1 THEN t || 'x'
+                  ELSE t END AS qt
+      FROM (SELECT doc_id, substr(text, 1, 32) AS t FROM documents)),
+cand AS (SELECT q.qid, c.cid,
+                CAST(levenshtein(q.qt, c.ct) AS BIGINT) AS dist
+         FROM q JOIN c ON substr(q.qt, 1, 4) = substr(c.ct, 1, 4)
+         WHERE levenshtein(q.qt, c.ct) <= 4)
+SELECT qid AS query_id, cid AS match_id, dist
+FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                   ORDER BY dist, cid) AS rn FROM cand)
+WHERE rn = 1
+"""
+
+
 # --- 15b. exact n-gram Jaccard pairs (distributed form of reference D5) -----
 
 def q_ngram_jaccard(sf_dir: str):
@@ -5884,6 +5934,7 @@ QUERIES = {
     "minhash_pairs": q_minhash_pairs,
     "ppjoin_pairs": q_ppjoin_pairs,
     "title_edit_neardup": q_title_edit_neardup,
+    "record_linkage": q_record_linkage,
     "incremental_neardup": q_incremental_neardup,
     "simhash_pairs": q_simhash_pairs,
     "fingerprint_neardup": q_fingerprint_neardup,
@@ -6019,6 +6070,7 @@ ORACLE_SQL = {
     "minhash_pairs": SQL_MINHASH_PAIRS,
     "ppjoin_pairs": SQL_MINHASH_PAIRS,
     "title_edit_neardup": SQL_TITLE_EDIT_NEARDUP,
+    "record_linkage": SQL_RECORD_LINKAGE,
     "incremental_neardup": SQL_INCREMENTAL_NEARDUP,
     "embedding_neardup": SQL_EMBEDDING_NEARDUP,
     "semantic_dedup": SQL_SEMANTIC_DEDUP,

@@ -531,3 +531,81 @@ def _pair_edit_verify(cand: Dataset, strs: Dataset, max_dist: int) -> Dataset:
                              "dist": dist[keep]})
 
     return bucketed_apply(attached, ["pair_a", "pair_b"], resolve)
+
+
+def linkage_best_match(
+    queries: "Dataset", registry: "Dataset", max_dist: int,
+    block_chars: int = 4,
+    q_id: str = "query_id", q_text: str = "q_text",
+    r_id: str = "reg_id", r_text: str = "r_text",
+) -> "Dataset":
+    """Record linkage (entity resolution): each query record's BEST
+    registry match under a blocked exact-Levenshtein score — the
+    block → score → resolve workflow (Fellegi–Sunter shape with a
+    deterministic distance score).
+
+    Blocking is PART of the semantics (as in every production ER
+    system): candidates are only pairs sharing the first
+    ``block_chars`` characters — callers pick a prefix their dirt model
+    preserves, and the oracle mirrors the same block join.  Output
+    (query_id, match_id, dist): the minimum-distance registry row with
+    dist <= max_dist, ties resolved to the smallest registry id;
+    unmatched queries are absent.
+
+    Scale shape: both sides tag and co-shuffle ONCE on the block key
+    (``bucketed_apply``); per bucket one pandas merge explodes each
+    block's query×registry candidates and ONE ``levenshtein_batch_banded``
+    call scores every candidate in the bucket (exact wherever
+    dist <= k, the verify contract), then keep-best is a vectorized
+    sort + grouped-head.  Candidate volume is Σ_block |Q_b|·|R_b| — the
+    documented blocking assumption; a degenerate block (shared prefix
+    across the corpus) should be fixed by a longer/compound block key,
+    not chunked here."""
+    import pandas as pd
+
+    from searchengine_ray.stages.relational import bucketed_apply
+
+    def tag_q(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[q_text].astype(str)
+        return pd.DataFrame({
+            "bk": t.str.slice(0, block_chars),
+            "qid": df[q_id].to_numpy(np.int64),
+            "qt": t, "side": np.int8(0)})
+
+    def tag_r(df: pd.DataFrame) -> pd.DataFrame:
+        t = df[r_text].astype(str)
+        return pd.DataFrame({
+            "bk": t.str.slice(0, block_chars),
+            "qid": df[r_id].to_numpy(np.int64),
+            "qt": t, "side": np.int8(1)})
+
+    both = (queries.map_batches(tag_q, batch_format="pandas")
+            .union(registry.map_batches(tag_r, batch_format="pandas")))
+
+    empty = pd.DataFrame({"query_id": pd.Series([], dtype=np.int64),
+                          "match_id": pd.Series([], dtype=np.int64),
+                          "dist": pd.Series([], dtype=np.int64)})
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        qs = g[g["side"] == 0]
+        rs = g[g["side"] == 1]
+        if not len(qs) or not len(rs):
+            return empty.copy()
+        cand = qs[["bk", "qid", "qt"]].merge(
+            rs[["bk", "qid", "qt"]].rename(
+                columns={"qid": "rid", "qt": "rt"}), on="bk")
+        if not len(cand):
+            return empty.copy()
+        d = levenshtein_batch_banded(cand["qt"].tolist(),
+                                     cand["rt"].tolist(), max_dist)
+        cand = cand.assign(dist=d)[d <= max_dist]
+        if not len(cand):
+            return empty.copy()
+        best = (cand.sort_values(["qid", "dist", "rid"], kind="mergesort")
+                .groupby("qid", sort=False).head(1))
+        return pd.DataFrame({
+            "query_id": best["qid"].to_numpy(np.int64),
+            "match_id": best["rid"].to_numpy(np.int64),
+            "dist": best["dist"].to_numpy(np.int64)})
+
+    return bucketed_apply(both, ["bk"], per_bucket)

@@ -162,3 +162,66 @@ def test_banded_kernel_matches_full_dp():
     assert np.array_equal(banded_dist_chunked(A, B, 4, chunk=97), band4)
     small = levenshtein_batch_banded(A[:50], B[:50], 4)
     assert np.array_equal(small, band4[:50])
+
+
+# --- record-linkage best match ------------------------------------------------
+
+
+def _linkage_brute(qdf, rdf, k, bc):
+    import itertools
+    rows = []
+    for _, q in qdf.iterrows():
+        best = None
+        for _, r in rdf.iterrows():
+            if q["q_text"][:bc] != r["r_text"][:bc]:
+                continue
+            d = _ref_lev(q["q_text"], r["r_text"])
+            if d <= k and (best is None or (d, r["reg_id"]) < best):
+                best = (d, int(r["reg_id"]))
+        if best is not None:
+            rows.append((int(q["query_id"]), best[1], best[0]))
+    return sorted(rows)
+
+
+def test_linkage_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.editdist import linkage_best_match
+
+    rng = np.random.default_rng(31)
+    words = ["alpha", "alphx", "beta", "betas", "gamma", "gamax", "delta"]
+    rdf = pd.DataFrame({
+        "reg_id": np.arange(40, dtype=np.int64),
+        "r_text": [words[i % len(words)] + str(i // len(words))
+                   for i in range(40)]})
+    # queries: perturbed copies + some unmatched garbage
+    qt = []
+    for i in range(40):
+        t = rdf["r_text"][i]
+        r = rng.integers(0, 3)
+        qt.append(t[:-1] if r == 0 else (t + "q" if r == 1 else t))
+    qdf = pd.DataFrame({"query_id": np.arange(60, dtype=np.int64),
+                        "q_text": qt + ["zzzzz" + str(i) for i in range(20)]})
+    got = (linkage_best_match(rd.from_pandas(qdf).repartition(3),
+                              rd.from_pandas(rdf).repartition(2),
+                              max_dist=2, block_chars=3)
+           .to_pandas())
+    got_rows = sorted(map(tuple, got[["query_id", "match_id", "dist"]]
+                          .to_numpy()))
+    assert got_rows == _linkage_brute(qdf, rdf, 2, 3)
+    # the garbage queries never match
+    assert not (got["query_id"] >= 40).any()
+
+
+def test_linkage_tie_breaks_to_smallest_registry_id(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.editdist import linkage_best_match
+
+    rdf = pd.DataFrame({"reg_id": np.array([7, 3, 9], dtype=np.int64),
+                        "r_text": ["abcde", "abcde", "abcde"]})
+    qdf = pd.DataFrame({"query_id": np.array([0], dtype=np.int64),
+                        "q_text": ["abcdx"]})
+    got = linkage_best_match(rd.from_pandas(qdf), rd.from_pandas(rdf),
+                             max_dist=2, block_chars=2).to_pandas()
+    assert got.iloc[0]["match_id"] == 3 and got.iloc[0]["dist"] == 1
