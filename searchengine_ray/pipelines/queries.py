@@ -1355,6 +1355,49 @@ GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
 """
 
 
+def q_docs_cube(sf_dir: str):
+    """Full CUBE over (lang, source) — the grouping-set ROLLUP misses:
+    all FOUR levels incl. the cross margin (ALL, source).  Same scale
+    shape as ``orders_rollup``: ONE distributed pre-aggregate at the
+    finest level, every coarser level derives from that O(groups) table
+    on the driver — the fact table is read once, no second pass, no
+    per-level shuffle."""
+    ds = _pq(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    fine = pre_aggregate(
+        ds, ["lang", "source"],
+        {"n_docs": (None, "count"), "sum_chars": ("n_chars", "sum")},
+    ).to_pandas()
+
+    def margin(keys: list[str]) -> pd.DataFrame:
+        if keys:
+            m = (fine.groupby(keys, as_index=False)
+                 .agg(n_docs=("n_docs", "sum"),
+                      sum_chars=("sum_chars", "sum")))
+        else:
+            m = pd.DataFrame({"n_docs": [fine["n_docs"].sum()],
+                              "sum_chars": [fine["sum_chars"].sum()]})
+        for k in ("lang", "source"):
+            if k not in keys:
+                m[k] = "ALL"
+        return m
+
+    out = pd.concat([fine, margin(["lang"]), margin(["source"]),
+                     margin([])], ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["sum_chars"] = out["sum_chars"].astype(np.int64)
+    return out[["lang", "source", "n_docs", "sum_chars"]]
+
+
+SQL_DOCS_CUBE = """
+SELECT coalesce(lang, 'ALL')   AS lang,
+       coalesce(source, 'ALL') AS source,
+       count(*)                AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY CUBE(lang, source)
+"""
+
+
 def q_dedup_keep_best(sf_dir: str):
     """Keep-BEST dedup (vs dedup_exact's keep-first): per (lang, source)
     key keep the longest document, ties to the smallest doc_id — the
@@ -4281,6 +4324,27 @@ def q_decayed_engagement(sf_dir: str):
         batch_format="pandas")
 
 
+def q_quantile_normalize(sf_dir: str):
+    """Percent-rank quantile normalization of the event value column —
+    the rank-gauss/quantile-transform feature preprocessing: a GLOBAL
+    value order without a global sort (range buckets from two scalars,
+    O(B) driver prefix sums, one co-shuffle; see
+    ``stages/profile.value_rank_normalize``).  The (int rank)/(n−1)
+    division is one correctly-rounded double op so engine and SQL
+    percent_rank agree bit-for-bit."""
+    from searchengine_ray.stages.profile import value_rank_normalize
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "value"])
+    return value_rank_normalize(ds, "value", "event_id")
+
+
+SQL_QUANTILE_NORMALIZE = """
+SELECT event_id, value,
+       percent_rank() OVER (ORDER BY value, event_id) AS pct
+FROM events
+"""
+
+
 def q_retention_cohorts(sf_dir: str):
     """Weekly cohort retention matrix over the event log: users cohorted
     by first active epoch-week, distinct-counted per (cohort, offset) —
@@ -5949,6 +6013,7 @@ QUERIES = {
     "pca_project": q_pca_project,
     "customers_no_urgent": q_customers_no_urgent,
     "orders_rollup": q_orders_rollup,
+    "docs_cube": q_docs_cube,
     "dedup_keep_best": q_dedup_keep_best,
     "user_running_total": q_user_running_total,
     "event_value_quantiles": q_event_value_quantiles,
@@ -6029,6 +6094,7 @@ QUERIES = {
     "covisit_pairs": q_covisit_pairs,
     "decayed_engagement": q_decayed_engagement,
     "retention_cohorts": q_retention_cohorts,
+    "quantile_normalize": q_quantile_normalize,
     "funnel_stages": q_funnel_stages,
     "phrase_search": q_phrase_search,
     "snapshot_diff": q_snapshot_diff,
@@ -6081,6 +6147,7 @@ ORACLE_SQL = {
     "pca_project": SQL_PCA_PROJECT,
     "customers_no_urgent": SQL_CUSTOMERS_NO_URGENT,
     "orders_rollup": SQL_ORDERS_ROLLUP,
+    "docs_cube": SQL_DOCS_CUBE,
     "dedup_keep_best": SQL_DEDUP_KEEP_BEST,
     "user_running_total": SQL_USER_RUNNING_TOTAL,
     "event_value_quantiles": SQL_EVENT_VALUE_QUANTILES,
@@ -6156,6 +6223,7 @@ ORACLE_SQL = {
     "covisit_pairs": SQL_COVISIT_PAIRS,
     "decayed_engagement": SQL_DECAYED_ENGAGEMENT,
     "retention_cohorts": SQL_RETENTION_COHORTS,
+    "quantile_normalize": SQL_QUANTILE_NORMALIZE,
     "funnel_stages": SQL_FUNNEL_STAGES,
     "phrase_search": SQL_PHRASE_SEARCH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

@@ -131,3 +131,88 @@ def grouped_histogram(
 
     binned = ds.map_batches(binify, batch_format="pandas")
     return pre_aggregate(binned, [group_col, "bin"], {"n": (None, "count")})
+
+
+def value_rank_normalize(
+    ds: Dataset, value_col: str, id_col: str,
+    num_buckets: int = 256,
+) -> Dataset:
+    """Quantile (rank) normalization — the percent_rank feature
+    transform: every row gets pct = (global rank − 1)/(n − 1) under the
+    unique order (value, id), mapping any distribution onto [0, 1]
+    (rank-gauss / quantile-transform preprocessing).
+
+    A GLOBAL value order without a global sort (the ``late_data_stats``
+    range-bucket discipline, keyed by VALUE instead of arrival): one
+    scalar pass gets (lo, hi, n); buckets assign map-only from those two
+    scalars; per-bucket counts reduce to O(B) driver rows whose
+    exclusive prefix sum broadcasts back as each bucket's rank carry-in;
+    ONE co-shuffle then ranks each bucket with a vectorized sort.  The
+    division (int64 rank)/(n−1) is one correctly-rounded double op, so
+    engine and SQL ``percent_rank()`` agree bit-for-bit — no rounding
+    margin needed.
+
+    Range buckets assume the value distribution is not pathologically
+    concentrated (a single repeated value lands one bucket with
+    everything — the fix at scale is equi-depth cuts from
+    ``exact_global_quantile``, not a bigger B); ties across rows are
+    broken by ``id_col`` so the order is total.  n = 1 maps to pct 0
+    (the SQL percent_rank convention)."""
+    import ray
+
+    def scalar_partial(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(np.float64)
+        return pd.DataFrame({"lo": [v.min() if len(v) else np.inf],
+                             "hi": [v.max() if len(v) else -np.inf],
+                             "n": [len(v)]})
+
+    ds = ds.materialize()  # consumed by the scalar pass + count + rank pass
+    st = ds.map_batches(scalar_partial, batch_format="pandas").to_pandas()
+    lo = float(st["lo"].min())
+    hi = float(st["hi"].max())
+    n = int(st["n"].sum())
+    if n == 0:
+        return ds.map_batches(
+            lambda df: pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                value_col: pd.Series([], dtype=np.float64),
+                "pct": pd.Series([], dtype=np.float64)}),
+            batch_format="pandas")
+    span = hi - lo
+    B = num_buckets
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[value_col].to_numpy(np.float64)
+        if span > 0:
+            b = np.clip(((v - lo) * B / span).astype(np.int64), 0, B - 1)
+        else:
+            b = np.zeros(len(v), np.int64)
+        return pd.DataFrame({"_rb": b,
+                             id_col: df[id_col].to_numpy(np.int64),
+                             value_col: v})
+
+    assigned = ds.map_batches(assign, batch_format="pandas").materialize()
+    cnt = (pre_aggregate(assigned, ["_rb"], {"c": (None, "count")})
+           .to_pandas().sort_values("_rb"))
+    carry = np.zeros(B, dtype=np.int64)
+    carry[cnt["_rb"].to_numpy(np.int64)] = cnt["c"].to_numpy(np.int64)
+    carry = np.concatenate([[0], np.cumsum(carry)[:-1]])
+    carry_ref = ray.put(carry)
+    denom = float(max(n - 1, 1))
+
+    def rank_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):  # empty-probe call from bucketed_map_groups
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 value_col: pd.Series([], dtype=np.float64),
+                                 "pct": pd.Series([], dtype=np.float64)})
+        ca = ray.get(carry_ref)
+        g = g.sort_values([value_col, id_col], kind="mergesort")
+        b = int(g["_rb"].iloc[0])  # co-shuffled whole: one bucket per group
+        r0 = ca[b] + np.arange(len(g), dtype=np.int64)  # rank − 1
+        return pd.DataFrame({id_col: g[id_col].to_numpy(np.int64),
+                             value_col: g[value_col].to_numpy(np.float64),
+                             "pct": r0 / denom})
+
+    from searchengine_ray.stages.relational import bucketed_map_groups
+
+    return bucketed_map_groups(assigned, ["_rb"], rank_bucket)

@@ -81,3 +81,46 @@ def test_grouped_histogram_degenerate(ray_session):
     df = pd.DataFrame({"g": ["x"] * 8, "v": np.full(8, 2.5)})
     out = grouped_histogram(rd.from_pandas(df), "g", "v", bins=4).to_pandas()
     assert len(out) == 1 and out["bin"].item() == 0 and out["n"].item() == 8
+
+
+# --- quantile (rank) normalization --------------------------------------------
+
+
+def test_quantile_normalize_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.profile import value_rank_normalize
+
+    rng = np.random.default_rng(41)
+    n = 700
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        # lognormal + exact ties: both the skew and the tiebreak bind
+        "v": np.round(rng.lognormal(1.0, 1.2, n), 1)})
+    got = (value_rank_normalize(rd.from_pandas(df).repartition(5), "v", "id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    ref = df.sort_values(["v", "id"], kind="mergesort").reset_index()
+    ranks = np.empty(n, dtype=np.int64)
+    ranks[ref["index"].to_numpy()] = np.arange(n)
+    assert len(got) == n
+    np.testing.assert_array_equal(got["pct"].to_numpy(),
+                                  ranks / float(n - 1))
+    assert got["pct"].min() == 0.0 and got["pct"].max() == 1.0
+
+
+def test_quantile_normalize_degenerate_and_single(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.profile import value_rank_normalize
+
+    # all values equal: order falls back to id entirely, one hot bucket
+    df = pd.DataFrame({"id": np.arange(9, dtype=np.int64),
+                       "v": np.full(9, 3.5)})
+    got = (value_rank_normalize(rd.from_pandas(df).repartition(3), "v", "id")
+           .to_pandas().sort_values("id"))
+    np.testing.assert_allclose(got["pct"].to_numpy(), np.arange(9) / 8.0)
+    # single row: pct 0 by the percent_rank convention
+    one = value_rank_normalize(
+        rd.from_pandas(pd.DataFrame({"id": [5], "v": [2.0]})),
+        "v", "id").to_pandas()
+    assert one["pct"].tolist() == [0.0]
