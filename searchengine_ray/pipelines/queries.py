@@ -473,6 +473,41 @@ ORDER BY n DESC, token LIMIT 20
 """
 
 
+# --- 9b2. Count-Min point-frequency estimates (stages/sketches.py) ----------
+
+def q_token_freq_cms(sf_dir: str):
+    """Count-Min frequency estimates for the exact top-20 tokens — the
+    unbounded-cardinality sibling of token_topk_freq (when the exact
+    per-key aggregate can't exist anywhere, the d×w integer sketch
+    answers point lookups with est ≥ true, est ≤ true + N·e/w whp).
+    Build = one corpus pass emitting only nonzero counters + one
+    ``pre_aggregate``; integer merges make the sketch bit-deterministic
+    under repartitioning.  No SQL oracle (approximate by design, the
+    HLL/quantile-sketch class); the guarantees are pytest-gated in
+    tests/test_sketches.py and the emitted rows carry exact AND
+    estimate so the one-sided bound is visible in the output."""
+    from searchengine_ray.stages.relational import global_topk
+    from searchengine_ray.stages.sketches import (count_min_build,
+                                                  count_min_query)
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    tc = text_stage.doc_term_counts(ds, mode="simple")
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"token": df["token"],
+                             "cnt": df["cnt"].astype(np.int64)})
+
+    toks = tc.map_batches(explode, batch_format="pandas").materialize()
+    sk = count_min_build(toks, "token", depth=4, width=2048,
+                         weight_col="cnt")
+    counts = pre_aggregate(toks, ["token"], {"n": ("cnt", "sum")})
+    top = global_topk(counts, ["n", "token"], [False, True], 20)
+    est = count_min_query(sk, top["token"])
+    return pd.DataFrame({"token": top["token"],
+                         "n_exact": top["n"].astype(np.int64),
+                         "n_est": est.astype(np.int64)})
+
+
 # --- 9c. heavy-hitter tokens (MG sketch candidates + exact recount) ----------
 
 def q_heavy_tokens(sf_dir: str):
@@ -599,6 +634,52 @@ SELECT qid AS query_id, vec_id, cosine FROM s
 QUALIFY row_number() OVER (PARTITION BY qid
                            ORDER BY cosine DESC, vec_id) <= 10
 """
+
+
+# --- 12c. MMR diverse re-ranking (stages/knn.mmr_select) --------------------
+
+def q_mmr_rerank(sf_dir: str):
+    """Diversity re-ranking after dense retrieval: top-50 cosine
+    candidates per query (one corpus pass via the batched matmul), then
+    the Carbonell–Goldstein MMR greedy (λ=0.7) picks 10 — relevance
+    minus max-similarity-to-already-selected.  Corpus-scaled work stays
+    in the retriever; candidate vectors come back through ONE
+    id-filtered parquet pushdown read (O(Q×C) rows) and the greedy is
+    bounded driver arithmetic — the ``rrf_fuse`` contract.
+
+    No SQL oracle: the greedy is an ITERATIVE argmax whose step t
+    depends on the selected set of steps 1..t-1 (the same
+    non-SQL-expressible class as bpe_stats' merge loop); semantics are
+    pinned by an independent sequential reference + a planted-duplicate
+    diversity test in tests/test_knn.py."""
+    import pyarrow.parquet as papq
+
+    qt = papq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "in", [0, 1, 2])])
+    queries = pd.DataFrame({"query_id": qt["vec_id"].to_numpy(),
+                            "vec": qt["embedding"].to_pylist()})
+    ds = _pq(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cand = knn_stage.knn_bruteforce_multi(ds, queries, k=50)
+    cand_ids = np.unique(cand["vec_id"].to_numpy(np.int64))
+    vt = papq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"],
+                         filters=[("vec_id", "in", cand_ids.tolist())])
+    vid = vt["vec_id"].to_numpy()
+    vmat = np.stack([np.asarray(e, dtype=np.float64)
+                     for e in vt["embedding"].to_pylist()])
+    pos = {int(v): i for i, v in enumerate(vid)}
+    outs = []
+    for _, qrow in queries.iterrows():
+        qid = int(qrow["query_id"])
+        c = cand[cand["query_id"] == qid]
+        ids = c["vec_id"].to_numpy(np.int64)
+        mat = vmat[[pos[int(i)] for i in ids]]
+        sel = knn_stage.mmr_select(np.asarray(qrow["vec"], np.float64),
+                                   ids, mat, k=10, lam=0.7)
+        sel.insert(0, "query_id", np.int64(qid))
+        outs.append(sel)
+    return pd.concat(outs, ignore_index=True)
 
 
 # --- 13. URL canonicalize/hash over synthesized doc URLs (M6-M8) ------------
@@ -5983,12 +6064,14 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_df": q_token_df,
     "token_topk_freq": q_token_topk_freq,
+    "token_freq_cms": q_token_freq_cms,
     "heavy_tokens": q_heavy_tokens,
     "tfidf_top": q_tfidf_top,
     "lang_count": q_lang_count,
     "token_counts": q_token_counts,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_multi": q_knn_multi,
+    "mmr_rerank": q_mmr_rerank,
     "url_canon": q_url_canon,
     "boolean_search": q_boolean_search,
     "index_stats": q_index_stats,

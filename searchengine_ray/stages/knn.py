@@ -688,3 +688,47 @@ def knn_bruteforce_multi(
              .map_batches(grouped_topk, batch_format="pandas", batch_size=None))
     out = parts.to_pandas()
     return (grouped_topk(out).reset_index(drop=True) if len(out) else out)
+
+
+def mmr_select(qvec: np.ndarray, cand_ids: np.ndarray, cand_mat: np.ndarray,
+               k: int, lam: float = 0.7) -> pd.DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    of ONE query's bounded candidate list: greedily pick
+    argmax λ·cos(q, d) − (1−λ)·max_{s∈S} cos(d, s) — relevance traded
+    against redundancy, the diversity step after dense retrieval.
+
+    This is deliberately DRIVER work: the corpus-scaled stage is the
+    retrieval that produced the candidates (``knn_bruteforce_multi`` /
+    IVF probes); MMR itself is O(k·C + C²·d) on a C ≈ 100 list — the
+    same bounded-candidate contract as ``rrf_fuse``.  Candidates are
+    processed in ascending-id order so exact score ties resolve to the
+    smallest id (numpy argmax returns the first maximum).  Returns
+    (rank, vec_id, mmr_score) with mmr_score the value at selection
+    time, rounded to 6."""
+    order = np.argsort(cand_ids, kind="stable")
+    ids = cand_ids[order]
+    x = cand_mat[order].astype(np.float64, copy=True)
+    nrm = np.linalg.norm(x, axis=1)
+    nrm[nrm == 0] = 1.0
+    x /= nrm[:, None]
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    rel = x @ (q / (qn if qn else 1.0))
+    simmat = x @ x.T
+    C = len(ids)
+    k = min(k, C)
+    chosen = np.zeros(C, dtype=bool)
+    max_sim = np.full(C, -np.inf)
+    out_id = np.empty(k, dtype=np.int64)
+    out_sc = np.empty(k, dtype=np.float64)
+    for r in range(k):
+        score = lam * rel - np.where(np.isfinite(max_sim),
+                                     (1.0 - lam) * max_sim, 0.0)
+        score[chosen] = -np.inf
+        j = int(np.argmax(score))
+        chosen[j] = True
+        out_id[r], out_sc[r] = ids[j], score[j]
+        np.maximum(max_sim, simmat[:, j], out=max_sim)
+    return pd.DataFrame({"rank": np.arange(k, dtype=np.int64),
+                         "vec_id": out_id,
+                         "mmr_score": np.round(out_sc, 6)})

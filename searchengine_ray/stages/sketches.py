@@ -507,3 +507,77 @@ def exact_global_quantile(
         x0 = float(vals[k0 - offset])
         x1 = float(vals[k1 - offset])
     return x0 + frac * (x1 - x0)
+
+
+# --- Count-Min sketch (Cormode & Muthukrishnan 2005) -------------------------
+#
+# The mergeable frequency-estimate sibling of the HLL distinct sketch and
+# the Misra-Gries heavy-hitter stage: a d×w integer counter array whose
+# per-batch partials merge by ELEMENTWISE SUM (exactly, in any order — the
+# sketch build is bit-deterministic under repartitioning, unlike float
+# moment sums), answering point frequency queries with the one-sided
+# guarantee est ≥ true always and est ≤ true + N·e/w with probability
+# 1 − e^−d.  The scale role: per-key frequency estimates when the key
+# cardinality is unbounded (the exact pre_aggregate's output would not
+# fit anywhere) but only POINT lookups are needed downstream.
+
+
+def _cm_rows(values: pd.Series, depth: int, width: int) -> np.ndarray:
+    """(depth, n) counter indices via double hashing on int64 views (the
+    ``state/bloom._hash_pair`` discipline — uint64 array arithmetic is
+    100-300× slower on this host's numpy)."""
+    from searchengine_ray.state.bloom import _hash_pair
+
+    h1, h2 = _hash_pair(values)
+    mask = np.int64((1 << 63) - 1)
+    out = np.empty((depth, len(values)), dtype=np.int64)
+    for i in range(depth):
+        out[i] = ((h1 + np.int64(i) * h2) & mask) % np.int64(width)
+    return out
+
+
+def count_min_build(
+    ds: Dataset, col: str, depth: int = 4, width: int = 2048,
+    weight_col: str | None = None, batch_size: int = 65536,
+) -> np.ndarray:
+    """Build the d×w sketch over a column in ONE corpus pass: each batch
+    scatters into a local arena and emits only its NONZERO counters as
+    (r, idx, c) rows; one ``pre_aggregate`` sums them and the driver
+    assembles the ≤ d×w final table — nothing value-cardinality-scaled
+    anywhere.  ``weight_col`` counts weighted occurrences (None = 1)."""
+    from searchengine_ray.stages.relational import pre_aggregate
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({"r": pd.Series([], dtype=np.int64),
+                                 "idx": pd.Series([], dtype=np.int64),
+                                 "c": pd.Series([], dtype=np.int64)})
+        idx = _cm_rows(df[col], depth, width)
+        w = (df[weight_col].to_numpy(np.int64) if weight_col
+             else np.ones(len(df), dtype=np.int64))
+        arena = np.zeros(depth * width, dtype=np.int64)
+        for i in range(depth):
+            np.add.at(arena, np.int64(i * width) + idx[i], w)
+        nz = np.nonzero(arena)[0]
+        return pd.DataFrame({"r": nz // width, "idx": nz % width,
+                             "c": arena[nz]})
+
+    agg = pre_aggregate(
+        ds.map_batches(partial, batch_format="pandas",
+                       batch_size=batch_size),
+        ["r", "idx"], {"c": ("c", "sum")}).to_pandas()
+    sk = np.zeros((depth, width), dtype=np.int64)
+    sk[agg["r"].to_numpy(np.int64), agg["idx"].to_numpy(np.int64)] = \
+        agg["c"].to_numpy(np.int64)
+    return sk
+
+
+def count_min_query(sketch: np.ndarray, values: pd.Series) -> np.ndarray:
+    """Vectorized point estimates: min over the depth counters each value
+    hashes to.  One-sided — never under the true count."""
+    depth, width = sketch.shape
+    idx = _cm_rows(values, depth, width)
+    est = sketch[0, idx[0]]
+    for i in range(1, depth):
+        np.minimum(est, sketch[i, idx[i]], out=est)
+    return est

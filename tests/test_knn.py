@@ -261,3 +261,75 @@ def test_ivf_insert_appends_and_matches_union(emb_ds, tmp_path):
                                   want.reset_index(drop=True))
     # a delta vector is findable by partial probe of its own list
     assert (got["vec_id"] % 5 == 0).any()
+
+
+# --- MMR diverse re-ranking ---------------------------------------------------
+
+
+def _mmr_ref(qvec, ids, mat, k, lam):
+    """Independent sequential reference: plain Python loop, explicit
+    smallest-id tiebreak."""
+    import numpy as np
+    x = mat.astype(np.float64).copy()
+    n = np.linalg.norm(x, axis=1); n[n == 0] = 1.0
+    x = x / n[:, None]
+    q = np.asarray(qvec, np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    rel = x @ (q / qn)
+    sel, out = [], []
+    remaining = list(range(len(ids)))
+    for _ in range(min(k, len(ids))):
+        best = None
+        for i in remaining:
+            pen = max(float(x[i] @ x[j]) for j in sel) if sel else 0.0
+            s = lam * rel[i] - (1 - lam) * pen
+            key = (-s, ids[i])
+            if best is None or key < best[0]:
+                best = (key, i, s)
+        _, i, s = best
+        sel.append(i); remaining.remove(i)
+        out.append((int(ids[i]), round(float(s), 6)))
+    return out
+
+
+def test_mmr_matches_reference(ray_session):
+    from searchengine_ray.stages.knn import mmr_select
+
+    rng = np.random.default_rng(13)
+    ids = rng.permutation(np.arange(100, 160))[:40].astype(np.int64)
+    mat = rng.normal(size=(40, 16))
+    q = rng.normal(size=16)
+    got = mmr_select(q, ids, mat, k=8, lam=0.6)
+    ref = _mmr_ref(q, ids, mat, 8, 0.6)
+    assert list(zip(got["vec_id"], got["mmr_score"])) == ref
+    assert got["rank"].tolist() == list(range(8))
+
+
+def test_mmr_diversifies_planted_duplicates(ray_session):
+    from searchengine_ray.stages.knn import mmr_select
+
+    # exact geometry where the diversity term provably binds: query e0,
+    # 5 exact copies of e0 (rel 1, mutual sim 1) and 10 diverse docs
+    # 0.8·e0 + 0.6·e_i (rel 0.8, sim 0.8 to copies, 0.64 to each other).
+    # At λ=0.3, after the first copy: copies score 0.3−0.7 = −0.4,
+    # diverse docs 0.24 − 0.7·0.8 = −0.32 → every later pick is diverse.
+    d = 16
+    q = np.eye(d)[0]
+    copies = np.tile(q, (5, 1))
+    diverse = np.stack([0.8 * q + 0.6 * np.eye(d)[i + 1] for i in range(10)])
+    mat = np.vstack([copies, diverse])
+    ids = np.arange(15, dtype=np.int64)
+    got = mmr_select(q, ids, mat, k=5, lam=0.3)
+    # plain top-k by relevance would pick all 5 copies; MMR keeps ONE
+    assert (got["vec_id"] < 5).sum() == 1
+    # and the single copy it keeps is the first pick (most relevant,
+    # smallest id among the exact-tie copies)
+    assert got.iloc[0]["vec_id"] == 0
+
+
+def test_mmr_k_exceeds_candidates(ray_session):
+    from searchengine_ray.stages.knn import mmr_select
+
+    mat = np.eye(3)
+    got = mmr_select(np.ones(3), np.array([9, 4, 7]), mat, k=10)
+    assert len(got) == 3 and set(got["vec_id"]) == {9, 4, 7}

@@ -316,3 +316,70 @@ def test_exact_quantile_nulls_and_adjacent_floats(ray_session):
     assert _egq(tight, 0.5, bins=4, max_driver_rows=1) == float(
         np.quantile(tight, 0.5, method="linear"))
     assert np.isnan(_egq(pd.Series([None, None], dtype="float64"), 0.5))
+
+
+# --- Count-Min sketch ---------------------------------------------------------
+
+
+def test_count_min_never_underestimates_and_bound(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.sketches import (count_min_build,
+                                                  count_min_query)
+
+    rng = np.random.default_rng(19)
+    # zipf-ish skew: heavy hitters + a long adversarial tail
+    vals = np.concatenate([
+        np.repeat(np.arange(10), 400),          # 10 heavies × 400
+        rng.integers(100, 40000, 12000)])       # tail
+    df = pd.DataFrame({"v": vals.astype(np.int64)})
+    sk = count_min_build(rd.from_pandas(df).repartition(6), "v",
+                         depth=4, width=2048)
+    n = len(df)
+    exact = df["v"].value_counts()
+    q = pd.Series(exact.index.to_numpy(np.int64))
+    est = count_min_query(sk, q)
+    true = exact.to_numpy()
+    assert (est >= true).all()                     # one-sided, always
+    assert sk.sum() == n * 4                       # every row counted d times
+    # ε = e/w bound with the standard failure allowance: assert the
+    # POINT guarantee for the heavies and the 99th percentile overall
+    eps_n = np.e / 2048 * n
+    heavy = est[:10] - true[:10]
+    assert (heavy <= eps_n).all()
+    assert np.quantile(est - true, 0.99) <= eps_n
+
+
+def test_count_min_merge_is_exact(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.sketches import count_min_build
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame({"v": rng.integers(0, 500, 3000).astype(np.int64)})
+    whole = count_min_build(rd.from_pandas(df), "v", depth=3, width=512)
+    a = count_min_build(rd.from_pandas(df.iloc[:1100]), "v",
+                        depth=3, width=512)
+    b = count_min_build(rd.from_pandas(df.iloc[1100:]), "v",
+                        depth=3, width=512)
+    np.testing.assert_array_equal(whole, a + b)   # integer, order-free
+    # and repartitioning cannot move a single counter
+    rep = count_min_build(rd.from_pandas(df).repartition(7), "v",
+                          depth=3, width=512)
+    np.testing.assert_array_equal(whole, rep)
+
+
+def test_count_min_weighted_matches_exploded(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.sketches import count_min_build
+
+    df = pd.DataFrame({"v": np.array([1, 2, 3, 2], dtype=np.int64),
+                       "w": np.array([3, 1, 5, 2], dtype=np.int64)})
+    weighted = count_min_build(rd.from_pandas(df), "v", depth=3,
+                               width=64, weight_col="w")
+    exploded = pd.DataFrame({
+        "v": np.repeat(df["v"].to_numpy(), df["w"].to_numpy())})
+    plain = count_min_build(rd.from_pandas(exploded), "v", depth=3,
+                            width=64)
+    np.testing.assert_array_equal(weighted, plain)
