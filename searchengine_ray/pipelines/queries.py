@@ -4405,6 +4405,78 @@ def q_decayed_engagement(sf_dir: str):
         batch_format="pandas")
 
 
+def q_dp_counts(sf_dir: str):
+    """Laplace-mechanism noisy per-language counts (ε = 1, sensitivity 1
+    for COUNT): the differential-privacy release shape — one
+    ``pre_aggregate``, O(groups) driver noise arithmetic, only the noisy
+    value leaves.  Noise is the exact inverse-CDF Laplace transform of a
+    sha256-derived uniform so the oracle recomputes the identical
+    release (see ``stages/privacy.laplace_noisy_counts`` for the
+    deterministic-seeding caveat)."""
+    from searchengine_ray.stages.privacy import laplace_noisy_counts
+
+    ds = _pq(sf_dir, "documents", columns=["lang"])
+    return laplace_noisy_counts(ds, "lang", salt="dp1", scale=1.0)
+
+
+SQL_DP_COUNTS = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+u AS (SELECT lang, n,
+             (CAST('0x' || substr(sha256(lang || ':dp1'), 1, 12) AS BIGINT)
+              + 0.5) / 281474976710656.0 AS u
+      FROM c)
+SELECT lang,
+       round(n + CASE WHEN u < 0.5 THEN 1.0 * ln(2.0 * u)
+                      ELSE -1.0 * ln(2.0 * (1.0 - u)) END, 6) AS noisy_n
+FROM u
+"""
+
+
+def q_data_quality(sf_dir: str):
+    """Declarative expectation suite over the event log (the Deequ /
+    Great-Expectations gate a pipeline runs BEFORE processing 100 TB):
+    six checks verdict in one streaming scalar pass + one
+    ``pre_aggregate`` for the uniqueness check — see
+    ``stages/expectations``.  The value ≤ 100 check FAILS by design
+    (events run hotter), proving verdicts bind rather than
+    rubber-stamp."""
+    from searchengine_ray.stages.expectations import data_quality_checks
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "event_type", "value"])
+    return data_quality_checks(ds, [
+        ("rows_present", "row_count_ge", None, 1),
+        ("user_id_not_null", "not_null", "user_id", None),
+        ("event_id_unique", "unique", "event_id", None),
+        ("value_non_negative", "min_ge", "value", 0.0),
+        ("value_le_100", "max_le", "value", 100.0),
+        ("event_type_in_set", "in_set", "event_type",
+         ["click", "error", "purchase", "signup", "view"]),
+    ])
+
+
+SQL_DATA_QUALITY = """
+WITH s AS (
+  SELECT count(*) AS n,
+         CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           AS nulls,
+         count(*) - count(DISTINCT event_id) AS dup_surplus,
+         min(value) AS vmin, max(value) AS vmax,
+         CAST(sum(CASE WHEN event_type NOT IN
+                 ('click','error','purchase','signup','view')
+                 THEN 1 ELSE 0 END) AS DOUBLE) AS bad_type
+  FROM events)
+SELECT 'rows_present' AS "check", CAST(n AS DOUBLE) AS metric,
+       n >= 1 AS passed FROM s
+UNION ALL SELECT 'user_id_not_null', nulls, nulls = 0 FROM s
+UNION ALL SELECT 'event_id_unique', CAST(dup_surplus AS DOUBLE),
+       dup_surplus = 0 FROM s
+UNION ALL SELECT 'value_non_negative', vmin, vmin >= 0.0 FROM s
+UNION ALL SELECT 'value_le_100', vmax, vmax <= 100.0 FROM s
+UNION ALL SELECT 'event_type_in_set', bad_type, bad_type = 0 FROM s
+"""
+
+
 def q_quantile_normalize(sf_dir: str):
     """Percent-rank quantile normalization of the event value column —
     the rank-gauss/quantile-transform feature preprocessing: a GLOBAL
@@ -6178,6 +6250,8 @@ QUERIES = {
     "decayed_engagement": q_decayed_engagement,
     "retention_cohorts": q_retention_cohorts,
     "quantile_normalize": q_quantile_normalize,
+    "data_quality": q_data_quality,
+    "dp_counts": q_dp_counts,
     "funnel_stages": q_funnel_stages,
     "phrase_search": q_phrase_search,
     "snapshot_diff": q_snapshot_diff,
@@ -6307,6 +6381,8 @@ ORACLE_SQL = {
     "decayed_engagement": SQL_DECAYED_ENGAGEMENT,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "quantile_normalize": SQL_QUANTILE_NORMALIZE,
+    "data_quality": SQL_DATA_QUALITY,
+    "dp_counts": SQL_DP_COUNTS,
     "funnel_stages": SQL_FUNNEL_STAGES,
     "phrase_search": SQL_PHRASE_SEARCH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

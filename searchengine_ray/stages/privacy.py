@@ -94,3 +94,44 @@ def k_anonymity_suppress(
         lambda df: (df.drop(columns=["_qk"]) if "_qk" in df.columns
                     else df),
         batch_format="pandas")
+
+
+def laplace_noisy_counts(
+    ds: Dataset, key: str, salt: str, scale: float = 1.0,
+    round_to: int = 6,
+) -> pd.DataFrame:
+    """ε-differentially-private style noisy group counts — the Laplace
+    mechanism (Dwork et al. 2006) for the COUNT query: each group's
+    released value is count + Laplace(scale), scale = sensitivity/ε = 1/ε
+    for counting.  Only the noisy value is emitted.
+
+    The noise is DETERMINISTIC — the inverse-CDF Laplace transform of a
+    uniform derived from sha256(key‖salt) (the house hash discipline of
+    ``hash_split`` / ``weighted_sample``) — so runs are reproducible and
+    a SQL oracle can recompute the identical release.  A production DP
+    deployment must draw fresh secret randomness per release (a
+    deterministic per-key draw reveals the noise across releases); the
+    mechanism's arithmetic, group reduction, and release shape here are
+    the real operator, the seeding is the sandbox stand-in, exactly like
+    the embedding model in ``stages/embed``.
+
+    Scale: ONE ``pre_aggregate`` (O(groups) driver rows), noise O(groups)
+    driver arithmetic.  u = (hex48 + 0.5)/2^48 ∈ (0,1) keeps the ln
+    finite; engine and SQL compute the same doubles, round-6 absorbs
+    libm ulps."""
+    import hashlib
+
+    agg = (pre_aggregate(ds.select_columns([key]), [key],
+                         {"n": (None, "count")})
+           .to_pandas().sort_values(key).reset_index(drop=True))
+    ks = agg[key].astype(str)
+    h48 = np.fromiter(
+        (int(hashlib.sha256(f"{k}:{salt}".encode()).hexdigest()[:12], 16)
+         for k in ks), dtype=np.int64, count=len(ks))
+    u = (h48 + 0.5) / float(1 << 48)
+    noise = np.where(u < 0.5, scale * np.log(2.0 * u),
+                     -scale * np.log(2.0 * (1.0 - u)))
+    return pd.DataFrame({
+        key: agg[key],
+        "noisy_n": np.round(agg["n"].to_numpy(np.float64) + noise,
+                            round_to)})

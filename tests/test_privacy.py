@@ -76,3 +76,40 @@ def test_separator_injection_keys_stay_distinct(ray_session):
         got = k_anonymity_suppress(ds, ["zip", "age_band"], 4,
                                    broadcast_limit=lim).to_pandas()
         assert set(got["row_id"]) == {0, 1, 2, 3}, lim
+
+
+# --- Laplace noisy counts -----------------------------------------------------
+
+
+def test_laplace_noise_distribution_and_determinism(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.privacy import laplace_noisy_counts
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame({"g": rng.choice([f"k{i}" for i in range(200)], 5000)})
+    a = laplace_noisy_counts(rd.from_pandas(df).repartition(4), "g", "s1")
+    b = laplace_noisy_counts(rd.from_pandas(df).repartition(9), "g", "s1")
+    pd.testing.assert_frame_equal(a, b)          # partitioning-invariant
+    exact = df["g"].value_counts().sort_index()
+    noise = a.set_index("g")["noisy_n"] - exact
+    # Laplace(b=1): median |noise| = ln(2) ≈ 0.69, P(|x|>5) = e^-5
+    assert np.abs(noise).median() < 2.0
+    assert np.abs(noise).max() < 15.0
+    assert (noise != 0).any()                    # noise actually applied
+    # a different salt redraws the noise
+    c = laplace_noisy_counts(rd.from_pandas(df), "g", "s2")
+    assert not np.allclose(a["noisy_n"], c["noisy_n"])
+
+
+def test_laplace_noise_is_signed(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.privacy import laplace_noisy_counts
+
+    df = pd.DataFrame({"g": [f"key{i}" for i in range(300)]})
+    out = laplace_noisy_counts(rd.from_pandas(df), "g", "sx")
+    noise = out["noisy_n"].to_numpy() - 1.0      # every count is 1
+    assert (noise > 0).any() and (noise < 0).any()
+    # symmetric-ish: both signs occur in quantity over 300 draws
+    assert 0.3 < (noise > 0).mean() < 0.7
