@@ -5652,6 +5652,46 @@ FROM starts
 """
 
 
+# --- 31g2. vocabulary build + token-id encode (stages/text.py) --------------
+
+def q_vocab_encode(sf_dir: str):
+    """Frequency-ranked 256-token vocabulary + corpus id-encode (the
+    tokenize-to-ids prep before training): counts through ONE
+    ``pre_aggregate``, vocab via the two-level ``global_topk``, token→id
+    broadcast once, encode map-only with one sorted-vocab searchsorted
+    per batch; OOV → −1, ids rendered as the space-joined string both
+    sides agree on.  See ``stages/text.vocab_encode``."""
+    from searchengine_ray.stages.text import vocab_encode
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    _vocab, enc = vocab_encode(ds, vocab_size=256)
+    return enc
+
+
+SQL_VOCAB_ENCODE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS ts
+  FROM documents),
+cnt AS (SELECT tok, count(*) AS n
+        FROM (SELECT unnest(ts) AS tok FROM toks) GROUP BY tok),
+v AS (SELECT tok, row_number() OVER (ORDER BY n DESC, tok) - 1 AS tid
+      FROM cnt QUALIFY row_number() OVER (ORDER BY n DESC, tok) <= 256),
+pos AS (SELECT doc_id, unnest(ts) AS tok,
+               unnest(range(1, len(ts) + 1)) AS p
+        FROM toks),
+enc AS (SELECT pos.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               string_agg(CAST(coalesce(v.tid, -1) AS VARCHAR),
+                          ' ' ORDER BY pos.p) AS ids
+        FROM pos LEFT JOIN v ON v.tok = pos.tok
+        GROUP BY pos.doc_id)
+SELECT t.doc_id, coalesce(e.n_tokens, 0) AS n_tokens,
+       coalesce(e.ids, '') AS ids
+FROM toks t LEFT JOIN enc e ON e.doc_id = t.doc_id
+"""
+
+
 # --- 31h. embedding-inference stage (stages/embed.py) -----------------------
 
 
@@ -6259,6 +6299,7 @@ QUERIES = {
     "resumable_sink": q_resumable_sink,
     "chunk_documents": q_chunk_documents,
     "doc_embeddings": q_doc_embeddings,
+    "vocab_encode": q_vocab_encode,
 }
 
 ORACLE_SQL = {
@@ -6390,6 +6431,7 @@ ORACLE_SQL = {
     "resumable_sink": SQL_RESUMABLE_SINK,
     "chunk_documents": SQL_CHUNK_DOCUMENTS,
     "doc_embeddings": SQL_DOC_EMBEDDINGS,
+    "vocab_encode": SQL_VOCAB_ENCODE,
     "late_data": SQL_LATE_DATA,
     "zscore_outliers": SQL_ZSCORE_OUTLIERS,
     "gap_fill_daily": SQL_GAP_FILL_DAILY,

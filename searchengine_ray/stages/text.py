@@ -225,3 +225,64 @@ def bpe_token_stats(ds: Dataset, merges: list[tuple[str, str]],
             "n_bpe_tokens": np.array(n_bpe, dtype=np.int64)})
 
     return ds.map_batches(fn, batch_format="pandas", batch_size=1024)
+
+
+def vocab_encode(
+    ds: Dataset, vocab_size: int = 256, text_col: str = "text",
+    id_col: str = "doc_id", batch_size: int = 2048,
+) -> "tuple[pd.DataFrame, Dataset]":
+    """Frequency-ranked vocabulary build + corpus token-id encode — the
+    tokenize-to-ids prep step before model training: token id = dense
+    rank under (count desc, token asc), OOV → −1.
+
+    Scale shape: corpus token counts through ONE ``pre_aggregate``; the
+    vocabulary is the O(vocab_size) ``global_topk`` (two-level merge,
+    never a full vocabulary pull); the token→id table broadcasts once
+    via ``ray.put`` and encoding is MAP-ONLY — each batch tokenizes with
+    the SQL-parity tokenizer and resolves ids with one sorted-vocab
+    searchsorted per batch (no per-token dict probes).  Ids emit as a
+    space-joined string (the ``chunk_documents`` list-rendering
+    contract, identical on both engine and oracle).
+
+    Returns (vocab DataFrame (token, tid), encoded Dataset (doc_id,
+    n_tokens, ids))."""
+    import ray
+
+    counts = pre_aggregate(
+        doc_term_counts(ds, mode="simple", text_col=text_col,
+                        id_col=id_col, batch_size=batch_size)
+        .map_batches(lambda df: pd.DataFrame(
+            {"token": df["token"], "cnt": df["cnt"].astype(np.int64)}),
+            batch_format="pandas"),
+        ["token"], {"n": ("cnt", "sum")})
+    from searchengine_ray.stages.relational import global_topk
+
+    top = global_topk(counts, ["n", "token"], [False, True], vocab_size)
+    vocab = pd.DataFrame({"token": top["token"].to_numpy(),
+                          "tid": np.arange(len(top), dtype=np.int64)})
+    vtok = vocab["token"].to_numpy()
+    order = np.argsort(vtok, kind="stable")
+    v_ref = ray.put((vtok[order], vocab["tid"].to_numpy(np.int64)[order]))
+
+    def encode(df: pd.DataFrame) -> pd.DataFrame:
+        toks_sorted, tids = ray.get(v_ref)
+        out_id, out_n, out_ids = [], [], []
+        for did, text in zip(df[id_col].to_numpy(), df[text_col]):
+            toks = simple_tokens(text or "")
+            if toks:
+                t = np.asarray(toks, dtype=object)
+                pos = np.searchsorted(toks_sorted, t)
+                pos[pos == len(toks_sorted)] = 0
+                hit = toks_sorted[pos] == t
+                ids = np.where(hit, tids[pos], np.int64(-1))
+            else:
+                ids = np.array([], dtype=np.int64)
+            out_id.append(did)
+            out_n.append(len(ids))
+            out_ids.append(" ".join(map(str, ids.tolist())))
+        return pd.DataFrame({id_col: np.array(out_id, dtype=np.int64),
+                             "n_tokens": np.array(out_n, dtype=np.int64),
+                             "ids": out_ids})
+
+    return vocab, ds.map_batches(encode, batch_format="pandas",
+                                 batch_size=batch_size)
