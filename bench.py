@@ -195,6 +195,20 @@ def main() -> None:
         "dsir_select": Q.q_dsir_select,
         "k_anonymize": Q.q_k_anonymize,
         "image_rot_neardup": Q.q_image_rot_neardup,
+        "pca_project": Q.q_pca_project,
+        "event_type_pivot": Q.q_event_type_pivot,
+        "graph_bfs": Q.q_graph_bfs,
+        "retention_cohorts": Q.q_retention_cohorts,
+        "record_linkage": Q.q_record_linkage,
+        "docs_cube": Q.q_docs_cube,
+        "quantile_normalize": Q.q_quantile_normalize,
+        "mmr_rerank": Q.q_mmr_rerank,
+        "token_freq_cms": Q.q_token_freq_cms,
+        "data_quality": Q.q_data_quality,
+        "dp_counts": Q.q_dp_counts,
+        "vocab_encode": Q.q_vocab_encode,
+        "locf_impute": Q.q_locf_impute,
+        "mv_refresh": Q.q_mv_refresh,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

@@ -4405,6 +4405,114 @@ def q_decayed_engagement(sf_dir: str):
         batch_format="pandas")
 
 
+# The persisted materialized-view scratch the refresh reads INSTEAD of
+# re-scanning the base log — the incremental-maintenance contract.
+_MV_SCRATCH = "/tmp/graft_scratch/mv_user_agg"
+
+
+def q_mv_refresh(sf_dir: str):
+    """Incremental materialized-view refresh (the lakehouse aggregate-
+    maintenance op): a persisted per-user aggregate MV folds in a delta
+    WITHOUT re-reading the base log — possible exactly because count/sum
+    are MERGEABLE aggregates (the pre_aggregate partial algebra applied
+    across job runs instead of across batches).  Here the base MV
+    (events with event_id % 7 ≠ 0, "yesterday's job") persists to
+    scratch; the refresh reads ONLY the O(users) MV + the delta slice,
+    aggregates the delta, and merges with one O(users) ``pre_aggregate``
+    over the union.  The oracle recomputes from the FULL log — equality
+    IS the mergeability proof.  Sums round to 2 (the pricing_summary
+    association-noise discipline)."""
+    import shutil
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def base_slice(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_id"] % 7 != 0]
+
+    def delta_slice(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["event_id"] % 7 == 0]
+
+    base_agg = pre_aggregate(
+        ds.map_batches(base_slice, batch_format="pandas"),
+        ["user_id"], {"n_events": (None, "count"),
+                      "sum_value": ("value", "sum")})
+    shutil.rmtree(_MV_SCRATCH, ignore_errors=True)
+    base_agg.map_batches(
+        lambda df: pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "n_events": df["n_events"].to_numpy(np.int64),
+            "sum_value": df["sum_value"].to_numpy(np.float64)}),
+        batch_format="pandas").write_parquet(_MV_SCRATCH)
+
+    # --- the refresh: O(users) MV + delta only; base events never re-read
+    mv = rd.read_parquet(_MV_SCRATCH)
+    delta_agg = pre_aggregate(
+        ds.map_batches(delta_slice, batch_format="pandas"),
+        ["user_id"], {"n_events": (None, "count"),
+                      "sum_value": ("value", "sum")})
+
+    def norm(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "n_events": df["n_events"].to_numpy(np.int64),
+            "sum_value": df["sum_value"].to_numpy(np.float64)})
+
+    merged = pre_aggregate(
+        mv.map_batches(norm, batch_format="pandas")
+        .union(delta_agg.map_batches(norm, batch_format="pandas")),
+        ["user_id"], {"n_events": ("n_events", "sum"),
+                      "sum_value": ("sum_value", "sum")})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "n_events": df["n_events"].to_numpy(np.int64),
+            "sum_value": np.round(df["sum_value"].to_numpy(np.float64), 2)})
+
+    return merged.map_batches(finish, batch_format="pandas")
+
+
+SQL_MV_REFRESH = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY user_id
+"""
+
+
+def q_locf_impute(sf_dir: str):
+    """Forward-fill (LOCF) imputation over a deterministically holed
+    value stream (every 5th event NULLed): per user under (ts, event_id)
+    order each hole takes the latest prior observation, leading holes
+    take 0 — ONE co-shuffle, one vectorized grouped ffill per bucket
+    (``stages/sessions.locf_impute``).  Values pass through unchanged so
+    no rounding margin exists to tune."""
+    from searchengine_ray.stages.sessions import locf_impute
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "value"])
+
+    def hole(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64).copy()
+        v[df["event_id"].to_numpy(np.int64) % 5 == 0] = np.nan
+        return pd.DataFrame({"event_id": df["event_id"].to_numpy(np.int64),
+                             "user_id": df["user_id"].to_numpy(np.int64),
+                             "ts": df["ts"], "v": v})
+
+    return locf_impute(ds.map_batches(hole, batch_format="pandas"))
+
+
+SQL_LOCF_IMPUTE = """
+WITH base AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS v
+  FROM events)
+SELECT event_id, user_id,
+       coalesce(last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS UNBOUNDED PRECEDING), 0.0) AS v_filled
+FROM base
+"""
+
+
 def q_dp_counts(sf_dir: str):
     """Laplace-mechanism noisy per-language counts (ε = 1, sensitivity 1
     for COUNT): the differential-privacy release shape — one
@@ -6292,6 +6400,8 @@ QUERIES = {
     "quantile_normalize": q_quantile_normalize,
     "data_quality": q_data_quality,
     "dp_counts": q_dp_counts,
+    "locf_impute": q_locf_impute,
+    "mv_refresh": q_mv_refresh,
     "funnel_stages": q_funnel_stages,
     "phrase_search": q_phrase_search,
     "snapshot_diff": q_snapshot_diff,
@@ -6424,6 +6534,8 @@ ORACLE_SQL = {
     "quantile_normalize": SQL_QUANTILE_NORMALIZE,
     "data_quality": SQL_DATA_QUALITY,
     "dp_counts": SQL_DP_COUNTS,
+    "locf_impute": SQL_LOCF_IMPUTE,
+    "mv_refresh": SQL_MV_REFRESH,
     "funnel_stages": SQL_FUNNEL_STAGES,
     "phrase_search": SQL_PHRASE_SEARCH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

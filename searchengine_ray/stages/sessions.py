@@ -718,3 +718,36 @@ def retention_cohorts(ds: Dataset, user_col: str = "user_id",
             "n_users": df["n_users"].to_numpy(np.int64)})
 
     return out.map_batches(fix, batch_format="pandas")
+
+
+def locf_impute(ds: Dataset, user_col: str = "user_id",
+                ts_col: str = "ts", id_col: str = "event_id",
+                val_col: str = "v", fill_lead: float = 0.0) -> Dataset:
+    """Last-observation-carried-forward imputation per key — the
+    time-series gap-repair op (sensor dropout, missing telemetry):
+    each NULL value takes the key's most recent non-NULL value under
+    (ts, id) order; leading NULLs (no prior observation) take
+    ``fill_lead``.
+
+    Scale shape: keys co-shuffle whole in ONE ``bucketed_apply``; per
+    bucket one composite sort + one pandas ``groupby().ffill()`` (a
+    single vectorized C kernel over the whole bucket — no per-key
+    Python).  Values pass through UNCHANGED (no arithmetic), so engine
+    and SQL ``last_value(... IGNORE NULLS)`` agree exactly with no
+    rounding margin."""
+    from searchengine_ray.stages.relational import bucketed_apply
+
+    def fill(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                id_col: pd.Series([], dtype=np.int64),
+                user_col: pd.Series([], dtype=np.int64),
+                "v_filled": pd.Series([], dtype=np.float64)})
+        g = g.sort_values([user_col, ts_col, id_col], kind="mergesort")
+        v = g.groupby(user_col, sort=False)[val_col].ffill()
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(np.int64),
+            user_col: g[user_col].to_numpy(np.int64),
+            "v_filled": v.fillna(fill_lead).to_numpy(np.float64)})
+
+    return bucketed_apply(ds, [user_col], fill)

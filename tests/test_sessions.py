@@ -381,3 +381,47 @@ def test_retention_cohorts_offset_zero_is_cohort_size(ray_session):
          .set_index("cohort_week")["n_users"].sort_index())
     assert (z == sizes).all()
     assert (got["week_offset"] >= 0).all()
+
+
+# --- LOCF imputation ----------------------------------------------------------
+
+
+def test_locf_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.sessions import locf_impute
+
+    rng = np.random.default_rng(29)
+    n = 600
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 30, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            np.int64(1_700_000_000_000_000)
+            + rng.integers(0, 10**9, n), unit="us"),
+        "v": rng.normal(50, 10, n)})
+    df.loc[rng.random(n) < 0.3, "v"] = np.nan
+    got = (locf_impute(rd.from_pandas(df).repartition(5))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    ref = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    ref = ref.assign(
+        v_filled=ref.groupby("user_id")["v"].ffill().fillna(0.0))
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    np.testing.assert_array_equal(got["v_filled"].to_numpy(),
+                                  ref["v_filled"].to_numpy())
+    assert len(got) == n
+
+
+def test_locf_leading_and_all_null_user(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.sessions import locf_impute
+
+    df = pd.DataFrame({
+        "event_id": np.arange(6, dtype=np.int64),
+        "user_id": np.array([1, 1, 1, 2, 2, 2], dtype=np.int64),
+        "ts": pd.to_datetime(np.arange(6), unit="s"),
+        "v": [np.nan, 5.0, np.nan, np.nan, np.nan, np.nan]})
+    got = (locf_impute(rd.from_pandas(df), fill_lead=-1.0)
+           .to_pandas().sort_values("event_id"))
+    assert got["v_filled"].tolist() == [-1.0, 5.0, 5.0, -1.0, -1.0, -1.0]
