@@ -108,7 +108,7 @@ def sec_cms(n=20_000_000):
 
     def gen(b: pd.DataFrame) -> pd.DataFrame:
         i = b["id"].to_numpy(np.int64)
-        r = (i * np.int64(0x9E3779B97F4A7C15)) & np.int64((1 << 62) - 1)
+        r = (i * np.int64(0x9E3779B97F4A7C15 - (1 << 64))) & np.int64((1 << 62) - 1)
         # zipf-ish: 10 planted heavies own ~30% of the stream
         heavy = (r % 10).astype(np.int64)
         tail = 100 + (r % 3_000_000)
@@ -172,13 +172,19 @@ def sec_mv(n=20_000_000):
     base = pre_aggregate(
         ds.map_batches(lambda df: df[df["event_id"] % 101 != 0],
                        batch_format="pandas"), ["user_id"], spec)
+    import shutil
+    shutil.rmtree("/tmp/graft_scratch/mv_scale", ignore_errors=True)
     base.write_parquet("/tmp/graft_scratch/mv_scale")
     t_build = time.perf_counter() - t0
     mv = rd.read_parquet("/tmp/graft_scratch/mv_scale")
+    # the delta arrives as its OWN small input (a new log segment), as in
+    # a real lakehouse — deriving it by filtering the base log would
+    # re-scan exactly what the refresh claims not to read
+    delta_ds = ds.map_batches(
+        lambda df: df[df["event_id"] % 101 == 0],
+        batch_format="pandas").materialize()
     t0 = time.perf_counter()
-    delta = pre_aggregate(
-        ds.map_batches(lambda df: df[df["event_id"] % 101 == 0],
-                       batch_format="pandas"), ["user_id"], spec)
+    delta = pre_aggregate(delta_ds, ["user_id"], spec)
 
     def norm(df: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
@@ -209,8 +215,8 @@ def sec_pca(n=5_000_000, d=64):
         rng = np.random.default_rng(int(i[0]) + 1)
         return pd.DataFrame({
             "vec_id": i,
-            "embedding": list(rng.normal(size=(len(i), d))
-                              .astype(np.float32))})
+            "embedding": rng.normal(size=(len(i), d))
+                         .astype(np.float32).tolist()})
 
     ds = (rd.range(n).repartition(64)
           .map_batches(gen, batch_format="pandas")).materialize()

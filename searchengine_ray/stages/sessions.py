@@ -691,7 +691,10 @@ def retention_cohorts(ds: Dataset, user_col: str = "user_id",
     from searchengine_ray.stages.relational import hash_join, pre_aggregate
 
     def to_period(df: pd.DataFrame) -> pd.DataFrame:
-        us = df[ts_col].astype("int64").to_numpy()  # datetime64[us] → μs
+        # resolution-agnostic: [ns]-unit frames (pd.to_datetime default)
+        # truncate to μs instead of silently inflating the period index
+        us = (df[ts_col].astype("datetime64[us]").astype("int64")
+              .to_numpy())
         return pd.DataFrame({
             "u": df[user_col].to_numpy(np.int64),
             "week": us // np.int64(period_us)})

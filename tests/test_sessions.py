@@ -344,7 +344,8 @@ def test_retention_cohorts_matches_brute_force(ray_session):
            .sort_values(["cohort_week", "week_offset"])
            .reset_index(drop=True))
     W = 7 * 86400 * 1_000_000
-    b = df.assign(week=df["ts"].astype("int64") // W)
+    b = df.assign(week=df["ts"].astype("datetime64[us]")
+                  .astype("int64") // W)
     first = b.groupby("user_id")["week"].min().rename("cw")
     uw = b[["user_id", "week"]].drop_duplicates().join(first, on="user_id")
     ref = (uw.assign(cohort_week=uw["cw"],
@@ -374,7 +375,8 @@ def test_retention_cohorts_offset_zero_is_cohort_size(ray_session):
         "ts": pd.to_datetime(ts, unit="us")})
     got = retention_cohorts(rd.from_pandas(df)).to_pandas()
     W = 7 * 86400 * 1_000_000
-    first = (df.assign(week=df["ts"].astype("int64") // W)
+    first = (df.assign(week=df["ts"].astype("datetime64[us]")
+                       .astype("int64") // W)
              .groupby("user_id")["week"].min())
     sizes = first.value_counts().sort_index()
     z = (got[got["week_offset"] == 0]
