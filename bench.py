@@ -209,6 +209,7 @@ def main() -> None:
         "vocab_encode": Q.q_vocab_encode,
         "locf_impute": Q.q_locf_impute,
         "mv_refresh": Q.q_mv_refresh,
+        "ts_codec": Q.q_ts_codec,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

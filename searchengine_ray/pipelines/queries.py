@@ -4410,6 +4410,58 @@ def q_decayed_engagement(sf_dir: str):
 _MV_SCRATCH = "/tmp/graft_scratch/mv_user_agg"
 
 
+_TS_CODEC_SCRATCH = "/tmp/graft_scratch/ts_blocks"
+
+
+def q_ts_codec(sf_dir: str):
+    """Delta-of-delta timestamp compression (the Gorilla/Prometheus TSDB
+    layout): every user's event timestamps encode into one zigzag-varint
+    ΔΔ blob (ONE key co-shuffle, vectorized byte-plane kernel per
+    bucket), persist to parquet, then the aggregates are computed FROM
+    the decoded bytes — the compact/zorder end-to-end proof: one wrong
+    zigzag bit, header, or cumsum restart flips min/max/sum against the
+    oracle's direct read of the raw table."""
+    import shutil
+
+    from searchengine_ray.stages.tseries import (decode_ts_blocks,
+                                                 encode_ts_blocks)
+
+    ds = _pq(sf_dir, "events", columns=["user_id", "ts"])
+
+    def to_us(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "user_id": df["user_id"].to_numpy(np.int64),
+            "ts_us": df["ts"].astype("datetime64[us]").astype("int64")})
+
+    blocks = encode_ts_blocks(ds.map_batches(to_us, batch_format="pandas"))
+    shutil.rmtree(_TS_CODEC_SCRATCH, ignore_errors=True)
+    blocks.write_parquet(_TS_CODEC_SCRATCH)
+    decoded = decode_ts_blocks(rd.read_parquet(_TS_CODEC_SCRATCH))
+    agg = pre_aggregate(decoded, ["key"],
+                        {"n_events": (None, "count"),
+                         "min_ts": ("ts_us", "min"),
+                         "max_ts": ("ts_us", "max"),
+                         "sum_ts": ("ts_us", "sum")})
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "key": df["key"].to_numpy(np.int64),
+            "n_events": df["n_events"].to_numpy(np.int64),
+            "min_ts": df["min_ts"].to_numpy(np.int64),
+            "max_ts": df["max_ts"].to_numpy(np.int64),
+            "sum_ts": df["sum_ts"].to_numpy(np.int64)})
+
+    return agg.map_batches(fix, batch_format="pandas")
+
+
+SQL_TS_CODEC = """
+SELECT user_id AS key, count(*) AS n_events,
+       min(epoch_us(ts)) AS min_ts, max(epoch_us(ts)) AS max_ts,
+       CAST(sum(epoch_us(ts)) AS BIGINT) AS sum_ts
+FROM events GROUP BY user_id
+"""
+
+
 def q_mv_refresh(sf_dir: str):
     """Incremental materialized-view refresh (the lakehouse aggregate-
     maintenance op): a persisted per-user aggregate MV folds in a delta
@@ -6402,6 +6454,7 @@ QUERIES = {
     "dp_counts": q_dp_counts,
     "locf_impute": q_locf_impute,
     "mv_refresh": q_mv_refresh,
+    "ts_codec": q_ts_codec,
     "funnel_stages": q_funnel_stages,
     "phrase_search": q_phrase_search,
     "snapshot_diff": q_snapshot_diff,
@@ -6536,6 +6589,7 @@ ORACLE_SQL = {
     "dp_counts": SQL_DP_COUNTS,
     "locf_impute": SQL_LOCF_IMPUTE,
     "mv_refresh": SQL_MV_REFRESH,
+    "ts_codec": SQL_TS_CODEC,
     "funnel_stages": SQL_FUNNEL_STAGES,
     "phrase_search": SQL_PHRASE_SEARCH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
