@@ -210,6 +210,7 @@ def main() -> None:
         "locf_impute": Q.q_locf_impute,
         "mv_refresh": Q.q_mv_refresh,
         "ts_codec": Q.q_ts_codec,
+        "graph_features": Q.q_graph_features,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

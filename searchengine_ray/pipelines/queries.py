@@ -4358,6 +4358,49 @@ def q_graph_bfs(sf_dir: str):
     return multi_source_bfs(edges, seeds, max_hops=3)
 
 
+def q_graph_features(sf_dir: str):
+    """Two rounds of neighbor-mean message passing over the deterministic
+    doc graph (GNN-style graph feature engineering): f1 = mean of
+    in-neighbors' n_chars, f2 = mean of in-neighbors' f1 — per round one
+    edge map pass + one (sum, count) ``pre_aggregate`` on the broadcast
+    route (O(V) driver, the pagerank discipline; distributed route
+    pinned identical by pytest)."""
+    from searchengine_ray.stages.graph import neighborhood_aggregate
+
+    docs = _pq(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    n = docs.count()
+
+    def explode_edges(df: pd.DataFrame) -> pd.DataFrame:
+        src = np.repeat(df["doc_id"].to_numpy(np.int64), 3)
+        j = np.tile(np.array([1, 2, 3], dtype=np.int64), len(df))
+        dst = (src * 31 + j) % n
+        keep = src != dst
+        return pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+    edges = docs.map_batches(explode_edges, batch_format="pandas")
+    feats = docs.map_batches(
+        lambda df: pd.DataFrame({
+            "node": df["doc_id"].to_numpy(np.int64),
+            "f": df["n_chars"].to_numpy(np.float64)}),
+        batch_format="pandas")
+    return neighborhood_aggregate(edges, feats, rounds=2)
+
+
+SQL_GRAPH_FEATURES = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (SELECT doc_id AS src, (doc_id * 31 + j.j) % n.n AS dst
+      FROM documents, n, (VALUES (1), (2), (3)) AS j(j)
+      WHERE doc_id <> (doc_id * 31 + j.j) % n.n),
+f0 AS (SELECT doc_id AS node, CAST(n_chars AS DOUBLE) AS f FROM documents),
+h1 AS (SELECT e.dst AS node, sum(f0.f) / count(*) AS f
+       FROM e JOIN f0 ON f0.node = e.src GROUP BY e.dst),
+h2 AS (SELECT e.dst AS node, sum(h1.f) / count(*) AS f
+       FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst)
+SELECT h1.node, round(h1.f, 6) AS f1, round(h2.f, 6) AS f2
+FROM h1 JOIN h2 ON h2.node = h1.node
+"""
+
+
 SQL_GRAPH_BFS = """
 WITH n AS (SELECT count(*) AS n FROM documents),
 e AS (SELECT doc_id AS src, (doc_id * 31 + j.j) % n.n AS dst
@@ -6445,6 +6488,7 @@ QUERIES = {
     "collocations": q_collocations,
     "pagerank": q_pagerank,
     "graph_bfs": q_graph_bfs,
+    "graph_features": q_graph_features,
     "triangle_count": q_triangle_count,
     "covisit_pairs": q_covisit_pairs,
     "decayed_engagement": q_decayed_engagement,
@@ -6580,6 +6624,7 @@ ORACLE_SQL = {
     "knn_ivfpq": SQL_KNN_MULTI,  # nprobe=nlist + refine=None ⇒ exact
     "pagerank": SQL_PAGERANK,
     "graph_bfs": SQL_GRAPH_BFS,
+    "graph_features": SQL_GRAPH_FEATURES,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "covisit_pairs": SQL_COVISIT_PAIRS,
     "decayed_engagement": SQL_DECAYED_ENGAGEMENT,

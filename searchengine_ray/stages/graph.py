@@ -397,3 +397,104 @@ def multi_source_bfs(edges: Dataset, seeds, max_hops: int,
         dist = dist.union(new).materialize()
         frontier = new
     return dist
+
+
+def neighborhood_aggregate(edges: Dataset, feats: Dataset, rounds: int = 2,
+                           src_col: str = "src", dst_col: str = "dst",
+                           node_col: str = "node", feat_col: str = "f",
+                           round_to: int = 6,
+                           broadcast_threshold: int = DEFAULT_BROADCAST_NODES,
+                           force_distributed: bool = False) -> Dataset:
+    """Iterated neighbor-mean feature aggregation — the message-passing
+    primitive under GNN feature engineering / label propagation:
+    f⁽ʳ⁾(v) = mean over in-neighbors u (edges u→v) of f⁽ʳ⁻¹⁾(u), started
+    from a node feature table.  Returns (node, f1..f{rounds}) for nodes
+    reachable by in-edges at every round, each column rounded.
+
+    SIZE-ROUTED exactly like ``pagerank``: under the threshold the
+    feature vector broadcasts via ``ray.put`` and a round is one edge
+    map pass + one ``pre_aggregate`` (sum, count) keyed by dst; above it
+    (or forced) each round is one ``hash_join`` co-shuffle + one
+    ``pre_aggregate``, with per-round ``materialize()`` (the iterative-
+    Dataset contract).  Routes pinned identical by test.  Round-1 means
+    are a single correctly-rounded division of an exact partial sum;
+    later rounds sum doubles, absorbed by ``round_to``."""
+    import ray
+    import ray.data as rd
+
+    from searchengine_ray.stages.relational import hash_join, pre_aggregate
+
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    edges = edges.materialize()
+    n_nodes = feats.count()
+
+    if n_nodes <= broadcast_threshold and not force_distributed:
+        fp = feats.to_pandas()
+        nodes = fp[node_col].to_numpy(np.int64)
+        order = np.argsort(nodes)
+        nodes = nodes[order]
+        cur = fp[feat_col].to_numpy(np.float64)[order]
+        outs: list[pd.DataFrame] = []
+        cur_nodes = nodes
+        for r in range(rounds):
+            ref = ray.put((cur_nodes, cur))
+
+            def contrib(df: pd.DataFrame) -> pd.DataFrame:
+                nd, f = ray.get(ref)
+                s = df[src_col].to_numpy(np.int64)
+                pos = np.searchsorted(nd, s)
+                pos[pos == nd.size] = 0
+                hit = nd[pos] == s
+                return pd.DataFrame({node_col: df[dst_col].to_numpy(
+                    np.int64)[hit], "c": f[pos[hit]]})
+
+            agg = (pre_aggregate(
+                edges.map_batches(contrib, batch_format="pandas"),
+                [node_col], {"s": ("c", "sum"), "n": (None, "count")})
+                .to_pandas().sort_values(node_col))
+            cur_nodes = agg[node_col].to_numpy(np.int64)
+            cur = (agg["s"].to_numpy(np.float64)
+                   / agg["n"].to_numpy(np.float64))
+            outs.append(pd.DataFrame({
+                node_col: cur_nodes,
+                f"f{r + 1}": np.round(cur, round_to)}))
+        out = outs[-1][[node_col]]
+        for r, o in enumerate(outs):
+            out = out.merge(o, on=node_col, how="inner")
+        return rd.from_pandas(out)
+
+    # distributed route: feature table stays a Dataset
+    cur_ds = feats.map_batches(
+        lambda df: pd.DataFrame({src_col: df[node_col].to_numpy(np.int64),
+                                 "c": df[feat_col].to_numpy(np.float64)}),
+        batch_format="pandas").materialize()
+    round_tables = []
+    for r in range(rounds):
+        joined = hash_join(edges, cur_ds, on=src_col)
+        agg = pre_aggregate(
+            joined.map_batches(
+                lambda df: pd.DataFrame(
+                    {node_col: df[dst_col].to_numpy(np.int64),
+                     "c": df["c"].to_numpy(np.float64)}),
+                batch_format="pandas"),
+            [node_col], {"s": ("c", "sum"), "n": (None, "count")})
+        nxt = agg.map_batches(
+            lambda df: pd.DataFrame(
+                {node_col: df[node_col].to_numpy(np.int64),
+                 "c": df["s"].to_numpy(np.float64)
+                 / df["n"].to_numpy(np.float64)}),
+            batch_format="pandas").materialize()
+        round_tables.append((f"f{r + 1}", nxt))
+        cur_ds = nxt.map_batches(
+            lambda df: pd.DataFrame({src_col: df[node_col], "c": df["c"]}),
+            batch_format="pandas").materialize()
+    out = None
+    for name, t in round_tables:
+        tt = t.map_batches(
+            lambda df, _n=name: pd.DataFrame(
+                {node_col: df[node_col].to_numpy(np.int64),
+                 _n: np.round(df["c"].to_numpy(np.float64), round_to)}),
+            batch_format="pandas")
+        out = tt if out is None else hash_join(out, tt, on=node_col)
+    return out

@@ -259,3 +259,64 @@ def test_bfs_min_hop_on_multiple_paths(ray_session):
     got = (multi_source_bfs(rd.from_pandas(edges_df), [0, 5], 3)
            .to_pandas())
     assert dict(zip(got["node"], got["hop"]))[4] == 1
+
+
+# --- neighborhood feature aggregation -----------------------------------------
+
+
+def test_neighborhood_aggregate_matches_brute_force_both_routes(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.graph import neighborhood_aggregate
+
+    rng = np.random.default_rng(43)
+    edges_df = pd.DataFrame({
+        "src": rng.integers(0, 60, 300).astype(np.int64),
+        "dst": rng.integers(0, 60, 300).astype(np.int64)})
+    edges_df = (edges_df[edges_df.src != edges_df.dst]
+                .drop_duplicates().reset_index(drop=True))
+    feats_df = pd.DataFrame({"node": np.arange(60, dtype=np.int64),
+                             "f": rng.uniform(10, 500, 60)})
+    # brute force: two rounds of in-neighbor means
+    fmap = dict(zip(feats_df["node"], feats_df["f"]))
+    def one_round(fm):
+        out = {}
+        for dst, grp in edges_df.groupby("dst"):
+            vals = [fm[s] for s in grp["src"] if s in fm]
+            if vals:
+                out[int(dst)] = sum(vals) / len(vals)
+        return out
+    h1 = one_round(fmap)
+    h2 = one_round(h1)
+    nodes = sorted(set(h1) & set(h2))
+    for forced in (False, True):
+        got = (neighborhood_aggregate(
+            rd.from_pandas(edges_df).repartition(4),
+            rd.from_pandas(feats_df).repartition(3),
+            rounds=2, force_distributed=forced)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+        assert got["node"].tolist() == nodes, f"forced={forced}"
+        np.testing.assert_allclose(
+            got["f1"], [round(h1[v], 6) for v in nodes], atol=2e-6)
+        np.testing.assert_allclose(
+            got["f2"], [round(h2[v], 6) for v in nodes], atol=2e-6)
+
+
+def test_neighborhood_aggregate_exact_small(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.graph import neighborhood_aggregate
+
+    # 0→2, 1→2, 2→0: f1(2) = mean(f0, f1), f1(0) = f2; round 2 chains
+    edges_df = pd.DataFrame({"src": [0, 1, 2], "dst": [2, 2, 0]}).astype(
+        np.int64)
+    feats_df = pd.DataFrame({"node": [0, 1, 2],
+                             "f": [10.0, 20.0, 40.0]})
+    got = (neighborhood_aggregate(rd.from_pandas(edges_df),
+                                  rd.from_pandas(feats_df), rounds=2)
+           .to_pandas().set_index("node"))
+    assert got.loc[2, "f1"] == 15.0 and got.loc[0, "f1"] == 40.0
+    # round 2: f2(2) = mean(f1(0)) path needs f1 for 0 AND 1 — node 1
+    # has no f1 (no in-edges) so only edge 2→0 and 0→2 contribute where
+    # sources have f1: f2(0) = f1(2) = 15, f2(2) = f1(0) = 40
+    assert got.loc[0, "f2"] == 15.0 and got.loc[2, "f2"] == 40.0
