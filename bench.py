@@ -211,6 +211,7 @@ def main() -> None:
         "mv_refresh": Q.q_mv_refresh,
         "ts_codec": Q.q_ts_codec,
         "graph_features": Q.q_graph_features,
+        "target_encode": Q.q_target_encode,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

@@ -4453,6 +4453,73 @@ def q_decayed_engagement(sf_dir: str):
 _MV_SCRATCH = "/tmp/graft_scratch/mv_user_agg"
 
 
+def q_target_encode(sf_dir: str):
+    """Leakage-safe out-of-fold target encoding (the CatBoost/Kaggle
+    feature-engineering staple): each row's category encodes as the mean
+    target of the OTHER folds — te(c, k) = (S_c − S_{c,k})/(N_c −
+    N_{c,k}) with fold = event_id % 5 — so a row never sees its own
+    fold's target (the leakage the naive global mean commits).
+
+    Scale shape: ONE ``pre_aggregate`` on (category, fold) is the only
+    corpus exchange (O(cats × folds) driver rows); out-of-fold means
+    derive on the driver and broadcast; the attach is MAP-ONLY.
+    Categories confined to a single fold are dropped (no leakage-free
+    encoding exists) — mirrored by the oracle's positive-denominator
+    filter."""
+    import ray
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def with_fold(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "event_type": df["event_type"],
+            "fold": df["event_id"].to_numpy(np.int64) % 5,
+            "value": df["value"].to_numpy(np.float64)})
+
+    folded = ds.map_batches(with_fold, batch_format="pandas").materialize()
+    cf = pre_aggregate(folded, ["event_type", "fold"],
+                       {"s": ("value", "sum"),
+                        "n": (None, "count")}).to_pandas()
+    tot = cf.groupby("event_type", as_index=False).agg(
+        ts=("s", "sum"), tn=("n", "sum"))
+    cf = cf.merge(tot, on="event_type")
+    cf["oof_n"] = cf["tn"] - cf["n"]
+    cf = cf[cf["oof_n"] > 0]
+    cf["te"] = np.round((cf["ts"] - cf["s"]) / cf["oof_n"], 6)
+    lut = cf.set_index(["event_type", "fold"])["te"]
+    lut_ref = ray.put(lut)
+
+    def attach(df: pd.DataFrame) -> pd.DataFrame:
+        t = ray.get(lut_ref)
+        idx = pd.MultiIndex.from_arrays([df["event_type"], df["fold"]])
+        te = t.reindex(idx).to_numpy(np.float64)
+        keep = ~np.isnan(te)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64)[keep],
+            "event_type": df["event_type"].to_numpy()[keep],
+            "fold": df["fold"].to_numpy(np.int64)[keep],
+            "te": te[keep]})
+
+    return folded.map_batches(attach, batch_format="pandas")
+
+
+SQL_TARGET_ENCODE = """
+WITH f AS (SELECT event_id, event_type, event_id % 5 AS fold, value
+           FROM events),
+cf AS (SELECT event_type, fold, sum(value) AS s, count(*) AS n
+       FROM f GROUP BY event_type, fold),
+tot AS (SELECT event_type, sum(s) AS ts, sum(n) AS tn
+        FROM cf GROUP BY event_type),
+te AS (SELECT cf.event_type, cf.fold,
+              round((tot.ts - cf.s) / (tot.tn - cf.n), 6) AS te
+       FROM cf JOIN tot ON tot.event_type = cf.event_type
+       WHERE tot.tn - cf.n > 0)
+SELECT f.event_id, f.event_type, f.fold, te.te
+FROM f JOIN te ON te.event_type = f.event_type AND te.fold = f.fold
+"""
+
+
 _TS_CODEC_SCRATCH = "/tmp/graft_scratch/ts_blocks"
 
 
@@ -6499,6 +6566,7 @@ QUERIES = {
     "locf_impute": q_locf_impute,
     "mv_refresh": q_mv_refresh,
     "ts_codec": q_ts_codec,
+    "target_encode": q_target_encode,
     "funnel_stages": q_funnel_stages,
     "phrase_search": q_phrase_search,
     "snapshot_diff": q_snapshot_diff,
@@ -6635,6 +6703,7 @@ ORACLE_SQL = {
     "locf_impute": SQL_LOCF_IMPUTE,
     "mv_refresh": SQL_MV_REFRESH,
     "ts_codec": SQL_TS_CODEC,
+    "target_encode": SQL_TARGET_ENCODE,
     "funnel_stages": SQL_FUNNEL_STAGES,
     "phrase_search": SQL_PHRASE_SEARCH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,
