@@ -212,6 +212,8 @@ def main() -> None:
         "ts_codec": Q.q_ts_codec,
         "graph_features": Q.q_graph_features,
         "target_encode": Q.q_target_encode,
+        "ab_experiment": Q.q_ab_experiment,
+        "cusum_changepoint": Q.q_cusum_changepoint,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

@@ -4453,6 +4453,126 @@ def q_decayed_engagement(sf_dir: str):
 _MV_SCRATCH = "/tmp/graft_scratch/mv_user_agg"
 
 
+def q_cusum_changepoint(sf_dir: str):
+    """Per-user CUSUM change-point statistic (Page 1954 — the drift
+    detector behind data-quality and metric-shift monitoring): S_i =
+    running sum of (value − user mean) under (ts, event_id) order; the
+    emitted statistic is the CUSUM range max(S) − min(S), which is ~0
+    for stationary streams and grows linearly after a level shift.
+
+    Shape: user means via ONE ``pre_aggregate`` (O(users), broadcast
+    back); then ONE user co-shuffle whose bucket kernel is a composite
+    sort + a single pandas grouped cumsum + grouped min/max — no
+    per-user Python.  Round-6 absorbs windowed-sum association ulps."""
+    import ray
+
+    from searchengine_ray.stages.relational import (bucketed_apply,
+                                                    pre_aggregate)
+
+    ds = _pq(sf_dir, "events",
+             columns=["event_id", "user_id", "ts", "value"])
+    means = pre_aggregate(ds, ["user_id"],
+                          {"s": ("value", "sum"),
+                           "n": (None, "count")}).to_pandas()
+    mu = (means.assign(mu=means["s"] / means["n"])
+          .set_index("user_id")["mu"])
+    mu_ref = ray.put(mu)
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "user_id": pd.Series([], dtype=np.int64),
+                "n_events": pd.Series([], dtype=np.int64),
+                "cusum_range": pd.Series([], dtype=np.float64)})
+        m = ray.get(mu_ref)
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        d = (g["value"].to_numpy(np.float64)
+             - m.reindex(g["user_id"]).to_numpy(np.float64))
+        s = pd.Series(d).groupby(
+            g["user_id"].to_numpy(np.int64)).cumsum().to_numpy()
+        agg = (pd.DataFrame({"u": g["user_id"].to_numpy(np.int64), "s": s})
+               .groupby("u")["s"].agg(["max", "min", "size"]))
+        rng = agg["max"].to_numpy() - agg["min"].to_numpy()
+        # DuckDB round() is half-AWAY-from-zero; np.round is half-even.
+        # The range statistic can land exactly on a dyadic .5e-6 boundary
+        # (measured: 387.3640625 at sf0.01 user 146), so mirror DuckDB's
+        # rule explicitly — rng is non-negative, floor(x·1e6 + 0.5) is
+        # exact for the boundary cases (dyadic × 1e6 fits 53 bits)
+        return pd.DataFrame({
+            "user_id": agg.index.to_numpy(np.int64),
+            "n_events": agg["size"].to_numpy(np.int64),
+            "cusum_range": np.floor(rng * 1e6 + 0.5) / 1e6})
+
+    return bucketed_apply(ds, ["user_id"], kernel)
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH mu AS (SELECT user_id, sum(value) / count(*) AS m
+            FROM events GROUP BY user_id),
+s AS (SELECT e.user_id,
+             sum(e.value - mu.m) OVER (PARTITION BY e.user_id
+                                       ORDER BY e.ts, e.event_id
+                                       ROWS UNBOUNDED PRECEDING) AS cs
+      FROM events e JOIN mu ON mu.user_id = e.user_id)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+       round(max(cs) - min(cs), 6) AS cusum_range
+FROM s GROUP BY user_id
+"""
+
+
+def q_ab_experiment(sf_dir: str):
+    """A/B experiment readout (the analytics op behind every launch
+    decision): arms = user_id % 2, per event_type the Welch t statistic
+    of value between arms from the five ALGEBRAIC moments
+    (n, Σx, Σx²) per (type, arm) — ONE ``pre_aggregate`` is the only
+    corpus exchange (O(types × 2) driver rows), the t-formula is driver
+    arithmetic in the exact operation order the oracle mirrors
+    (m = s/n; var = (ss − s·s/n)/(n−1); t = (m₁−m₀)/√(v₁/n₁+v₀/n₀)),
+    rounded 6 so partial-sum association noise (~1e-10) cannot flip the
+    hash."""
+    ds = _pq(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def arm(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        return pd.DataFrame({"event_type": df["event_type"],
+                             "arm": df["user_id"].to_numpy(np.int64) % 2,
+                             "v": v, "v2": v * v})
+
+    agg = pre_aggregate(ds.map_batches(arm, batch_format="pandas"),
+                        ["event_type", "arm"],
+                        {"n": (None, "count"), "s": ("v", "sum"),
+                         "ss": ("v2", "sum")}).to_pandas()
+    a = agg[agg["arm"] == 0].set_index("event_type")
+    b = agg[agg["arm"] == 1].set_index("event_type")
+    types = sorted(set(a.index) & set(b.index))
+    rows = []
+    for t in types:
+        na, nb = float(a.loc[t, "n"]), float(b.loc[t, "n"])
+        ma, mb = a.loc[t, "s"] / na, b.loc[t, "s"] / nb
+        va = (a.loc[t, "ss"] - a.loc[t, "s"] * a.loc[t, "s"] / na) / (na - 1)
+        vb = (b.loc[t, "ss"] - b.loc[t, "s"] * b.loc[t, "s"] / nb) / (nb - 1)
+        tstat = (mb - ma) / np.sqrt(va / na + vb / nb)
+        rows.append((t, int(na), int(nb), round(mb - ma, 6),
+                     round(float(tstat), 6)))
+    return pd.DataFrame(rows, columns=["event_type", "n_a", "n_b",
+                                       "mean_diff", "t_stat"])
+
+
+SQL_AB_EXPERIMENT = """
+WITH m AS (SELECT event_type, user_id % 2 AS arm, count(*) AS n,
+                  sum(value) AS s, sum(value * value) AS ss
+           FROM events GROUP BY event_type, arm)
+SELECT a.event_type, CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+       round(b.s / b.n - a.s / a.n, 6) AS mean_diff,
+       round((b.s / b.n - a.s / a.n) /
+             sqrt(((a.ss - a.s * a.s / a.n) / (a.n - 1)) / a.n
+                  + ((b.ss - b.s * b.s / b.n) / (b.n - 1)) / b.n),
+             6) AS t_stat
+FROM m a JOIN m b ON a.event_type = b.event_type
+WHERE a.arm = 0 AND b.arm = 1
+"""
+
+
 def q_target_encode(sf_dir: str):
     """Leakage-safe out-of-fold target encoding (the CatBoost/Kaggle
     feature-engineering staple): each row's category encodes as the mean
@@ -6567,6 +6687,8 @@ QUERIES = {
     "mv_refresh": q_mv_refresh,
     "ts_codec": q_ts_codec,
     "target_encode": q_target_encode,
+    "ab_experiment": q_ab_experiment,
+    "cusum_changepoint": q_cusum_changepoint,
     "funnel_stages": q_funnel_stages,
     "phrase_search": q_phrase_search,
     "snapshot_diff": q_snapshot_diff,
@@ -6704,6 +6826,8 @@ ORACLE_SQL = {
     "mv_refresh": SQL_MV_REFRESH,
     "ts_codec": SQL_TS_CODEC,
     "target_encode": SQL_TARGET_ENCODE,
+    "ab_experiment": SQL_AB_EXPERIMENT,
+    "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
     "funnel_stages": SQL_FUNNEL_STAGES,
     "phrase_search": SQL_PHRASE_SEARCH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

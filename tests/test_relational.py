@@ -298,3 +298,30 @@ def test_user_trend_exact_line(ray_session):
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     assert slope == 3.0
     assert (sy - slope * sx) / n == 2.0
+
+
+# --- A/B experiment readout ---------------------------------------------------
+
+
+def test_ab_experiment_matches_independent_welch(ray_session):
+    """q_ab_experiment's moment-sum t must equal the textbook Welch t
+    computed independently via np.mean/np.var(ddof=1) per arm."""
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.queries import q_ab_experiment
+
+    sf = "/root/testdata/sf0.001"
+    got = q_ab_experiment(sf).set_index("event_type")
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["user_id", "event_type", "value"]
+                       ).to_pandas()
+    ev["arm"] = ev["user_id"] % 2
+    for t, grp in ev.groupby("event_type"):
+        a = grp[grp["arm"] == 0]["value"].to_numpy()
+        b = grp[grp["arm"] == 1]["value"].to_numpy()
+        tstat = (b.mean() - a.mean()) / np.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b))
+        assert got.loc[t, "n_a"] == len(a) and got.loc[t, "n_b"] == len(b)
+        assert abs(got.loc[t, "t_stat"] - round(float(tstat), 6)) < 1e-5
+        assert abs(got.loc[t, "mean_diff"]
+                   - round(float(b.mean() - a.mean()), 6)) < 1e-6

@@ -427,3 +427,41 @@ def test_locf_leading_and_all_null_user(ray_session):
     got = (locf_impute(rd.from_pandas(df), fill_lead=-1.0)
            .to_pandas().sort_values("event_id"))
     assert got["v_filled"].tolist() == [-1.0, 5.0, 5.0, -1.0, -1.0, -1.0]
+
+
+# --- CUSUM change point -------------------------------------------------------
+
+
+def test_cusum_detects_planted_level_shift(ray_session):
+    """A user whose mean jumps mid-stream must score a CUSUM range ~n·Δ/4,
+    far above a stationary user of the same variance."""
+    import pyarrow.parquet as pq  # noqa: F401 (parity with module style)
+
+    from searchengine_ray.pipelines.queries import q_cusum_changepoint
+
+    # brute-force the real query output on sf0.001 against a sequential
+    # reference, then check the planted-shift property synthetically
+    sf = "/root/testdata/sf0.001"
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_id", "user_id", "ts", "value"]
+                       ).to_pandas()
+    got = (q_cusum_changepoint(sf).to_pandas()
+           .set_index("user_id").sort_index())
+    for uid, grp in ev.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"], kind="mergesort")
+        d = g["value"].to_numpy() - g["value"].mean()
+        s = np.cumsum(d)
+        expect = np.floor((s.max() - s.min()) * 1e6 + 0.5) / 1e6
+        assert abs(got.loc[uid, "cusum_range"] - expect) < 2e-6
+        assert got.loc[uid, "n_events"] == len(g)
+    # synthetic property: shifted stream scores >> stationary stream
+    n = 200
+    flat = np.sin(np.arange(n))          # stationary, zero drift
+    shifted = np.concatenate([np.sin(np.arange(n // 2)),
+                              np.sin(np.arange(n // 2)) + 5.0])
+    def cusum_range(x):
+        d = x - x.mean()
+        s = np.cumsum(d)
+        return s.max() - s.min()
+    assert cusum_range(shifted) > 50 * cusum_range(flat) / 10
+    assert cusum_range(shifted) > 100.0
