@@ -214,6 +214,7 @@ def main() -> None:
         "target_encode": Q.q_target_encode,
         "ab_experiment": Q.q_ab_experiment,
         "cusum_changepoint": Q.q_cusum_changepoint,
+        "label_centroids": Q.q_label_centroids,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

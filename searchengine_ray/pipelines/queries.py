@@ -4453,6 +4453,62 @@ def q_decayed_engagement(sf_dir: str):
 _MV_SCRATCH = "/tmp/graft_scratch/mv_user_agg"
 
 
+def q_label_centroids(sf_dir: str):
+    """Grouped VECTOR aggregation — per-label mean embedding (class
+    centroids / prototype vectors for few-shot heads and centroid
+    classifiers): each batch reduces to k_batch × d partial sums via d
+    vectorized bincounts (the k-means moment kernel keyed by the LABEL
+    column instead of the assignment), ONE ``pre_aggregate`` on
+    (label, dim) is the only exchange, output long-form (label, dim,
+    mean) so the oracle can unnest-mirror it."""
+    from searchengine_ray.stages.kmeans import _emb_matrix_ws, _ws
+
+    ds = _pq(sf_dir, "embeddings", columns=["label", "embedding"])
+    first = ds.take_batch(1, batch_format="pyarrow")
+    d = len(first["embedding"][0])
+
+    def moments(t: pa.Table) -> pd.DataFrame:
+        if not t.num_rows:
+            return pd.DataFrame({"label": pd.Series([], dtype=np.int64),
+                                 "dim": pd.Series([], dtype=np.int64),
+                                 "s": pd.Series([], dtype=np.float64)})
+        emb = _emb_matrix_ws(t["embedding"], "lc_emb")
+        lab = t["label"].to_numpy().astype(np.int64, copy=False)
+        uniq, inv = np.unique(lab, return_inverse=True)
+        k = uniq.size
+        sums = _ws("lc_sums", (k, d + 1))
+        for j in range(d):
+            sums[:, j] = np.bincount(inv, weights=emb[:, j], minlength=k)
+        sums[:, d] = np.bincount(inv, minlength=k)
+        return pd.DataFrame({
+            "label": np.repeat(uniq, d + 1),
+            "dim": np.tile(np.arange(d + 1, dtype=np.int64), k),
+            "s": sums.ravel().copy()})
+
+    agg = pre_aggregate(ds.map_batches(moments, batch_format="pyarrow"),
+                        ["label", "dim"], {"s": ("s", "sum")}).to_pandas()
+    wide = agg.pivot(index="label", columns="dim", values="s")
+    n = wide[d].to_numpy(np.float64)
+    rows = []
+    for j in range(d):
+        rows.append(pd.DataFrame({
+            "label": wide.index.to_numpy(np.int64),
+            "dim": np.int64(j),
+            "mean": np.round(wide[j].to_numpy(np.float64) / n, 6)}))
+    return pd.concat(rows, ignore_index=True)
+
+
+SQL_LABEL_CENTROIDS = """
+WITH u AS (SELECT label,
+                  unnest(CAST(embedding AS DOUBLE[])) AS x,
+                  unnest(range(0, len(embedding))) AS dim
+           FROM embeddings)
+SELECT CAST(label AS BIGINT) AS label, dim,
+       round(sum(x) / count(*), 6) AS mean
+FROM u GROUP BY label, dim
+"""
+
+
 def q_cusum_changepoint(sf_dir: str):
     """Per-user CUSUM change-point statistic (Page 1954 — the drift
     detector behind data-quality and metric-shift monitoring): S_i =
@@ -6689,6 +6745,7 @@ QUERIES = {
     "target_encode": q_target_encode,
     "ab_experiment": q_ab_experiment,
     "cusum_changepoint": q_cusum_changepoint,
+    "label_centroids": q_label_centroids,
     "funnel_stages": q_funnel_stages,
     "phrase_search": q_phrase_search,
     "snapshot_diff": q_snapshot_diff,
@@ -6828,6 +6885,7 @@ ORACLE_SQL = {
     "target_encode": SQL_TARGET_ENCODE,
     "ab_experiment": SQL_AB_EXPERIMENT,
     "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
+    "label_centroids": SQL_LABEL_CENTROIDS,
     "funnel_stages": SQL_FUNNEL_STAGES,
     "phrase_search": SQL_PHRASE_SEARCH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

@@ -187,3 +187,24 @@ def test_cluster_balanced_sample_equalizes_coverage(blob_ds, blob_df,
     a = got.sort_values(["cluster", "vec_id"]).reset_index(drop=True)
     b = got2.sort_values(["cluster", "vec_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+# --- grouped embedding centroids ----------------------------------------------
+
+
+def test_label_centroids_matches_numpy(ray_session):
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.queries import q_label_centroids
+
+    sf = "/root/testdata/sf0.001"
+    got = q_label_centroids(sf)
+    t = pq.read_table(f"{sf}/embeddings.parquet",
+                      columns=["label", "embedding"]).to_pandas()
+    x = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"]])
+    for lab, grp in t.groupby("label"):
+        ref = np.round(x[grp.index].mean(0), 6)
+        sub = (got[got["label"] == lab].sort_values("dim")["mean"]
+               .to_numpy())
+        np.testing.assert_allclose(sub, ref, atol=2e-6)
+    assert len(got) == t["label"].nunique() * x.shape[1]
