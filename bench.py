@@ -215,6 +215,7 @@ def main() -> None:
         "ab_experiment": Q.q_ab_experiment,
         "cusum_changepoint": Q.q_cusum_changepoint,
         "label_centroids": Q.q_label_centroids,
+        "graph_communities": Q.q_graph_communities,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

@@ -4358,6 +4358,53 @@ def q_graph_bfs(sf_dir: str):
     return multi_source_bfs(edges, seeds, max_hops=3)
 
 
+def q_graph_communities(sf_dir: str):
+    """Community detection by deterministic synchronous label
+    propagation (3 rounds, mode of in-neighbor labels, ties to the
+    smallest label) over the deterministic doc graph — per round one
+    broadcast label vector + one count ``pre_aggregate`` + one
+    keep-best co-shuffle; the driver holds O(V) labels, never the O(E)
+    count table.  See ``stages/graph.label_propagation``."""
+    from searchengine_ray.stages.graph import label_propagation
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id"])
+    n = ds.count()
+
+    def explode_edges(df: pd.DataFrame) -> pd.DataFrame:
+        src = np.repeat(df["doc_id"].to_numpy(np.int64), 3)
+        j = np.tile(np.array([1, 2, 3], dtype=np.int64), len(df))
+        dst = (src * 31 + j) % n
+        keep = src != dst
+        return pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+
+    edges = ds.map_batches(explode_edges, batch_format="pandas")
+    return label_propagation(edges, num_nodes=n, rounds=3)
+
+
+def _lpa_round(i: int) -> str:
+    p = i - 1
+    return f"""
+c{i} AS (SELECT e.dst AS node, l{p}.lab, count(*) AS c
+         FROM e JOIN l{p} ON l{p}.node = e.src GROUP BY e.dst, l{p}.lab),
+u{i} AS (SELECT node, lab
+         FROM (SELECT node, lab, row_number() OVER (
+                   PARTITION BY node ORDER BY c DESC, lab) AS rn FROM c{i})
+         WHERE rn = 1),
+l{i} AS (SELECT l{p}.node, coalesce(u{i}.lab, l{p}.lab) AS lab
+         FROM l{p} LEFT JOIN u{i} ON u{i}.node = l{p}.node)"""
+
+
+SQL_GRAPH_COMMUNITIES = f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (SELECT doc_id AS src, (doc_id * 31 + j.j) % n.n AS dst
+      FROM documents, n, (VALUES (1), (2), (3)) AS j(j)
+      WHERE doc_id <> (doc_id * 31 + j.j) % n.n),
+l0 AS (SELECT doc_id AS node, doc_id AS lab FROM documents),
+{','.join(_lpa_round(i) for i in (1, 2, 3))}
+SELECT node, lab AS community FROM l3
+"""
+
+
 def q_graph_features(sf_dir: str):
     """Two rounds of neighbor-mean message passing over the deterministic
     doc graph (GNN-style graph feature engineering): f1 = mean of
@@ -6732,6 +6779,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "graph_bfs": q_graph_bfs,
     "graph_features": q_graph_features,
+    "graph_communities": q_graph_communities,
     "triangle_count": q_triangle_count,
     "covisit_pairs": q_covisit_pairs,
     "decayed_engagement": q_decayed_engagement,
@@ -6872,6 +6920,7 @@ ORACLE_SQL = {
     "pagerank": SQL_PAGERANK,
     "graph_bfs": SQL_GRAPH_BFS,
     "graph_features": SQL_GRAPH_FEATURES,
+    "graph_communities": SQL_GRAPH_COMMUNITIES,
     "triangle_count": SQL_TRIANGLE_COUNT,
     "covisit_pairs": SQL_COVISIT_PAIRS,
     "decayed_engagement": SQL_DECAYED_ENGAGEMENT,

@@ -498,3 +498,76 @@ def neighborhood_aggregate(edges: Dataset, feats: Dataset, rounds: int = 2,
             batch_format="pandas")
         out = tt if out is None else hash_join(out, tt, on=node_col)
     return out
+
+
+def label_propagation(edges: Dataset, num_nodes: int, rounds: int = 3,
+                      src_col: str = "src", dst_col: str = "dst",
+                      broadcast_threshold: int = DEFAULT_BROADCAST_NODES
+                      ) -> Dataset:
+    """Synchronous label propagation (Raghavan et al. 2007) with a
+    DETERMINISTIC update — community detection over the link graph:
+    label⁰(v) = v; each round every node takes the most frequent label
+    among its in-neighbors, ties to the SMALLEST label (the
+    determinism-restoring rule async LPA lacks), run a FIXED number of
+    rounds so the oracle can unroll them.  Nodes without in-edges keep
+    their label.
+
+    Scale shape per round: the label vector broadcasts via ``ray.put``
+    (O(V) driver — the pagerank-route contract, with the same honest
+    threshold), one edge map pass emits (dst, src label), one
+    ``pre_aggregate`` counts (dst, label), and ONE ``bucketed_apply``
+    keep-best picks each node's mode — the driver never sees the O(E)
+    count table."""
+    import ray
+
+    from searchengine_ray.stages.relational import (bucketed_apply,
+                                                    pre_aggregate)
+
+    if num_nodes > broadcast_threshold:
+        raise NotImplementedError(
+            "label_propagation: above the broadcast threshold keep the "
+            "label table a Dataset (hash_join per round, the pagerank "
+            "distributed route); the query fixture stays below it")
+    edges = edges.materialize()
+    import ray.data as rd
+
+    def explode_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [df[src_col].to_numpy(np.int64),
+             df[dst_col].to_numpy(np.int64)])})
+
+    nd_tbl = pre_aggregate(
+        edges.map_batches(explode_nodes, batch_format="pandas"),
+        ["node"], {"_c": (None, "count")}).to_pandas()
+    nodes = np.sort(nd_tbl["node"].to_numpy(np.int64))  # O(V) ≤ threshold
+    labels = nodes.copy()                               # label⁰(v) = v
+
+    for _ in range(rounds):
+        ref = ray.put((nodes, labels))
+
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            nd, lb = ray.get(ref)
+            s = df[src_col].to_numpy(np.int64)
+            pos = np.searchsorted(nd, s)
+            return pd.DataFrame({
+                "node": df[dst_col].to_numpy(np.int64),
+                "lab": lb[pos]})
+
+        tagged = edges.map_batches(tag, batch_format="pandas")
+        cnt = pre_aggregate(tagged, ["node", "lab"],
+                            {"c": (None, "count")})
+
+        def keep_best(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["node", "c", "lab"],
+                              ascending=[True, False, True],
+                              kind="mergesort")
+            return g.drop_duplicates("node")[["node", "lab"]]
+
+        upd = bucketed_apply(cnt, ["node"], keep_best).to_pandas()
+        un = upd["node"].to_numpy(np.int64)
+        order = np.argsort(un)
+        # nodes without in-edges keep their previous label
+        pos = np.searchsorted(nodes, un[order])
+        labels = labels.copy()
+        labels[pos] = upd["lab"].to_numpy(np.int64)[order]
+    return rd.from_pandas(pd.DataFrame({"node": nodes, "community": labels}))

@@ -320,3 +320,54 @@ def test_neighborhood_aggregate_exact_small(ray_session):
     # has no f1 (no in-edges) so only edge 2→0 and 0→2 contribute where
     # sources have f1: f2(0) = f1(2) = 15, f2(2) = f1(0) = 40
     assert got.loc[0, "f2"] == 15.0 and got.loc[2, "f2"] == 40.0
+
+
+# --- label propagation communities --------------------------------------------
+
+
+def test_label_propagation_matches_brute_force(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.graph import label_propagation
+
+    rng = np.random.default_rng(47)
+    edges_df = pd.DataFrame({
+        "src": rng.integers(0, 50, 260).astype(np.int64),
+        "dst": rng.integers(0, 50, 260).astype(np.int64)})
+    edges_df = (edges_df[edges_df.src != edges_df.dst]
+                .drop_duplicates().reset_index(drop=True))
+    got = (label_propagation(rd.from_pandas(edges_df).repartition(4),
+                             num_nodes=50, rounds=3)
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    # brute force: synchronous, mode of in-neighbor labels, min tiebreak
+    import collections
+    nodes = sorted(set(edges_df["src"]) | set(edges_df["dst"]))
+    lab = {v: v for v in nodes}
+    inn = collections.defaultdict(list)
+    for s, d in zip(edges_df["src"], edges_df["dst"]):
+        inn[int(d)].append(int(s))
+    for _ in range(3):
+        new = dict(lab)
+        for v in nodes:
+            if inn[v]:
+                cnt = collections.Counter(lab[u] for u in inn[v])
+                best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+        lab = new
+    assert dict(zip(got["node"], got["community"])) == lab
+
+
+def test_label_propagation_two_cliques_converge(ray_session):
+    import ray.data as rd
+
+    from searchengine_ray.stages.graph import label_propagation
+
+    # two disjoint directed triangles: each collapses to its min label
+    edges_df = pd.DataFrame({
+        "src": [0, 1, 2, 0, 1, 2, 10, 11, 12, 10, 11, 12],
+        "dst": [1, 2, 0, 2, 0, 1, 11, 12, 10, 12, 10, 11]}).astype(np.int64)
+    got = (label_propagation(rd.from_pandas(edges_df), num_nodes=6,
+                             rounds=3).to_pandas())
+    comm = dict(zip(got["node"], got["community"]))
+    assert comm[0] == comm[1] == comm[2] == 0
+    assert comm[10] == comm[11] == comm[12] == 10
