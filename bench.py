@@ -216,6 +216,7 @@ def main() -> None:
         "cusum_changepoint": Q.q_cusum_changepoint,
         "label_centroids": Q.q_label_centroids,
         "graph_communities": Q.q_graph_communities,
+        "schema_evolution": Q.q_schema_evolution,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

@@ -4500,6 +4500,68 @@ def q_decayed_engagement(sf_dir: str):
 _MV_SCRATCH = "/tmp/graft_scratch/mv_user_agg"
 
 
+_EVOLVE_SCRATCH = "/tmp/graft_scratch/evolved_segments"
+
+
+def q_schema_evolution(sf_dir: str):
+    """Schema-on-read over two writer generations: v1 segments carry
+    (doc_id, lang, n_chars), v2 segments added ``source`` and DROPPED
+    ``n_chars`` — the reader declares the target schema and every
+    segment conforms by name with typed defaults (n_chars → −1,
+    source → 'unknown'), then one aggregate proves the unified read.
+    Per-segment column pruning reads only what exists there; conform is
+    map-only, the union shuffles nothing.  See ``sources/evolve.py``."""
+    import shutil
+
+    from searchengine_ray.sources.evolve import read_evolved
+
+    ds = _pq(sf_dir, "documents",
+             columns=["doc_id", "lang", "source", "n_chars"])
+    shutil.rmtree(_EVOLVE_SCRATCH, ignore_errors=True)
+
+    def v1(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] % 2 == 0]
+        return d[["doc_id", "lang", "n_chars"]]
+
+    def v2(df: pd.DataFrame) -> pd.DataFrame:
+        d = df[df["doc_id"] % 2 == 1]
+        return d[["doc_id", "lang", "source"]]
+
+    ds.map_batches(v1, batch_format="pandas").write_parquet(
+        f"{_EVOLVE_SCRATCH}/v1")
+    ds.map_batches(v2, batch_format="pandas").write_parquet(
+        f"{_EVOLVE_SCRATCH}/v2")
+
+    unified = read_evolved(
+        [f"{_EVOLVE_SCRATCH}/v1", f"{_EVOLVE_SCRATCH}/v2"],
+        {"doc_id": (np.int64, 0), "lang": (None, ""),
+         "n_chars": (np.int64, -1), "source": (None, "unknown")})
+    agg = pre_aggregate(unified, ["lang", "source"],
+                        {"n_docs": (None, "count"),
+                         "sum_chars": ("n_chars", "sum")})
+
+    def fix(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "lang": df["lang"], "source": df["source"],
+            "n_docs": df["n_docs"].to_numpy(np.int64),
+            "sum_chars": df["sum_chars"].to_numpy(np.int64)})
+
+    return agg.map_batches(fix, batch_format="pandas")
+
+
+SQL_SCHEMA_EVOLUTION = """
+WITH unified AS (
+  SELECT doc_id, lang, n_chars, 'unknown' AS source
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, lang, -1 AS n_chars, source
+  FROM documents WHERE doc_id % 2 = 1)
+SELECT lang, source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM unified GROUP BY lang, source
+"""
+
+
 def q_label_centroids(sf_dir: str):
     """Grouped VECTOR aggregation — per-label mean embedding (class
     centroids / prototype vectors for few-shot heads and centroid
@@ -6794,6 +6856,7 @@ QUERIES = {
     "ab_experiment": q_ab_experiment,
     "cusum_changepoint": q_cusum_changepoint,
     "label_centroids": q_label_centroids,
+    "schema_evolution": q_schema_evolution,
     "funnel_stages": q_funnel_stages,
     "phrase_search": q_phrase_search,
     "snapshot_diff": q_snapshot_diff,
@@ -6935,6 +6998,7 @@ ORACLE_SQL = {
     "ab_experiment": SQL_AB_EXPERIMENT,
     "cusum_changepoint": SQL_CUSUM_CHANGEPOINT,
     "label_centroids": SQL_LABEL_CENTROIDS,
+    "schema_evolution": SQL_SCHEMA_EVOLUTION,
     "funnel_stages": SQL_FUNNEL_STAGES,
     "phrase_search": SQL_PHRASE_SEARCH,
     "snapshot_diff": SQL_SNAPSHOT_DIFF,

@@ -119,3 +119,41 @@ def test_rerun_after_complete_writes_nothing(ray_session):
                             "grp", order_by=["doc_id"])
     assert not stats["written"].any()
     assert _file_hashes(run_dir) == pre
+
+
+# --- schema-evolution read ----------------------------------------------------
+
+
+def test_read_evolved_conforms_and_defaults(ray_session):
+    import tempfile
+
+    import ray.data as rd
+
+    from searchengine_ray.sources.evolve import read_evolved
+
+    with tempfile.TemporaryDirectory(prefix="sr_evolve_") as root:
+        v1 = pd.DataFrame({"id": np.arange(5, dtype=np.int64),
+                           "a": np.arange(5, dtype=np.int64) * 10,
+                           "legacy_junk": ["x"] * 5})
+        v2 = pd.DataFrame({"id": np.arange(5, 9, dtype=np.int64),
+                           "b": ["p", "q", "r", "s"]})
+        rd.from_pandas(v1).write_parquet(f"{root}/v1")
+        rd.from_pandas(v2).write_parquet(f"{root}/v2")
+        got = (read_evolved([f"{root}/v1", f"{root}/v2"],
+                            {"id": (np.int64, 0), "a": (np.int64, -1),
+                             "b": (None, "none")})
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        assert list(got.columns) == ["id", "a", "b"]
+        assert got["a"].tolist() == [0, 10, 20, 30, 40, -1, -1, -1, -1]
+        assert got["b"].tolist() == ["none"] * 5 + ["p", "q", "r", "s"]
+        # undeclared physical column never surfaces
+        assert "legacy_junk" not in got.columns
+
+
+def test_read_evolved_empty_segments_raise(ray_session):
+    import pytest as _pytest
+
+    from searchengine_ray.sources.evolve import read_evolved
+
+    with _pytest.raises(ValueError, match="no segments"):
+        read_evolved([], {"id": (np.int64, 0)})
