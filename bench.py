@@ -217,6 +217,8 @@ def main() -> None:
         "label_centroids": Q.q_label_centroids,
         "graph_communities": Q.q_graph_communities,
         "schema_evolution": Q.q_schema_evolution,
+        "winsorize": Q.q_winsorize,
+        "throttle_dedup": Q.q_throttle_dedup,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))

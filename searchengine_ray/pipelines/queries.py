@@ -5032,6 +5032,82 @@ UNION ALL SELECT 'event_type_in_set', bad_type, bad_type = 0 FROM s
 """
 
 
+def q_winsorize(sf_dir: str):
+    """Percentile winsorization (robust-statistics preprocessing): event
+    values clip to the exact global [p05, p95] — two
+    ``exact_global_quantile`` passes (O(bins) driver rows per refinement
+    pass, never a sort) then a map-only clip against the two broadcast
+    scalars.  Quantiles are exact order statistics so both sides clip at
+    the identical boundary; clipped values pass through unchanged (no
+    rounding margin)."""
+    from searchengine_ray.stages.sketches import exact_global_quantile
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "value"]).materialize()
+    lo = exact_global_quantile(ds, "value", 0.05)
+    hi = exact_global_quantile(ds, "value", 0.95)
+
+    def clip(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "event_id": df["event_id"].to_numpy(np.int64),
+            "v_clip": np.clip(v, lo, hi)})
+
+    return ds.map_batches(clip, batch_format="pandas")
+
+
+SQL_WINSORIZE = """
+WITH q AS (SELECT quantile_cont(value, 0.05) AS lo,
+                  quantile_cont(value, 0.95) AS hi FROM events)
+SELECT event_id, least(greatest(value, q.lo), q.hi) AS v_clip
+FROM events, q
+"""
+
+
+def q_throttle_dedup(sf_dir: str):
+    """Sliding-window dedup / rate limiting (the recrawl-policy shape —
+    drop a key's event if the SAME key fired within the last 2 hours):
+    keep rows where ts − previous-kept... — note the subtlety: the
+    industry-standard formulation (and the one a LAG window can express)
+    compares to the previous EVENT, not the previous KEPT event; this
+    operator implements that LAG form exactly.  ONE key co-shuffle, per
+    bucket a composite sort + one shifted same-key compare (the
+    ``item_transitions`` kernel shape) — no per-key Python."""
+    from searchengine_ray.stages.relational import bucketed_apply
+
+    W_US = 2 * 3600 * 1_000_000
+    ds = _pq(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "user_id": pd.Series([], dtype=np.int64)})
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        t = g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+        prev_same = np.zeros(len(g), dtype=bool)
+        prev_same[1:] = u[1:] == u[:-1]
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = W_US + 1
+        gap[1:] = t[1:] - t[:-1]
+        keep = ~prev_same | (gap > W_US)
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64)[keep],
+            "user_id": u[keep]})
+
+    return bucketed_apply(ds, ["user_id"], kernel)
+
+
+SQL_THROTTLE_DEDUP = """
+SELECT event_id, user_id
+FROM (SELECT event_id, user_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events)
+WHERE gap IS NULL OR gap > 7200000000
+"""
+
+
 def q_quantile_normalize(sf_dir: str):
     """Percent-rank quantile normalization of the event value column —
     the rank-gauss/quantile-transform feature preprocessing: a GLOBAL
@@ -6847,6 +6923,8 @@ QUERIES = {
     "decayed_engagement": q_decayed_engagement,
     "retention_cohorts": q_retention_cohorts,
     "quantile_normalize": q_quantile_normalize,
+    "winsorize": q_winsorize,
+    "throttle_dedup": q_throttle_dedup,
     "data_quality": q_data_quality,
     "dp_counts": q_dp_counts,
     "locf_impute": q_locf_impute,
@@ -6989,6 +7067,8 @@ ORACLE_SQL = {
     "decayed_engagement": SQL_DECAYED_ENGAGEMENT,
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "quantile_normalize": SQL_QUANTILE_NORMALIZE,
+    "winsorize": SQL_WINSORIZE,
+    "throttle_dedup": SQL_THROTTLE_DEDUP,
     "data_quality": SQL_DATA_QUALITY,
     "dp_counts": SQL_DP_COUNTS,
     "locf_impute": SQL_LOCF_IMPUTE,

@@ -124,3 +124,49 @@ def test_quantile_normalize_degenerate_and_single(ray_session):
         rd.from_pandas(pd.DataFrame({"id": [5], "v": [2.0]})),
         "v", "id").to_pandas()
     assert one["pct"].tolist() == [0.0]
+
+
+# --- winsorization + throttle dedup (query-level pins) ------------------------
+
+
+def test_winsorize_clips_at_exact_quantiles(ray_session):
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.queries import q_winsorize
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_winsorize(sf).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_id", "value"]).to_pandas()
+    lo = np.quantile(ev["value"], 0.05)
+    hi = np.quantile(ev["value"], 0.95)
+    ref = np.clip(ev.sort_values("event_id")["value"].to_numpy(), lo, hi)
+    np.testing.assert_allclose(got["v_clip"].to_numpy(), ref, atol=1e-9)
+    assert (got["v_clip"] >= lo - 1e-12).all()
+    assert (got["v_clip"] <= hi + 1e-12).all()
+    # clipping actually binds at both tails
+    assert (got["v_clip"].to_numpy() == lo).sum() >= len(ev) * 0.04
+    assert (got["v_clip"].to_numpy() == hi).sum() >= len(ev) * 0.04
+
+
+def test_throttle_dedup_matches_lag_brute_force(ray_session):
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.queries import q_throttle_dedup
+
+    sf = "/root/testdata/sf0.001"
+    got = set(q_throttle_dedup(sf).to_pandas()["event_id"])
+    ev = (pq.read_table(f"{sf}/events.parquet",
+                        columns=["event_id", "user_id", "ts"]).to_pandas()
+          .sort_values(["user_id", "ts", "event_id"], kind="mergesort"))
+    W = 2 * 3600 * 1_000_000
+    keep = set()
+    for _, g in ev.groupby("user_id"):
+        t = g["ts"].astype("int64").to_numpy()
+        ids = g["event_id"].to_numpy()
+        for i in range(len(g)):
+            if i == 0 or t[i] - t[i - 1] > W:
+                keep.add(int(ids[i]))
+    assert got == keep
+    assert 0 < len(keep) < len(ev)   # the window binds non-vacuously
