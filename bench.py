@@ -218,6 +218,7 @@ def main() -> None:
         "graph_communities": Q.q_graph_communities,
         "schema_evolution": Q.q_schema_evolution,
         "winsorize": Q.q_winsorize,
+        "mad_outliers": Q.q_mad_outliers,
         "throttle_dedup": Q.q_throttle_dedup,
     }
     if BENCH_ONLY:

@@ -5032,6 +5032,53 @@ UNION ALL SELECT 'event_type_in_set', bad_type, bad_type = 0 FROM s
 """
 
 
+def q_mad_outliers(sf_dir: str):
+    """Median-absolute-deviation outliers per event type — the ROBUST
+    sibling of ``zscore_outliers`` (moments break under the very
+    outliers they hunt; medians don't): flag rows where
+    |v − med| / (1.4826·MAD) > 1.8, the scaled-MAD rule.
+
+    Shape: ONE group co-shuffle (``bucketed_apply``) computes median,
+    MAD and flags in a single kernel per bucket — groups co-locate
+    whole, both order statistics come from vectorized pandas groupby
+    medians, nothing leaves except flagged rows.  The threshold applies
+    to the ROUNDED score on both sides so the 1.8 boundary cannot
+    flip."""
+    from searchengine_ray.stages.relational import bucketed_apply
+
+    ds = _pq(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "event_type": pd.Series([], dtype=str),
+                "mad_z": pd.Series([], dtype=np.float64)})
+        med = g.groupby("event_type")["value"].transform("median")
+        dev = (g["value"] - med).abs()
+        mad = dev.groupby(g["event_type"]).transform("median")
+        z = np.round(dev.to_numpy() / (1.4826 * mad.to_numpy()), 6)
+        keep = z > 1.8
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64)[keep],
+            "event_type": g["event_type"].to_numpy()[keep],
+            "mad_z": z[keep]})
+
+    return bucketed_apply(ds, ["event_type"], kernel)
+
+
+SQL_MAD_OUTLIERS = """
+WITH med AS (SELECT event_type, median(value) AS m
+             FROM events GROUP BY event_type),
+mad AS (SELECT e.event_type, median(abs(e.value - med.m)) AS d
+        FROM events e JOIN med USING (event_type) GROUP BY e.event_type)
+SELECT e.event_id, e.event_type,
+       round(abs(e.value - med.m) / (1.4826 * mad.d), 6) AS mad_z
+FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
+WHERE round(abs(e.value - med.m) / (1.4826 * mad.d), 6) > 1.8
+"""
+
+
 def q_winsorize(sf_dir: str):
     """Percentile winsorization (robust-statistics preprocessing): event
     values clip to the exact global [p05, p95] — two
@@ -6924,6 +6971,7 @@ QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "quantile_normalize": q_quantile_normalize,
     "winsorize": q_winsorize,
+    "mad_outliers": q_mad_outliers,
     "throttle_dedup": q_throttle_dedup,
     "data_quality": q_data_quality,
     "dp_counts": q_dp_counts,
@@ -7068,6 +7116,7 @@ ORACLE_SQL = {
     "retention_cohorts": SQL_RETENTION_COHORTS,
     "quantile_normalize": SQL_QUANTILE_NORMALIZE,
     "winsorize": SQL_WINSORIZE,
+    "mad_outliers": SQL_MAD_OUTLIERS,
     "throttle_dedup": SQL_THROTTLE_DEDUP,
     "data_quality": SQL_DATA_QUALITY,
     "dp_counts": SQL_DP_COUNTS,

@@ -38,3 +38,38 @@ def test_zscore_outliers_matches_pandas(ray_session):
     assert len(got) > 0
     # both tails present
     assert (got["z"] > 0).any() and (got["z"] < 0).any()
+
+
+def test_mad_outliers_matches_brute_force_and_robustness(ray_session):
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.queries import q_mad_outliers
+
+    sf = "/root/testdata/sf0.001"
+    got = (q_mad_outliers(sf).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    ev = pq.read_table(f"{sf}/events.parquet",
+                       columns=["event_id", "event_type", "value"]
+                       ).to_pandas()
+    rows = []
+    for t, g in ev.groupby("event_type"):
+        med = g["value"].median()
+        mad = (g["value"] - med).abs().median()
+        z = np.round((g["value"] - med).abs() / (1.4826 * mad), 6)
+        for eid, zz in zip(g["event_id"], z):
+            if zz > 1.8:
+                rows.append((int(eid), t, float(zz)))
+    rows.sort()
+    assert list(map(tuple, got[["event_id", "event_type", "mad_z"]]
+                    .to_numpy())) == rows
+    assert len(rows) > 0                      # the threshold binds
+    # robustness property: one enormous planted outlier barely moves the
+    # MAD z of other points (it would explode a moment-based z's sigma)
+    base = np.concatenate([np.random.default_rng(1).normal(0, 1, 500),
+                           [1e6]])
+    med = np.median(base)
+    mad = np.median(np.abs(base - med))
+    z_others = np.abs(base[:-1] - med) / (1.4826 * mad)
+    assert np.quantile(z_others, 0.99) < 4.0  # scale stays ~N(0,1)
+    sigma = base.std()
+    assert (np.abs(base[:-1] - base.mean()) / sigma).max() < 0.1  # z broken
