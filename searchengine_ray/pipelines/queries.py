@@ -6836,6 +6836,109 @@ FROM events GROUP BY user_id
 
 
 QUERIES = {
+    # ORDER IS THE CERTIFICATION ROTATION: the driver's CORRECTNESS gate
+    # checks the first ~50 entries, so entries with no prior driver-green
+    # row in CORRECTNESS_r01..r04 come first (highest-priority 50, then the
+    # remaining never-checked ones), and rounds-1-4-certified entries last.
+    # ORACLE_SQL below is name-keyed; its order is irrelevant.
+    "knn_pq": q_knn_pq,
+    "knn_ivfpq": q_knn_ivfpq,
+    "bpe_stats": q_bpe_stats,
+    "graph_communities": q_graph_communities,
+    "pagerank": q_pagerank,
+    "graph_bfs": q_graph_bfs,
+    "graph_features": q_graph_features,
+    "triangle_count": q_triangle_count,
+    "schema_evolution": q_schema_evolution,
+    "mv_refresh": q_mv_refresh,
+    "ts_codec": q_ts_codec,
+    "winsorize": q_winsorize,
+    "mad_outliers": q_mad_outliers,
+    "audio_stats": q_audio_stats,
+    "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
+    "audio_pipeline": q_audio_pipeline,
+    "video_stats": q_video_stats,
+    "video_neardup": q_video_neardup,
+    "video_aligned_neardup": q_video_aligned_neardup,
+    "video_pipeline": q_video_pipeline,
+    "split_assign": q_split_assign,
+    "stratified_sample": q_stratified_sample,
+    "weighted_mix": q_weighted_mix,
+    "epoch_mix": q_epoch_mix,
+    "weighted_sample": q_weighted_sample,
+    "join_sample": q_join_sample,
+    "pack_sequences": q_pack_sequences,
+    "global_shuffle": q_global_shuffle,
+    "grouped_split": q_grouped_split,
+    "temperature_mix": q_temperature_mix,
+    "upsert_merge": q_upsert_merge,
+    "compact_small_files": q_compact_small_files,
+    "zorder_layout": q_zorder_layout,
+    "time_travel": q_time_travel,
+    "snapshot_diff": q_snapshot_diff,
+    "resumable_sink": q_resumable_sink,
+    "token_freq_cms": q_token_freq_cms,
+    "mmr_rerank": q_mmr_rerank,
+    "decontaminate": q_decontaminate,
+    "fuzzy_decontaminate": q_fuzzy_decontaminate,
+    "index_merge": q_index_merge,
+    "bm25_search": q_bm25_search,
+    "hybrid_search": q_hybrid_search,
+    "phrase_search": q_phrase_search,
+    "k_anonymize": q_k_anonymize,
+    "dp_counts": q_dp_counts,
+    "remove_boilerplate": q_remove_boilerplate,
+    "caption_alignment": q_caption_alignment,
+    "retention_cohorts": q_retention_cohorts,
+    "cusum_changepoint": q_cusum_changepoint,
+    "docs_cube": q_docs_cube,
+    "distinct_users_hll": q_distinct_users_hll,
+    "knn_ivf_insert": q_knn_ivf_insert,
+    "image_rot_neardup": q_image_rot_neardup,
+    "image_multimodal_clusters": q_image_multimodal_clusters,
+    "training_corpus": q_training_corpus,
+    "redact_entities": q_redact_entities,
+    "quantile_filter": q_quantile_filter,
+    "repetition_stats": q_repetition_stats,
+    "dup_window_stats": q_dup_window_stats,
+    "remove_dup_spans": q_remove_dup_spans,
+    "lm_perplexity": q_lm_perplexity,
+    "corpus_refresh": q_corpus_refresh,
+    "image_aspect_buckets": q_image_aspect_buckets,
+    "lm_quality_buckets": q_lm_quality_buckets,
+    "event_value_bands": q_event_value_bands,
+    "domain_quality_filter": q_domain_quality_filter,
+    "bm25_compressed": q_bm25_compressed,
+    "rolling_active_users": q_rolling_active_users,
+    "item_transitions": q_item_transitions,
+    "value_histogram": q_value_histogram,
+    "skew_join": q_skew_join,
+    "user_trend": q_user_trend,
+    "stream_join": q_stream_join,
+    "interval_join": q_interval_join,
+    "jsonl_ingest": q_jsonl_ingest,
+    "bloom_join": q_bloom_join,
+    "token_drift": q_token_drift,
+    "late_data": q_late_data,
+    "zscore_outliers": q_zscore_outliers,
+    "gap_fill_daily": q_gap_fill_daily,
+    "anchor_texts": q_anchor_texts,
+    "postings_codec": q_postings_codec,
+    "collocations": q_collocations,
+    "covisit_pairs": q_covisit_pairs,
+    "decayed_engagement": q_decayed_engagement,
+    "quantile_normalize": q_quantile_normalize,
+    "throttle_dedup": q_throttle_dedup,
+    "data_quality": q_data_quality,
+    "locf_impute": q_locf_impute,
+    "target_encode": q_target_encode,
+    "ab_experiment": q_ab_experiment,
+    "label_centroids": q_label_centroids,
+    "funnel_stages": q_funnel_stages,
+    "table_profile": q_table_profile,
+    "chunk_documents": q_chunk_documents,
+    "doc_embeddings": q_doc_embeddings,
+    "vocab_encode": q_vocab_encode,
     "pricing_summary": q_pricing_summary,
     "top_orders": q_top_orders,
     "customers_per_region": q_customers_per_region,
@@ -6854,14 +6957,12 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_df": q_token_df,
     "token_topk_freq": q_token_topk_freq,
-    "token_freq_cms": q_token_freq_cms,
     "heavy_tokens": q_heavy_tokens,
     "tfidf_top": q_tfidf_top,
     "lang_count": q_lang_count,
     "token_counts": q_token_counts,
     "knn_bruteforce": q_knn_bruteforce,
     "knn_multi": q_knn_multi,
-    "mmr_rerank": q_mmr_rerank,
     "url_canon": q_url_canon,
     "boolean_search": q_boolean_search,
     "index_stats": q_index_stats,
@@ -6886,111 +6987,15 @@ QUERIES = {
     "pca_project": q_pca_project,
     "customers_no_urgent": q_customers_no_urgent,
     "orders_rollup": q_orders_rollup,
-    "docs_cube": q_docs_cube,
     "dedup_keep_best": q_dedup_keep_best,
     "user_running_total": q_user_running_total,
     "event_value_quantiles": q_event_value_quantiles,
     "event_value_quantiles_sketch": q_event_value_quantiles_sketch,
-    "distinct_users_hll": q_distinct_users_hll,
     "events_sliding_1h": q_events_sliding_1h,
     "knn_ivf": q_knn_ivf,
-    "knn_ivf_insert": q_knn_ivf_insert,
     "image_phash_neardup": q_image_phash_neardup,
-    "image_rot_neardup": q_image_rot_neardup,
     "image_stats": q_image_stats,
     "image_multimodal_neardup": q_image_multimodal_neardup,
-    "image_multimodal_clusters": q_image_multimodal_clusters,
-    "caption_alignment": q_caption_alignment,
-    "audio_stats": q_audio_stats,
-    "audio_fingerprint_neardup": q_audio_fingerprint_neardup,
-    "audio_pipeline": q_audio_pipeline,
-    "video_stats": q_video_stats,
-    "video_neardup": q_video_neardup,
-    "video_aligned_neardup": q_video_aligned_neardup,
-    "video_pipeline": q_video_pipeline,
-    "split_assign": q_split_assign,
-    "stratified_sample": q_stratified_sample,
-    "weighted_mix": q_weighted_mix,
-    "epoch_mix": q_epoch_mix,
-    "weighted_sample": q_weighted_sample,
-    "join_sample": q_join_sample,
-    "pack_sequences": q_pack_sequences,
-    "decontaminate": q_decontaminate,
-    "fuzzy_decontaminate": q_fuzzy_decontaminate,
-    "training_corpus": q_training_corpus,
-    "redact_entities": q_redact_entities,
-    "quantile_filter": q_quantile_filter,
-    "repetition_stats": q_repetition_stats,
-    "dup_window_stats": q_dup_window_stats,
-    "remove_dup_spans": q_remove_dup_spans,
-    "lm_perplexity": q_lm_perplexity,
-    "index_merge": q_index_merge,
-    "corpus_refresh": q_corpus_refresh,
-    "image_aspect_buckets": q_image_aspect_buckets,
-    "lm_quality_buckets": q_lm_quality_buckets,
-    "event_value_bands": q_event_value_bands,
-    "domain_quality_filter": q_domain_quality_filter,
-    "remove_boilerplate": q_remove_boilerplate,
-    "global_shuffle": q_global_shuffle,
-    "bm25_search": q_bm25_search,
-    "bm25_compressed": q_bm25_compressed,
-    "hybrid_search": q_hybrid_search,
-    "upsert_merge": q_upsert_merge,
-    "rolling_active_users": q_rolling_active_users,
-    "item_transitions": q_item_transitions,
-    "value_histogram": q_value_histogram,
-    "skew_join": q_skew_join,
-    "user_trend": q_user_trend,
-    "compact_small_files": q_compact_small_files,
-    "stream_join": q_stream_join,
-    "interval_join": q_interval_join,
-    "k_anonymize": q_k_anonymize,
-    "jsonl_ingest": q_jsonl_ingest,
-    "bloom_join": q_bloom_join,
-    "zorder_layout": q_zorder_layout,
-    "grouped_split": q_grouped_split,
-    "token_drift": q_token_drift,
-    "time_travel": q_time_travel,
-    "knn_pq": q_knn_pq,
-    "knn_ivfpq": q_knn_ivfpq,
-    "bpe_stats": q_bpe_stats,
-    "late_data": q_late_data,
-    "zscore_outliers": q_zscore_outliers,
-    "gap_fill_daily": q_gap_fill_daily,
-    "temperature_mix": q_temperature_mix,
-    "anchor_texts": q_anchor_texts,
-    "postings_codec": q_postings_codec,
-    "collocations": q_collocations,
-    "pagerank": q_pagerank,
-    "graph_bfs": q_graph_bfs,
-    "graph_features": q_graph_features,
-    "graph_communities": q_graph_communities,
-    "triangle_count": q_triangle_count,
-    "covisit_pairs": q_covisit_pairs,
-    "decayed_engagement": q_decayed_engagement,
-    "retention_cohorts": q_retention_cohorts,
-    "quantile_normalize": q_quantile_normalize,
-    "winsorize": q_winsorize,
-    "mad_outliers": q_mad_outliers,
-    "throttle_dedup": q_throttle_dedup,
-    "data_quality": q_data_quality,
-    "dp_counts": q_dp_counts,
-    "locf_impute": q_locf_impute,
-    "mv_refresh": q_mv_refresh,
-    "ts_codec": q_ts_codec,
-    "target_encode": q_target_encode,
-    "ab_experiment": q_ab_experiment,
-    "cusum_changepoint": q_cusum_changepoint,
-    "label_centroids": q_label_centroids,
-    "schema_evolution": q_schema_evolution,
-    "funnel_stages": q_funnel_stages,
-    "phrase_search": q_phrase_search,
-    "snapshot_diff": q_snapshot_diff,
-    "table_profile": q_table_profile,
-    "resumable_sink": q_resumable_sink,
-    "chunk_documents": q_chunk_documents,
-    "doc_embeddings": q_doc_embeddings,
-    "vocab_encode": q_vocab_encode,
 }
 
 ORACLE_SQL = {
