@@ -33,6 +33,18 @@ def _pq(sf_dir: str, table: str, **kw):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", **kw)
 
 
+def round6_half_away(x):
+    """Round to 6 decimals half-AWAY-from-zero — DuckDB's ``round()`` rule.
+
+    ``np.round`` is half-EVEN, and the two rules disagree exactly on dyadic
+    .5e-6 boundaries, which real statistics do hit (measured: a cusum range
+    of 387.3640625 at sf0.01 flipped the gate).  Any round-6 value emitted
+    by an SQL-gated query should come through here.  Sign-aware: works for
+    negative statistics (mean diffs, t stats, MMR scores)."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 # --- 1. pricing summary (A1-style grouped agg with map-side combine) -------
 
 def q_pricing_summary(sf_dir: str):
@@ -4658,15 +4670,13 @@ def q_cusum_changepoint(sf_dir: str):
         agg = (pd.DataFrame({"u": g["user_id"].to_numpy(np.int64), "s": s})
                .groupby("u")["s"].agg(["max", "min", "size"]))
         rng = agg["max"].to_numpy() - agg["min"].to_numpy()
-        # DuckDB round() is half-AWAY-from-zero; np.round is half-even.
-        # The range statistic can land exactly on a dyadic .5e-6 boundary
-        # (measured: 387.3640625 at sf0.01 user 146), so mirror DuckDB's
-        # rule explicitly — rng is non-negative, floor(x·1e6 + 0.5) is
-        # exact for the boundary cases (dyadic × 1e6 fits 53 bits)
+        # DuckDB round() is half-AWAY-from-zero; np.round is half-even, and
+        # the range statistic can land exactly on a dyadic .5e-6 boundary
+        # (measured: 387.3640625 at sf0.01 user 146) — shared helper
         return pd.DataFrame({
             "user_id": agg.index.to_numpy(np.int64),
             "n_events": agg["size"].to_numpy(np.int64),
-            "cusum_range": np.floor(rng * 1e6 + 0.5) / 1e6})
+            "cusum_range": round6_half_away(rng)})
 
     return bucketed_apply(ds, ["user_id"], kernel)
 
@@ -4717,8 +4727,12 @@ def q_ab_experiment(sf_dir: str):
         va = (a.loc[t, "ss"] - a.loc[t, "s"] * a.loc[t, "s"] / na) / (na - 1)
         vb = (b.loc[t, "ss"] - b.loc[t, "s"] * b.loc[t, "s"] / nb) / (nb - 1)
         tstat = (mb - ma) / np.sqrt(va / na + vb / nb)
-        rows.append((t, int(na), int(nb), round(mb - ma, 6),
-                     round(float(tstat), 6)))
+        # half-away rule (shared helper): mean_diff/t_stat are signed and can
+        # in principle land on a dyadic .5e-6 boundary where Python round()
+        # (half-even) and the oracle's DuckDB round() (half-away) diverge
+        rows.append((t, int(na), int(nb),
+                     float(round6_half_away(mb - ma)),
+                     float(round6_half_away(float(tstat)))))
     return pd.DataFrame(rows, columns=["event_type", "n_a", "n_b",
                                        "mean_diff", "t_stat"])
 
@@ -5057,8 +5071,15 @@ def q_mad_outliers(sf_dir: str):
         med = g.groupby("event_type")["value"].transform("median")
         dev = (g["value"] - med).abs()
         mad = dev.groupby(g["event_type"]).transform("median")
-        z = np.round(dev.to_numpy() / (1.4826 * mad.to_numpy()), 6)
-        keep = z > 1.8
+        # MAD = 0 guard (a group where > 50% of values are identical): the
+        # unguarded division gives inf/nan and the DuckDB side's /0
+        # semantics are version-dependent — both sides drop mad <= 0 rows
+        madv = mad.to_numpy(np.float64)
+        devv = dev.to_numpy(np.float64)
+        pos = madv > 0
+        z = np.zeros(len(g), dtype=np.float64)
+        z[pos] = np.round(devv[pos] / (1.4826 * madv[pos]), 6)
+        keep = pos & (z > 1.8)
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(np.int64)[keep],
             "event_type": g["event_type"].to_numpy()[keep],
@@ -5075,7 +5096,8 @@ mad AS (SELECT e.event_type, median(abs(e.value - med.m)) AS d
 SELECT e.event_id, e.event_type,
        round(abs(e.value - med.m) / (1.4826 * mad.d), 6) AS mad_z
 FROM events e JOIN med USING (event_type) JOIN mad USING (event_type)
-WHERE round(abs(e.value - med.m) / (1.4826 * mad.d), 6) > 1.8
+WHERE mad.d > 0
+  AND round(abs(e.value - med.m) / (1.4826 * mad.d), 6) > 1.8
 """
 
 

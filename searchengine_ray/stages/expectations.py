@@ -64,18 +64,25 @@ def data_quality_checks(ds: Dataset, checks: list[tuple],
 
     rows = []
     if scalar:
-        parts = (ds.map_batches(partial, batch_format="pandas",
-                                batch_size=batch_size).to_pandas()
-                 .groupby("i")["v"])  # O(checks × batches) scalar rows
+        pdf = ds.map_batches(partial, batch_format="pandas",
+                             batch_size=batch_size).to_pandas()
+        # O(checks × batches) scalar rows; a dataset that yields ZERO
+        # partial rows (the canonical failure case — an empty table) must
+        # still produce a verdict per check, so absent groups default to
+        # the merge identity (empty series → 0 for the summed counts,
+        # ±inf for the extremes) instead of raising KeyError
+        groups = ({int(i): g for i, g in pdf.groupby("i")["v"]}
+                  if len(pdf) else {})  # empty ds → columnless frame
+    empty = pd.Series([], dtype=np.float64)
     for (name, kind, col, param), grp in (
-            zip(scalar, (parts.get_group(i) for i in range(len(scalar))))
+            zip(scalar, (groups.get(i, empty) for i in range(len(scalar))))
             if scalar else ()):
         if kind in ("row_count_ge", "not_null", "in_set"):
             m = float(grp.sum())
         elif kind == "min_ge":
-            m = float(grp.min())
+            m = float(grp.min()) if len(grp) else np.inf
         else:
-            m = float(grp.max())
+            m = float(grp.max()) if len(grp) else -np.inf
         passed = {"row_count_ge": lambda: m >= param,
                   "not_null": lambda: m == 0.0,
                   "in_set": lambda: m == 0.0,
@@ -91,8 +98,8 @@ def data_quality_checks(ds: Dataset, checks: list[tuple],
             c = df["c"].to_numpy(np.int64)
             return pd.DataFrame({"s": [float((c[c > 1] - 1).sum())]})
 
-        m = float(cnt.map_batches(surplus, batch_format="pandas")
-                  .to_pandas()["s"].sum())
+        sdf = cnt.map_batches(surplus, batch_format="pandas").to_pandas()
+        m = float(sdf["s"].sum()) if len(sdf) else 0.0  # empty ds → no cols
         rows.append((name, m, m == 0.0))
 
     order = {n: i for i, (n, *_rest) in enumerate(checks)}

@@ -545,6 +545,10 @@ def count_min_build(
     (r, idx, c) rows; one ``pre_aggregate`` sums them and the driver
     assembles the ≤ d×w final table — nothing value-cardinality-scaled
     anywhere.  ``weight_col`` counts weighted occurrences (None = 1).
+    Partials are float64 (exact for integer weights below 2^53, so the
+    unweighted / integer-weight sketch is int64 and bit-deterministic
+    under repartitioning); fractional weights return a float64 sketch
+    whose one-sided est ≥ true guarantee still holds exactly.
 
     Batch sizing is the cost lever: a high-cardinality batch emits up to
     d×w partial rows, so batches must be LARGE relative to the sketch
@@ -559,15 +563,21 @@ def count_min_build(
         if not len(df):
             return pd.DataFrame({"r": pd.Series([], dtype=np.int64),
                                  "idx": pd.Series([], dtype=np.int64),
-                                 "c": pd.Series([], dtype=np.int64)})
+                                 "c": pd.Series([], dtype=np.float64)})
         idx = _cm_rows(df[col], depth, width)
         w = (df[weight_col].to_numpy(np.float64) if weight_col else None)
-        arena = np.empty(depth * width, dtype=np.int64)
+        # Partials stay float64 all the way to the driver: truncating each
+        # batch's bincount to int64 here would make a fractional-weight
+        # sketch UNDERCOUNT (breaking the one-sided est >= true guarantee)
+        # and depend on batch boundaries (breaking bit-determinism under
+        # repartitioning).  Integer weights are exact in float64 below 2^53
+        # so that path is unchanged bit-for-bit.
+        arena = np.empty(depth * width, dtype=np.float64)
         for i in range(depth):
             # bincount beats np.add.at ~10× (buffered C loop vs unbuffered
             # scatter); float64 weight accumulation is exact below 2^53
             arena[i * width:(i + 1) * width] = np.bincount(
-                idx[i], weights=w, minlength=width).astype(np.int64)
+                idx[i], weights=w, minlength=width)
         nz = np.nonzero(arena)[0]
         return pd.DataFrame({"r": nz // width, "idx": nz % width,
                              "c": arena[nz]})
@@ -576,9 +586,17 @@ def count_min_build(
         ds.map_batches(partial, batch_format="pandas",
                        batch_size=batch_size),
         ["r", "idx"], {"c": ("c", "sum")}).to_pandas()
-    sk = np.zeros((depth, width), dtype=np.int64)
-    sk[agg["r"].to_numpy(np.int64), agg["idx"].to_numpy(np.int64)] = \
-        agg["c"].to_numpy(np.int64)
+    vals = agg["c"].to_numpy(np.float64)
+    # One dtype decision, once, on the driver: integral totals (the common
+    # unweighted / integer-weight case) come back as an int64 sketch,
+    # bit-identical to the pre-fix behavior; genuinely fractional weights
+    # yield a float64 sketch (deterministic up to float-sum association,
+    # which fractional weights imply regardless of sketch dtype).
+    integral = bool(np.all(vals == np.rint(vals)))
+    sk = np.zeros((depth, width),
+                  dtype=np.int64 if integral else np.float64)
+    sk[agg["r"].to_numpy(np.int64), agg["idx"].to_numpy(np.int64)] = (
+        vals.astype(np.int64) if integral else vals)
     return sk
 
 

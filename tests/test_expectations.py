@@ -67,3 +67,22 @@ def test_unknown_kind_raises(ray_session):
     with pytest.raises(ValueError, match="unknown check kind"):
         data_quality_checks(_ds(pd.DataFrame({"a": [1]})),
                             [("x", "nope", "a", None)])
+
+
+def test_empty_table_fails_row_count_not_crash(ray_session):
+    """An empty dataset is the canonical failure case: it must yield a
+    failing row_count_ge VERDICT (and vacuous passes for the rest), not a
+    KeyError from the absent partial groups."""
+    df = pd.DataFrame({"a": pd.Series([], dtype=np.int64),
+                       "b": pd.Series([], dtype=np.float64)})
+    out = data_quality_checks(_ds(df, 2), [
+        ("rows", "row_count_ge", None, 1),
+        ("a_nn", "not_null", "a", None),
+        ("b_min", "min_ge", "b", 0.0),
+        ("b_max", "max_le", "b", 10.0),
+        ("a_set", "in_set", "a", [0, 1]),
+        ("a_uni", "unique", "a", None)])
+    byname = {r.check: r for r in out.itertuples()}
+    assert byname["rows"].passed == False and byname["rows"].metric == 0.0
+    for name in ("a_nn", "b_min", "b_max", "a_set", "a_uni"):
+        assert byname[name].passed == True

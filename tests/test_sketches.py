@@ -383,3 +383,38 @@ def test_count_min_weighted_matches_exploded(ray_session):
     plain = count_min_build(rd.from_pandas(exploded), "v", depth=3,
                             width=64)
     np.testing.assert_array_equal(weighted, plain)
+
+
+def test_count_min_fractional_weights_one_sided(ray_session):
+    """Fractional weight_col: partials stay float64 to the driver, so the
+    one-sided est >= true guarantee holds exactly and the sketch cannot
+    depend on batch boundaries (a per-batch int truncation broke both)."""
+    import ray.data as rd
+
+    from searchengine_ray.stages.sketches import (count_min_build,
+                                                  count_min_query)
+
+    rng = np.random.default_rng(23)
+    keys = rng.integers(0, 300, 4000).astype(np.int64)
+    w = rng.uniform(0.01, 0.99, 4000)           # strictly fractional
+    df = pd.DataFrame({"v": keys, "w": w})
+    sk = count_min_build(rd.from_pandas(df).repartition(5), "v",
+                         depth=4, width=1024, weight_col="w",
+                         batch_size=256)        # force many partials
+    assert sk.dtype == np.float64               # fractional ⇒ float sketch
+    exact = df.groupby("v")["w"].sum()
+    q = pd.Series(exact.index.to_numpy(np.int64))
+    est = count_min_query(sk, q)
+    assert (est >= exact.to_numpy() - 1e-9).all()   # one-sided survives
+    # batch boundaries cannot change the sketch beyond float-sum association
+    sk2 = count_min_build(rd.from_pandas(df).repartition(11), "v",
+                          depth=4, width=1024, weight_col="w",
+                          batch_size=64)
+    np.testing.assert_allclose(sk, sk2, rtol=0, atol=1e-9)
+    # integer weights keep the pre-fix int64 bit-deterministic contract
+    df_i = pd.DataFrame({"v": keys, "w": (w * 10).astype(np.int64) + 1})
+    sk_i = count_min_build(rd.from_pandas(df_i).repartition(5), "v",
+                           depth=4, width=1024, weight_col="w",
+                           batch_size=256)
+    assert sk_i.dtype == np.int64
+    assert int(sk_i.sum()) == 4 * int(df_i["w"].sum())

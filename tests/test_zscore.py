@@ -73,3 +73,28 @@ def test_mad_outliers_matches_brute_force_and_robustness(ray_session):
     assert np.quantile(z_others, 0.99) < 4.0  # scale stays ~N(0,1)
     sigma = base.std()
     assert (np.abs(base[:-1] - base.mean()) / sigma).max() < 0.1  # z broken
+
+
+def test_mad_outliers_mad_zero_group_dropped(ray_session, tmp_path):
+    """A group where >50% of the values are identical has MAD = 0 — the
+    unguarded score is inf/nan and DuckDB's division-by-zero semantics are
+    setting-dependent, so BOTH sides drop the whole group (engine kernel
+    mad>0 mask ≡ SQL `WHERE mad.d > 0`)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from searchengine_ray.pipelines.queries import q_mad_outliers
+
+    n = 40
+    ev = pa.table({
+        "event_id": pa.array(range(2 * n), pa.int64()),
+        "event_type": pa.array(["flat"] * n + ["spread"] * n),
+        # "flat": 30 identical values + 10 wild ones ⇒ MAD = 0 exactly
+        "value": pa.array([5.0] * 30 + [1e5 * i for i in range(1, 11)]
+                          + [float(i * i) for i in range(n)], pa.float64()),
+    })
+    pq.write_table(ev, tmp_path / "events.parquet")
+    got = q_mad_outliers(str(tmp_path)).to_pandas()
+    assert not (got["event_type"] == "flat").any()     # whole group dropped
+    assert (got["event_type"] == "spread").any()       # normal group flags
+    assert np.isfinite(got["mad_z"]).all()
