@@ -33,16 +33,12 @@ def _pq(sf_dir: str, table: str, **kw):
     return rd.read_parquet(f"{sf_dir}/{table}.parquet", **kw)
 
 
-def round6_half_away(x):
-    """Round to 6 decimals half-AWAY-from-zero — DuckDB's ``round()`` rule.
-
-    ``np.round`` is half-EVEN, and the two rules disagree exactly on dyadic
-    .5e-6 boundaries, which real statistics do hit (measured: a cusum range
-    of 387.3640625 at sf0.01 flipped the gate).  Any round-6 value emitted
-    by an SQL-gated query should come through here.  Sign-aware: works for
-    negative statistics (mean diffs, t stats, MMR scores)."""
-    x = np.asarray(x, dtype=np.float64)
-    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+# DuckDB's round() rule (half-away-from-zero) for every round-6 value an
+# SQL-gated query emits — np.round's half-even disagrees on dyadic
+# boundaries (measured: cusum 387.3640625 at sf0.01).  Canonical home is
+# utils.rounding so non-pipeline stages can share it without importing this
+# module.
+from searchengine_ray.utils.rounding import round6_half_away  # noqa: E402
 
 
 # --- 1. pricing summary (A1-style grouped agg with map-side combine) -------
@@ -487,6 +483,9 @@ ORDER BY n DESC, token LIMIT 20
 
 # --- 9b2. Count-Min point-frequency estimates (stages/sketches.py) ----------
 
+_CMS_SCRATCH = "/tmp/graft_scratch/cms_estimates"
+
+
 def q_token_freq_cms(sf_dir: str):
     """Count-Min frequency estimates for the exact top-20 tokens — the
     unbounded-cardinality sibling of token_topk_freq (when the exact
@@ -494,10 +493,17 @@ def q_token_freq_cms(sf_dir: str):
     answers point lookups with est ≥ true, est ≤ true + N·e/w whp).
     Build = one corpus pass emitting only nonzero counters + one
     ``pre_aggregate``; integer merges make the sketch bit-deterministic
-    under repartitioning.  No SQL oracle (approximate by design, the
-    HLL/quantile-sketch class); the guarantees are pytest-gated in
-    tests/test_sketches.py and the emitted rows carry exact AND
-    estimate so the one-sided bound is visible in the output."""
+    under repartitioning.
+
+    SQL-gated via the sketch's OWN guarantee (an approximate operator
+    gated without faking exactness): the emitted rows carry exact AND
+    estimate, so the oracle recomputes the exact top-20 independently,
+    joins the ENGINE-PERSISTED estimates, and keeps a row only when
+    est ≥ exact AND est − exact ≤ ⌈e·N/w⌉ — an estimate that
+    undercounts, overshoots the ε-bound, or disagrees on the exact
+    column drops the row and fails the gate.  The ε-bound is
+    deterministic here (fixed hashing, fixed data); the distributional
+    guarantees stay pytest-gated in tests/test_sketches.py."""
     from searchengine_ray.stages.relational import global_topk
     from searchengine_ray.stages.sketches import (count_min_build,
                                                   count_min_query)
@@ -515,9 +521,34 @@ def q_token_freq_cms(sf_dir: str):
     counts = pre_aggregate(toks, ["token"], {"n": ("cnt", "sum")})
     top = global_topk(counts, ["n", "token"], [False, True], 20)
     est = count_min_query(sk, top["token"])
-    return pd.DataFrame({"token": top["token"],
-                         "n_exact": top["n"].astype(np.int64),
-                         "n_est": est.astype(np.int64)})
+    out = pd.DataFrame({"token": top["token"],
+                        "n_exact": top["n"].astype(np.int64),
+                        "n_est": est.astype(np.int64)})
+    import shutil
+
+    import pyarrow.parquet as papq
+    shutil.rmtree(_CMS_SCRATCH, ignore_errors=True)
+    os.makedirs(_CMS_SCRATCH, exist_ok=True)
+    papq.write_table(pa.Table.from_pandas(out[["token", "n_est"]]),
+                     os.path.join(_CMS_SCRATCH, "estimates.parquet"))
+    return out
+
+
+SQL_TOKEN_FREQ_CMS = f"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS token
+  FROM documents),
+t2 AS (SELECT token FROM toks WHERE token <> ''),
+tot AS (SELECT count(*) AS nn FROM t2),
+top AS (SELECT token, count(*) AS n FROM t2 GROUP BY token
+        ORDER BY n DESC, token LIMIT 20),
+est AS (SELECT token, n_est
+        FROM read_parquet('{_CMS_SCRATCH}/*.parquet'))
+SELECT t.token, t.n AS n_exact, e.n_est
+FROM top t JOIN est e USING (token), tot
+WHERE e.n_est >= t.n
+  AND e.n_est - t.n <= CAST(ceil(2.718281828459045 * tot.nn / 2048) AS BIGINT)
+"""
 
 
 # --- 9c. heavy-hitter tokens (MG sketch candidates + exact recount) ----------
@@ -650,6 +681,9 @@ QUALIFY row_number() OVER (PARTITION BY qid
 
 # --- 12c. MMR diverse re-ranking (stages/knn.mmr_select) --------------------
 
+_MMR_SCRATCH = "/tmp/graft_scratch/mmr_sims"
+
+
 def q_mmr_rerank(sf_dir: str):
     """Diversity re-ranking after dense retrieval: top-50 cosine
     candidates per query (one corpus pass via the batched matmul), then
@@ -659,11 +693,18 @@ def q_mmr_rerank(sf_dir: str):
     id-filtered parquet pushdown read (O(Q×C) rows) and the greedy is
     bounded driver arithmetic — the ``rrf_fuse`` contract.
 
-    No SQL oracle: the greedy is an ITERATIVE argmax whose step t
-    depends on the selected set of steps 1..t-1 (the same
-    non-SQL-expressible class as bpe_stats' merge loop); semantics are
-    pinned by an independent sequential reference + a planted-duplicate
-    diversity test in tests/test_knn.py."""
+    SQL-gated by UNROLLING the greedy (the pattern graph_communities
+    uses for its LPA rounds): the engine persists its relevance vector
+    and candidate pairwise sims (O(Q×C²) rows, C = 50), and the oracle
+    replays the k = 10 selection steps as generated chained argmax CTEs
+    over those ENGINE-PERSISTED doubles — parquet float64 round-trips
+    exactly, multiplication/subtraction/max are deterministic IEEE ops,
+    so both sides argmax over bit-identical scores and ties resolve to
+    the smallest vec_id on both.  The independent sequential reference
+    + planted-duplicate diversity test in tests/test_knn.py still pin
+    the semantics."""
+    import shutil
+
     import pyarrow.parquet as papq
 
     qt = papq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -681,17 +722,77 @@ def q_mmr_rerank(sf_dir: str):
     vmat = np.stack([np.asarray(e, dtype=np.float64)
                      for e in vt["embedding"].to_pylist()])
     pos = {int(v): i for i, v in enumerate(vid)}
-    outs = []
+    outs, rel_rows, sim_rows = [], [], []
     for _, qrow in queries.iterrows():
         qid = int(qrow["query_id"])
         c = cand[cand["query_id"] == qid]
-        ids = c["vec_id"].to_numpy(np.int64)
-        mat = vmat[[pos[int(i)] for i in ids]]
-        sel = knn_stage.mmr_select(np.asarray(qrow["vec"], np.float64),
-                                   ids, mat, k=10, lam=0.7)
+        cids = c["vec_id"].to_numpy(np.int64)
+        mat = vmat[[pos[int(i)] for i in cids]]
+        ids, rel, simmat = knn_stage.mmr_matrices(
+            np.asarray(qrow["vec"], np.float64), cids, mat)
+        C = len(ids)
+        rel_rows.append(pd.DataFrame({
+            "query_id": np.full(C, qid, np.int64),
+            "vec_id": ids, "rel": rel}))
+        aa, bb = np.meshgrid(ids, ids, indexing="ij")
+        sim_rows.append(pd.DataFrame({
+            "query_id": np.full(C * C, qid, np.int64),
+            "a": aa.ravel(), "b": bb.ravel(), "s": simmat.ravel()}))
+        sel = knn_stage.mmr_greedy(ids, rel, simmat, k=10, lam=0.7)
         sel.insert(0, "query_id", np.int64(qid))
         outs.append(sel)
+    shutil.rmtree(_MMR_SCRATCH, ignore_errors=True)
+    os.makedirs(_MMR_SCRATCH, exist_ok=True)
+    papq.write_table(pa.Table.from_pandas(pd.concat(rel_rows)),
+                     os.path.join(_MMR_SCRATCH, "rel.parquet"))
+    papq.write_table(pa.Table.from_pandas(pd.concat(sim_rows)),
+                     os.path.join(_MMR_SCRATCH, "sim.parquet"))
     return pd.concat(outs, ignore_index=True)
+
+
+def _mmr_unrolled_sql(k: int = 10, lam: float = 0.7) -> str:
+    """Generate the k-step MMR greedy as chained argmax CTEs over the
+    engine-persisted rel/sim scratch tables (graph_communities' generated
+    LPA-round pattern).  λ constants are written so DuckDB's double
+    arithmetic reproduces numpy's (1.0 - 0.7 ⇒ the same 0.30000000000000004
+    on both sides)."""
+    parts = [f"""
+WITH rel AS MATERIALIZED (SELECT query_id, vec_id, rel
+             FROM read_parquet('{_MMR_SCRATCH}/rel.parquet')),
+sim AS MATERIALIZED (SELECT query_id, a, b, s
+        FROM read_parquet('{_MMR_SCRATCH}/sim.parquet')),
+pick1 AS MATERIALIZED (SELECT query_id, vec_id, {lam} * rel AS score,
+                 CAST(0 AS BIGINT) AS "rank" FROM rel
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY {lam} * rel DESC, vec_id) = 1),
+sel1 AS MATERIALIZED (SELECT query_id, vec_id FROM pick1)"""]
+    for t in range(2, k + 1):
+        parts.append(f""",
+sc{t} AS MATERIALIZED (SELECT c.query_id, c.vec_id,
+                 {lam} * c.rel - (1.0 - {lam}) * max(p.s) AS score
+          FROM rel c
+          JOIN sim p ON p.query_id = c.query_id AND p.a = c.vec_id
+          JOIN sel{t - 1} ch ON ch.query_id = p.query_id
+                            AND ch.vec_id = p.b
+          WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} x
+                            WHERE x.query_id = c.query_id
+                              AND x.vec_id = c.vec_id)
+          GROUP BY c.query_id, c.vec_id, c.rel),
+pick{t} AS MATERIALIZED (SELECT query_id, vec_id, score,
+                   CAST({t - 1} AS BIGINT) AS "rank" FROM sc{t}
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, vec_id) = 1),
+sel{t} AS MATERIALIZED (SELECT query_id, vec_id FROM sel{t - 1}
+           UNION ALL SELECT query_id, vec_id FROM pick{t})""")
+    picks = " UNION ALL ".join(f"SELECT * FROM pick{t}"
+                               for t in range(1, k + 1))
+    parts.append(f"""
+SELECT query_id, "rank", vec_id, round(score, 6) AS mmr_score
+FROM ({picks})""")
+    return "".join(parts)
+
+
+SQL_MMR_RERANK = _mmr_unrolled_sql()
 
 
 # --- 13. URL canonicalize/hash over synthesized doc URLs (M6-M8) ------------
@@ -7039,12 +7140,19 @@ ORACLE_SQL = {
     "dedup_exact": SQL_DEDUP_EXACT,
     "token_df": SQL_TOKEN_DF,
     "token_topk_freq": SQL_TOKEN_TOPK_FREQ,
+    # approximate op gated via its OWN guarantee: the oracle recomputes the
+    # exact top-20, joins the engine-persisted estimates and keeps rows only
+    # inside the one-sided ε-bound (est >= exact, est-exact <= ceil(e·N/w))
+    "token_freq_cms": SQL_TOKEN_FREQ_CMS,
     "heavy_tokens": SQL_HEAVY_TOKENS,
     "tfidf_top": SQL_TFIDF_TOP,
     "lang_count": SQL_LANG_COUNT,
     "token_counts": SQL_TOKEN_COUNTS,
     "knn_bruteforce": SQL_KNN,
     "knn_multi": SQL_KNN_MULTI,
+    # iterative greedy gated by unrolling: k=10 generated argmax CTE rounds
+    # over the engine-persisted rel/sim doubles (see _mmr_unrolled_sql)
+    "mmr_rerank": SQL_MMR_RERANK,
     "url_canon": SQL_URL_CANON,
     "boolean_search": SQL_BOOLEAN_SEARCH,
     "index_stats": SQL_INDEX_STATS,

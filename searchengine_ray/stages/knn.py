@@ -705,6 +705,18 @@ def mmr_select(qvec: np.ndarray, cand_ids: np.ndarray, cand_mat: np.ndarray,
     smallest id (numpy argmax returns the first maximum).  Returns
     (rank, vec_id, mmr_score) with mmr_score the value at selection
     time, rounded to 6."""
+    ids, rel, simmat = mmr_matrices(qvec, cand_ids, cand_mat)
+    return mmr_greedy(ids, rel, simmat, k, lam)
+
+
+def mmr_matrices(qvec: np.ndarray, cand_ids: np.ndarray,
+                 cand_mat: np.ndarray):
+    """The relevance / pairwise-similarity inputs of the MMR greedy,
+    exposed separately so a caller can PERSIST them (the oracle replays
+    the unrolled greedy over these exact doubles — parquet float64
+    round-trips are exact, so engine and SQL argmax over bit-identical
+    scores).  Candidates sort ascending-id here; returns
+    (ids_sorted, rel, simmat)."""
     order = np.argsort(cand_ids, kind="stable")
     ids = cand_ids[order]
     x = cand_mat[order].astype(np.float64, copy=True)
@@ -715,6 +727,16 @@ def mmr_select(qvec: np.ndarray, cand_ids: np.ndarray, cand_mat: np.ndarray,
     qn = np.linalg.norm(q)
     rel = x @ (q / (qn if qn else 1.0))
     simmat = x @ x.T
+    return ids, rel, simmat
+
+
+def mmr_greedy(ids: np.ndarray, rel: np.ndarray, simmat: np.ndarray,
+               k: int, lam: float = 0.7) -> pd.DataFrame:
+    """The greedy itself over precomputed matrices (see ``mmr_matrices``).
+    Emitted mmr_score rounds half-AWAY-from-zero (utils.rounding) to match
+    the DuckDB oracle's round()."""
+    from searchengine_ray.utils.rounding import round6_half_away
+
     C = len(ids)
     k = min(k, C)
     chosen = np.zeros(C, dtype=bool)
@@ -731,4 +753,4 @@ def mmr_select(qvec: np.ndarray, cand_ids: np.ndarray, cand_mat: np.ndarray,
         np.maximum(max_sim, simmat[:, j], out=max_sim)
     return pd.DataFrame({"rank": np.arange(k, dtype=np.int64),
                          "vec_id": out_id,
-                         "mmr_score": np.round(out_sc, 6)})
+                         "mmr_score": round6_half_away(out_sc)})

@@ -288,7 +288,11 @@ def _mmr_ref(qvec, ids, mat, k, lam):
                 best = (key, i, s)
         _, i, s = best
         sel.append(i); remaining.remove(i)
-        out.append((int(ids[i]), round(float(s), 6)))
+        # half-away-from-zero at 6 decimals (DuckDB's round rule), written
+        # independently of utils.rounding
+        import math
+        r6 = math.copysign(math.floor(abs(float(s)) * 1e6 + 0.5) / 1e6, s)
+        out.append((int(ids[i]), r6))
     return out
 
 
