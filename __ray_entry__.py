@@ -7,14 +7,21 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``: one callable per implemented operator/pipeline
   (SURVEY.md §2); each takes ``sf_dir``.
 - ``oracle_sql()``: DuckDB-equivalent SQL for each SQL-expressible query —
-  126 of 130, including every near-dup family (verified MinHash ≡ exact
+  151 of 155, including every near-dup family (verified MinHash ≡ exact
   all-pairs jaccard; embedding LSH ≡ all-pairs cosine; simhash / phash /
   audio fingerprints ≡ bit_count(xor) over engine-materialized scratch
-  tables) and the image/audio pipelines (golden-table TRUE-flag gates).
-  Only crawl_bfs (stateful sequential gates), bpe_stats (iterative merge
+  tables), the image/audio/video pipelines (golden-table TRUE-flag
+  gates), the iterative algorithms (kmeans / pagerank / LPA communities /
+  MMR gated via engine-persisted state + generated unrolled rounds) and
+  the Count-Min sketch (gated via its own one-sided ε-bound).  Only
+  crawl_bfs (stateful sequential gates), bpe_stats (iterative merge
   training), distinct_users_hll and event_value_quantiles_sketch
   (approximate by design, error-bounded) stay rows-only; their semantics
   are pinned by the pytest conformance suites.
+
+``QUERIES`` dict order is the certification rotation: entries without a
+prior driver-green CORRECTNESS row lead, so the driver's ~50-entry window
+certifies new operators each round.
 """
 
 from __future__ import annotations

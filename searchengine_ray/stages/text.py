@@ -111,14 +111,20 @@ def tfidf_postings(docs: Dataset, mode: str = "simple", round_to: int | None = 6
 
     if n_vocab <= broadcast_vocab_limit:
         df_tbl = df_ds.to_pandas()
-        idf = {t: float(np.log(n_docs / d))
-               for t, d in zip(df_tbl["token"], df_tbl["df"])}
+        # token→idf as a Series so the per-batch probe is a vectorized
+        # .map (C hash loop) instead of a Python list-comprehension dict
+        # lookup; n_docs/d runs the same IEEE double division per element
+        # as the scalar form did, so values are bit-identical
+        idf = pd.Series(
+            np.log(np.float64(n_docs)
+                   / df_tbl["df"].to_numpy(np.float64)),
+            index=df_tbl["token"])
         idf_ref = ray.put(idf)
 
         def tfidf_fn(df: pd.DataFrame) -> pd.DataFrame:
             table = ray.get(idf_ref)  # plasma-local; small
             tf = df["cnt"].to_numpy() / df["doc_len"].to_numpy()
-            idf_v = np.array([table[t] for t in df["token"]])
+            idf_v = df["token"].map(table).to_numpy(np.float64)
             return finish(pd.DataFrame(
                 {"doc_id": df["doc_id"], "token": df["token"], "tf": tf,
                  "tf_idf": tf * idf_v}))
