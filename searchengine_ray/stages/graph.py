@@ -512,22 +512,23 @@ def label_propagation(edges: Dataset, num_nodes: int, rounds: int = 3,
     rounds so the oracle can unroll them.  Nodes without in-edges keep
     their label.
 
-    Scale shape per round: the label vector broadcasts via ``ray.put``
-    (O(V) driver — the pagerank-route contract, with the same honest
-    threshold), one edge map pass emits (dst, src label), one
-    ``pre_aggregate`` counts (dst, label), and ONE ``bucketed_apply``
-    keep-best picks each node's mode — the driver never sees the O(E)
-    count table."""
+    SIZE-ROUTED like pagerank: below ``broadcast_threshold`` the label
+    vector broadcasts via ``ray.put`` (O(V) driver), one edge map pass
+    emits (dst, src label), one ``pre_aggregate`` counts (dst, label),
+    and ONE ``bucketed_apply`` keep-best picks each node's mode — the
+    driver never sees the O(E) count table.  Above it the fully
+    distributed route runs (``_label_propagation_distributed``): labels
+    stay a Dataset, hash_join + anti-join carry-forward per round.  Both
+    routes share the deterministic update kernel and are pinned
+    identical by tests."""
     import ray
 
     from searchengine_ray.stages.relational import (bucketed_apply,
                                                     pre_aggregate)
 
     if num_nodes > broadcast_threshold:
-        raise NotImplementedError(
-            "label_propagation: above the broadcast threshold keep the "
-            "label table a Dataset (hash_join per round, the pagerank "
-            "distributed route); the query fixture stays below it")
+        return _label_propagation_distributed(edges, rounds, src_col,
+                                              dst_col)
     edges = edges.materialize()
     import ray.data as rd
 
@@ -557,13 +558,7 @@ def label_propagation(edges: Dataset, num_nodes: int, rounds: int = 3,
         cnt = pre_aggregate(tagged, ["node", "lab"],
                             {"c": (None, "count")})
 
-        def keep_best(g: pd.DataFrame) -> pd.DataFrame:
-            g = g.sort_values(["node", "c", "lab"],
-                              ascending=[True, False, True],
-                              kind="mergesort")
-            return g.drop_duplicates("node")[["node", "lab"]]
-
-        upd = bucketed_apply(cnt, ["node"], keep_best).to_pandas()
+        upd = bucketed_apply(cnt, ["node"], _lpa_keep_best).to_pandas()
         un = upd["node"].to_numpy(np.int64)
         order = np.argsort(un)
         # nodes without in-edges keep their previous label
@@ -571,3 +566,77 @@ def label_propagation(edges: Dataset, num_nodes: int, rounds: int = 3,
         labels = labels.copy()
         labels[pos] = upd["lab"].to_numpy(np.int64)[order]
     return rd.from_pandas(pd.DataFrame({"node": nodes, "community": labels}))
+
+
+def _lpa_keep_best(g: pd.DataFrame) -> pd.DataFrame:
+    """Per-node mode with ties to the SMALLEST label — the deterministic
+    LPA update shared by both routes (identical integer arithmetic, so the
+    routes are pinned equal by tests, not approximately equal)."""
+    g = g.sort_values(["node", "c", "lab"], ascending=[True, False, True],
+                      kind="mergesort")
+    return g.drop_duplicates("node")[["node", "lab"]]
+
+
+def _label_propagation_distributed(edges: Dataset, rounds: int,
+                                   src_col: str, dst_col: str) -> Dataset:
+    """Fully distributed LPA: the label table stays a DATASET end-to-end
+    (the pagerank distributed-route contract) — nothing O(V) ever lands on
+    the driver.
+
+    Per round: ONE ``hash_join`` co-shuffle attaches each edge's source
+    label, ONE ``pre_aggregate`` counts (dst, label) — O(distinct pairs)
+    ≤ O(E) rows, combined map-side — ONE ``bucketed_apply`` picks each
+    node's deterministic mode, and ONE ``hash_semi_anti_join`` carries
+    forward the labels of nodes WITHOUT in-edges (the src∪dst init
+    invariant: a never-a-dst source must keep its own label).  Loop state
+    materializes every round and the loop-invariant edge side ONCE — Ray
+    re-executes shared lazy sub-plans per consumer, and deep
+    groupby-in-groupby chains drop reduce buckets (the pagerank 14.5%
+    row-loss bug; pinned by scripts/scale_evidence_r4b.py)."""
+    import ray.data as rd  # noqa: F401  (parity with the broadcast route)
+
+    from searchengine_ray.stages.relational import (bucketed_apply,
+                                                    hash_join,
+                                                    hash_semi_anti_join,
+                                                    pre_aggregate)
+
+    edges = edges.materialize()
+
+    def explode_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": np.concatenate(
+            [df[src_col].to_numpy(np.int64),
+             df[dst_col].to_numpy(np.int64)])})
+
+    def init(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["node"].to_numpy(np.int64)
+        return pd.DataFrame({"node": n, "lab": n.copy()})  # label⁰(v) = v
+
+    labels = (pre_aggregate(
+        edges.map_batches(explode_nodes, batch_format="pandas"),
+        ["node"], {"_c": (None, "count")})
+        .map_batches(init, batch_format="pandas").materialize())
+
+    for _ in range(rounds):
+        def as_src(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns={"node": src_col})
+
+        joined = hash_join(edges, labels.map_batches(
+            as_src, batch_format="pandas"), on=src_col)
+
+        def tag(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "node": df[dst_col].to_numpy(np.int64),
+                "lab": df["lab"].to_numpy(np.int64)})
+
+        cnt = pre_aggregate(joined.map_batches(tag, batch_format="pandas"),
+                            ["node", "lab"], {"c": (None, "count")})
+        upd = bucketed_apply(cnt, ["node"], _lpa_keep_best)
+        # nodes with no in-edges this round keep their previous label
+        keep = hash_semi_anti_join(labels, upd, on="node", anti=True)
+        labels = upd.union(keep).materialize()
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"node": df["node"].to_numpy(np.int64),
+                             "community": df["lab"].to_numpy(np.int64)})
+
+    return labels.map_batches(finish, batch_format="pandas")

@@ -371,3 +371,31 @@ def test_label_propagation_two_cliques_converge(ray_session):
     comm = dict(zip(got["node"], got["community"]))
     assert comm[0] == comm[1] == comm[2] == 0
     assert comm[10] == comm[11] == comm[12] == 10
+
+
+def test_label_propagation_routes_identical(ray_session):
+    """The distributed route (labels stay a Dataset: hash_join + anti-join
+    carry-forward per round, forced via broadcast_threshold=0) must equal
+    the broadcast route EXACTLY — both run the same deterministic integer
+    update kernel.  Fixture includes never-a-dst sources (the src∪dst init
+    invariant) and isolated in-degree-0 carry-forward nodes."""
+    import ray.data as rd
+
+    from searchengine_ray.stages.graph import label_propagation
+
+    rng = np.random.default_rng(91)
+    edges_df = pd.DataFrame({
+        "src": rng.integers(0, 80, 600).astype(np.int64),
+        "dst": rng.integers(10, 90, 600).astype(np.int64)})
+    edges_df = (edges_df[edges_df.src != edges_df.dst]
+                .drop_duplicates().reset_index(drop=True))
+    ds = rd.from_pandas(edges_df).repartition(5)
+    bc = (label_propagation(ds, num_nodes=90, rounds=3)
+          .to_pandas().sort_values("node").reset_index(drop=True))
+    dist = (label_propagation(ds, num_nodes=90, rounds=3,
+                              broadcast_threshold=0)
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    pd.testing.assert_frame_equal(bc, dist)
+    # never-a-dst sources (ids < 10) must keep their own label
+    low = bc[bc["node"] < 10]
+    assert (low["community"].to_numpy() == low["node"].to_numpy()).all()
