@@ -439,7 +439,21 @@ def hash_semi_anti_join(
     def widen_right(b: pa.Table) -> pa.Table:
         for name, typ in l_schema:
             if name not in b.column_names:
-                b = b.append_column(name, pa.nulls(b.num_rows, typ))
+                # filler columns are NEVER read (filter_bucket drops the
+                # right rows entirely) — zero-fill fixed-width types, not
+                # nulls: the union co-shuffle converts some widened blocks
+                # through pandas, where int64-with-nulls degrades the
+                # BLOCK dtype to float64 and poisons downstream consumers
+                # (the hash_join invariant; observed as lab: double schema
+                # drift in the distributed LPA carry-forward)
+                if (pa.types.is_integer(typ) or pa.types.is_floating(typ)
+                        or pa.types.is_boolean(typ)):
+                    filler = pa.array(
+                        np.zeros(b.num_rows,
+                                 dtype=typ.to_pandas_dtype())).cast(typ)
+                else:
+                    filler = pa.nulls(b.num_rows, typ)
+                b = b.append_column(name, filler)
         return b.select(l_names + ["_bucket", "_side"])
 
     rt = rt.map_batches(widen_right, batch_format="pyarrow")

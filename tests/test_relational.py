@@ -325,3 +325,26 @@ def test_ab_experiment_matches_independent_welch(ray_session):
         assert abs(got.loc[t, "t_stat"] - round(float(tstat), 6)) < 1e-5
         assert abs(got.loc[t, "mean_diff"]
                    - round(float(b.mean() - a.mean()), 6)) < 1e-6
+
+
+def test_semi_anti_preserves_int64_block_dtype(ray_session):
+    """The widened right side must ZERO-FILL fixed-width filler columns
+    (never pa.nulls): int64-with-nulls blocks degrade to float64 through
+    the union co-shuffle's pandas conversions, poisoning downstream block
+    dtypes (observed as lab:double schema drift in the distributed LPA
+    carry-forward).  Pin: every output BLOCK keeps int64."""
+    import ray
+    import ray.data as rd
+
+    left = pd.DataFrame({"k": np.arange(500, dtype=np.int64),
+                         "v": np.arange(500, dtype=np.int64) * 7})
+    right = pd.DataFrame({"k": np.arange(0, 500, 2, dtype=np.int64)})
+    out = hash_semi_anti_join(rd.from_pandas(left).repartition(4),
+                              rd.from_pandas(right).repartition(3),
+                              on="k", anti=True)
+    for ref in out.to_pandas_refs():
+        blk = ray.get(ref)
+        if len(blk):
+            assert blk["v"].dtype == np.int64, blk.dtypes
+    got = out.to_pandas()
+    assert sorted(got["k"]) == list(range(1, 500, 2))
