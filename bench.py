@@ -260,11 +260,12 @@ def main() -> None:
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "scaling": "run `python bench.py --scaling` (8 vs 32 CPUs, fresh "
-                   "processes); recorded in BASELINE.md (round 4): samples "
-                   "0.95 / 1.139 / 1.09 / 1.009 / 0.89 @8->32 (all above "
-                   "the 0.8 bar; latest 756.7 -> 2693.2 pages/s at 150k "
-                   "pages; one 0.271 transient excluded with its "
-                   "capacity-dip diagnosis in BASELINE.md)",
+                   "processes); recorded in BASELINE.md (round 5): latest "
+                   "1.204 @8->32 (726.7 -> 3501.1 pages/s at 150k pages); "
+                   "sample history 0.95 / 1.139 / 1.09 / 1.009 / 0.89 / "
+                   "0.909 / 1.204 — all above the 0.8 bar (two transients "
+                   "excluded with measured capacity-dip diagnoses in "
+                   "BASELINE.md)",
     }))
     ray.shutdown()
 
