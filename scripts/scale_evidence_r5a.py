@@ -135,10 +135,7 @@ def main() -> None:
     for arm, fn in (("chunked", hash_neardup_pairs),
                     ("merge", _merge_pairs_route)):
         t0 = time.perf_counter()
-        if arm == "chunked":
-            n = fn(skew_ds, hash_col="h", id_col="sid", max_hamming=4).count()
-        else:
-            n = fn(skew_ds, hash_col="h", id_col="sid", max_hamming=4).count()
+        n = fn(skew_ds, hash_col="h", id_col="sid", max_hamming=4).count()
         ab2[arm + "_sec"] = round(time.perf_counter() - t0, 2)
         ab2[arm + "_pairs"] = n
     assert ab2["chunked_pairs"] == ab2["merge_pairs"]

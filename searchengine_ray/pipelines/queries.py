@@ -499,11 +499,15 @@ def q_token_freq_cms(sf_dir: str):
     gated without faking exactness): the emitted rows carry exact AND
     estimate, so the oracle recomputes the exact top-20 independently,
     joins the ENGINE-PERSISTED estimates, and keeps a row only when
-    est ≥ exact AND est − exact ≤ ⌈e·N/w⌉ — an estimate that
-    undercounts, overshoots the ε-bound, or disagrees on the exact
-    column drops the row and fails the gate.  The ε-bound is
-    deterministic here (fixed hashing, fixed data); the distributional
-    guarantees stay pytest-gated in tests/test_sketches.py."""
+    est ≥ exact (the deterministic one-sided guarantee — an undercount
+    always fails) AND est − exact ≤ ⌈4e·N/w⌉.  The margin is 4× the
+    textbook whp bound ON PURPOSE: e·N/w holds per token only with
+    probability ≈ 1 − e⁻ᵈ, so a hard gate at that constant could
+    false-fail a correct sketch at a scale/hashing not already
+    certified; at 4e the per-token failure odds drop to ≈(1/4e)ᵈ ≈ 7e-5
+    (still ≤ 0.54% of N — a meaningful gate).  The tight e·N/w bound
+    stays distributionally pytest-gated in tests/test_sketches.py, and
+    a disagreement on the exact column still hash-fails outright."""
     from searchengine_ray.stages.relational import global_topk
     from searchengine_ray.stages.sketches import (count_min_build,
                                                   count_min_query)
@@ -547,7 +551,8 @@ est AS (SELECT token, n_est
 SELECT t.token, t.n AS n_exact, e.n_est
 FROM top t JOIN est e USING (token), tot
 WHERE e.n_est >= t.n
-  AND e.n_est - t.n <= CAST(ceil(2.718281828459045 * tot.nn / 2048) AS BIGINT)
+  AND e.n_est - t.n
+      <= CAST(ceil(4 * 2.718281828459045 * tot.nn / 2048) AS BIGINT)
 """
 
 
@@ -753,23 +758,27 @@ def q_mmr_rerank(sf_dir: str):
 def _mmr_unrolled_sql(k: int = 10, lam: float = 0.7) -> str:
     """Generate the k-step MMR greedy as chained argmax CTEs over the
     engine-persisted rel/sim scratch tables (graph_communities' generated
-    LPA-round pattern).  λ constants are written so DuckDB's double
-    arithmetic reproduces numpy's (1.0 - 0.7 ⇒ the same 0.30000000000000004
-    on both sides)."""
+    LPA-round pattern).  The penalty constant is interpolated as the
+    PRECOMPUTED Python double `repr(1.0 - lam)` and CAST to DOUBLE:
+    writing `(1.0 - 0.7)` in SQL makes DuckDB subtract in DECIMAL space
+    (exact 0.3 → double 1 ulp BELOW numpy's 1.0 - 0.7), which measurably
+    shifts ~half the step scores by an ulp — enough to flip a rounded
+    6-decimal score or a near-tie argmax at a boundary."""
     parts = [f"""
 WITH rel AS MATERIALIZED (SELECT query_id, vec_id, rel
              FROM read_parquet('{_MMR_SCRATCH}/rel.parquet')),
 sim AS MATERIALIZED (SELECT query_id, a, b, s
         FROM read_parquet('{_MMR_SCRATCH}/sim.parquet')),
-pick1 AS MATERIALIZED (SELECT query_id, vec_id, {lam} * rel AS score,
+pick1 AS MATERIALIZED (SELECT query_id, vec_id, {lam!r} * rel AS score,
                  CAST(0 AS BIGINT) AS "rank" FROM rel
           QUALIFY row_number() OVER (PARTITION BY query_id
-                                     ORDER BY {lam} * rel DESC, vec_id) = 1),
+                                     ORDER BY {lam!r} * rel DESC, vec_id) = 1),
 sel1 AS MATERIALIZED (SELECT query_id, vec_id FROM pick1)"""]
     for t in range(2, k + 1):
         parts.append(f""",
 sc{t} AS MATERIALIZED (SELECT c.query_id, c.vec_id,
-                 {lam} * c.rel - (1.0 - {lam}) * max(p.s) AS score
+                 {lam!r} * c.rel
+                   - CAST({(1.0 - lam)!r} AS DOUBLE) * max(p.s) AS score
           FROM rel c
           JOIN sim p ON p.query_id = c.query_id AND p.a = c.vec_id
           JOIN sel{t - 1} ch ON ch.query_id = p.query_id
@@ -5179,7 +5188,10 @@ def q_mad_outliers(sf_dir: str):
         devv = dev.to_numpy(np.float64)
         pos = madv > 0
         z = np.zeros(len(g), dtype=np.float64)
-        z[pos] = np.round(devv[pos] / (1.4826 * madv[pos]), 6)
+        # half-away (shared helper): the oracle's DuckDB round() — a
+        # dyadic .5e-6 score would flip np.round's half-even on BOTH the
+        # emitted value and the 1.8 threshold test
+        z[pos] = round6_half_away(devv[pos] / (1.4826 * madv[pos]))
         keep = pos & (z > 1.8)
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(np.int64)[keep],
