@@ -7,7 +7,7 @@ here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 - ``queries()``: one callable per implemented operator/pipeline
   (SURVEY.md §2); each takes ``sf_dir``.
 - ``oracle_sql()``: DuckDB-equivalent SQL for each SQL-expressible query —
-  151 of 155, including every near-dup family (verified MinHash ≡ exact
+  152 of 156, including every near-dup family (verified MinHash ≡ exact
   all-pairs jaccard; embedding LSH ≡ all-pairs cosine; simhash / phash /
   audio fingerprints ≡ bit_count(xor) over engine-materialized scratch
   tables), the image/audio/video pipelines (golden-table TRUE-flag

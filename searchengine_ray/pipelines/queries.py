@@ -6970,6 +6970,104 @@ FROM events GROUP BY user_id
 """
 
 
+# --- Gopher document-quality rules (Rae et al. 2021, Table A1 subset) -------
+
+_GOPHER_STOP = ("the", "and", "of", "to", "a", "in", "is", "that", "it",
+                "for")
+
+
+def q_gopher_rules(sf_dir: str):
+    """Composite Gopher document-quality filter (Rae et al. 2021,
+    arXiv:2112.11446 Table A1 subset) — the named rule battery every
+    LLM-corpus pipeline runs before training: word count in [50, 100000],
+    mean word length in [3, 10], bullet-started lines <= 90%, "..."-ended
+    lines <= 30%, >= 80% of words contain a letter, >= 2 english
+    stopwords.  Emits one row per doc with each rule verdict and the AND
+    (`keep`).
+
+    Every rule is evaluated in INTEGER arithmetic on both sides
+    (3n <= sum_len <= 10n, 10·bullets <= 9·lines, 5·alpha >= 4·words, …)
+    so no float comparison can straddle a boundary differently in numpy
+    vs DuckDB.  Map-only — zero shuffles at any corpus size; the same
+    space-split word convention as text_features (SQL string_split).
+    The line rules are structurally exercised but vacuous on this
+    single-line corpus — their bite is pinned by the planted-fixture
+    pytest (tests/test_gopher_rules.py)."""
+    import re as _re
+
+    ds = _pq(sf_dir, "documents", columns=["doc_id", "text"])
+    alpha_re = _re.compile(r"[a-zA-Z]")
+
+    def rules(df: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for doc_id, text in zip(df["doc_id"].to_numpy(np.int64),
+                                df["text"]):
+            words = [w for w in text.split(" ") if w]
+            n = len(words)
+            sum_len = sum(len(w) for w in words)
+            lines = text.split("\n")
+            nl = len(lines)
+            n_bul = sum(1 for ln in lines
+                        if ln.startswith("- ") or ln.startswith("\u2022 "))
+            n_ell = sum(1 for ln in lines if ln.endswith("..."))
+            n_alpha = sum(1 for w in words if alpha_re.search(w))
+            n_stop = sum(1 for w in words if w.lower() in _GOPHER_STOP)
+            r_words = 50 <= n <= 100_000
+            r_mean = n > 0 and (3 * n <= sum_len <= 10 * n)
+            r_bul = 10 * n_bul <= 9 * nl
+            r_ell = 10 * n_ell <= 3 * nl
+            r_alpha = 5 * n_alpha >= 4 * n
+            r_stop = n_stop >= 2
+            keep = (r_words and r_mean and r_bul and r_ell
+                    and r_alpha and r_stop)
+            rows.append((doc_id, n, int(r_words), int(r_mean), int(r_bul),
+                         int(r_ell), int(r_alpha), int(r_stop), int(keep)))
+        out = pd.DataFrame(rows, columns=[
+            "doc_id", "n_words", "r_words", "r_meanlen", "r_bullets",
+            "r_ellipsis", "r_alpha", "r_stop", "keep"])
+        return out.astype(np.int64)
+
+    return ds.map_batches(rules, batch_format="pandas", batch_size=1024)
+
+
+SQL_GOPHER_RULES = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), w -> w <> '') AS words,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(words) AS n,
+         COALESCE(list_aggregate(list_transform(words, w -> length(w)),
+                                 'sum'), 0) AS sum_len,
+         len(lines) AS nl,
+         len(list_filter(lines, l -> starts_with(l, '- ')
+                                   OR starts_with(l, chr(8226) || ' ')))
+             AS n_bul,
+         len(list_filter(lines, l -> ends_with(l, '...'))) AS n_ell,
+         len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+             AS n_alpha,
+         len(list_filter(words, w -> lower(w) IN
+             ('the','and','of','to','a','in','is','that','it','for')))
+             AS n_stop
+  FROM base)
+SELECT doc_id, CAST(n AS BIGINT) AS n_words,
+       CAST(n BETWEEN 50 AND 100000 AS BIGINT) AS r_words,
+       CAST(n > 0 AND 3 * n <= sum_len AND sum_len <= 10 * n AS BIGINT)
+           AS r_meanlen,
+       CAST(10 * n_bul <= 9 * nl AS BIGINT) AS r_bullets,
+       CAST(10 * n_ell <= 3 * nl AS BIGINT) AS r_ellipsis,
+       CAST(5 * n_alpha >= 4 * n AS BIGINT) AS r_alpha,
+       CAST(n_stop >= 2 AS BIGINT) AS r_stop,
+       CAST((n BETWEEN 50 AND 100000)
+            AND (n > 0 AND 3 * n <= sum_len AND sum_len <= 10 * n)
+            AND 10 * n_bul <= 9 * nl AND 10 * n_ell <= 3 * nl
+            AND 5 * n_alpha >= 4 * n AND n_stop >= 2 AS BIGINT) AS keep
+FROM m
+"""
+
+
 QUERIES = {
     # ORDER IS THE CERTIFICATION ROTATION: the driver's CORRECTNESS gate
     # checks the first ~50 entries, so entries with no prior driver-green
@@ -7131,6 +7229,7 @@ QUERIES = {
     "image_phash_neardup": q_image_phash_neardup,
     "image_stats": q_image_stats,
     "image_multimodal_neardup": q_image_multimodal_neardup,
+    "gopher_rules": q_gopher_rules,
 }
 
 ORACLE_SQL = {
@@ -7290,6 +7389,7 @@ ORACLE_SQL = {
     "anchor_texts": SQL_ANCHOR_TEXTS,
     "postings_codec": SQL_POSTINGS_CODEC,
     "collocations": SQL_COLLOCATIONS,
+    "gopher_rules": SQL_GOPHER_RULES,
     # crawl_bfs (stateful sequential-gate semantics) is the one remaining
     # non-SQL-expressible entry → rows-only check; its semantics are pinned
     # by the crawl conformance suite (tests/test_crawl.py incl. fuzz)
