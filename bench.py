@@ -220,6 +220,7 @@ def main() -> None:
         "winsorize": Q.q_winsorize,
         "mad_outliers": Q.q_mad_outliers,
         "throttle_dedup": Q.q_throttle_dedup,
+        "gopher_rules": Q.q_gopher_rules,
     }
     if BENCH_ONLY:
         keep = set(BENCH_ONLY.split(","))
